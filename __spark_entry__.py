@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship pipeline at sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline extensions) for the sf0.01 DuckDB-oracle gate.
+The actual implementations live in ``timeseries_spark/queries/``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dense yearly cumulative harmonic score + logistic novelty
+    (the reference's core engine run, timeseries.py:441-635) over the
+    sf0.001 orders table."""
+    from timeseries_spark.queries.tsq import assoc_novelty_yearly
+
+    return assoc_novelty_yearly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 ids in docstrings)."""
+    from timeseries_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; keys missing here are rows-only."""
+    from timeseries_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,63 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Per-query wall time = plan build + execution to a count() action (results
+stay distributed; no driver collect). The metric is total seconds across
+the headline set — lower is better, compared per-round against BASELINE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEADLINE = [
+    "assoc_score_yearly",
+    "assoc_novelty_yearly",
+    "harmonic_topk_per_order",
+    "pricing_summary",
+    "revenue_by_nation",
+    "dense_daily_events",
+    "union_missing_columns",
+]
+
+
+def main() -> None:
+    from timeseries_spark.queries import all_queries
+    from timeseries_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warm the JVM + parquet footers once, off the clock
+    registry[names[0]](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

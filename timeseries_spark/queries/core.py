@@ -1,0 +1,455 @@
+"""Core relational operators (SURVEY.md §2.2-2.8) over the TPC-H-ish tables.
+
+Each query exercises one inventory row (P/J/A/W/O/U/F ids cited) and ships a
+DuckDB oracle. Operator→fixture mapping follows FIXTURES.md §B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.operators.ontology import expand_ontology
+from timeseries_spark.operators.windows import argmax_rows, argmin_rows, top1_per_group
+from timeseries_spark.queries import load, query
+
+
+# --- A-series aggregations + P3 filters (pricing summary à la TPC-H Q1) ----
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """A4/A6/A7 multi-agg + P3 range filter; filter pushes to parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- J2 snowflake join chain with broadcast dims ----------------------------
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name, r_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """J2 chained equi joins; nation/region are broadcast (SURVEY.md §4)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- J4 two-hop + J3 multi-key -----------------------------------------------
+
+@query(
+    "supplier_part_revenue",
+    oracle="""
+    SELECT p_brand, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 25
+    GROUP BY p_brand, n_name
+    """,
+)
+def supplier_part_revenue(spark, sf_dir):
+    """J4 snowflake (lineitem→part, lineitem→supplier→nation) with a
+    pushed-down dimension predicate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- J6 anti / J8 semi -------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """J6 left-anti join ('rows not yet processed' idiom,
+    timestamp_evidence.py:259-265)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def customers_with_urgent_orders(spark, sf_dir):
+    """J8 left-semi join (cleaner form of the reference's inner-to-distinct
+    idiom, plot_timeseries.py:773-794)."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# --- W3/W4/W5 window idioms --------------------------------------------------
+
+@query(
+    "top_nation_per_region",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY r_name ORDER BY revenue DESC, n_name
+      ) AS rn FROM rev
+    ) WHERE rn = 1
+    """,
+)
+def top_nation_per_region(spark, sf_dir):
+    """W3 row_number top-1 per group (novelty_distribution.py:93-96)."""
+    rev = revenue_by_nation(spark, sf_dir)
+    return top1_per_group(
+        rev.select("r_name", "n_name", "revenue"),
+        ["r_name"],
+        [F.col("revenue").desc(), F.col("n_name")],
+    )
+
+
+@query(
+    "largest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    ) WHERE o_totalprice = mx
+    """,
+)
+def largest_order_per_customer(spark, sf_dir):
+    """W4 arg-max rows with ties kept — float-equality filter is
+    load-bearing (novelty_distribution.py:720-726; SURVEY.md §7)."""
+    orders = load(spark, sf_dir, "orders")
+    return argmax_rows(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_totalprice",
+    )
+
+
+@query(
+    "first_order_year_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, oy AS order_year
+    FROM (
+      SELECT o_custkey, o_orderkey, year(o_orderdate) AS oy,
+             min(year(o_orderdate)) OVER (PARTITION BY o_custkey) AS mn
+      FROM orders
+    )
+    WHERE oy = mn
+    """,
+)
+def first_order_year_per_customer(spark, sf_dir):
+    """W5 arg-min rows (first-approval idiom, novelty_approval.py:368-376)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    return argmin_rows(orders, ["o_custkey"], "order_year")
+
+
+# --- J1/F1/F5 ontology expansion ---------------------------------------------
+
+@query(
+    "ontology_rollup",
+    oracle="""
+    WITH dim AS (
+      SELECT n_name AS id, r_name AS ancestor
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    exploded AS (
+      SELECT id, unnest([id, ancestor]) AS label FROM dim
+    )
+    SELECT e.label, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation ON c.c_nationkey = n_nationkey
+    JOIN exploded e ON n_name = e.id
+    GROUP BY e.label
+    """,
+)
+def ontology_rollup(spark, sf_dir):
+    """J1 fan-out join over an exploded self∪ancestors array
+    (timeseries.py:350-364) — nation→region as a 2-level ontology."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("id"),
+            F.array(F.col("r_name")).alias("ancestors"),
+        )
+    )
+    ev = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("n_name").alias("diseaseId"), "c_acctbal")
+    return (
+        expand_ontology(ev, dim, disease_id_col="diseaseId")
+        .groupBy(F.col("diseaseId").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# --- U1 unionByName with missing columns ------------------------------------
+
+@query(
+    "union_missing_columns",
+    oracle="""
+    SELECT okey, round(sum(amount), 2) AS total, count(*) AS n
+    FROM (
+      SELECT o_orderkey AS okey, o_totalprice AS amount,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL BY NAME
+      SELECT l_orderkey AS okey, l_extendedprice AS amount
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY okey
+    """,
+)
+def union_missing_columns(spark, sf_dir):
+    """U1 unionByName(allowMissingColumns=True)
+    (timestamp_evidence.py:259-266)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("okey")
+        .agg(
+            F.round(F.sum("amount"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- P6 conditional bucketing / P7 cast / P10 distinct -----------------------
+
+@query(
+    "order_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           o_orderstatus,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY bucket, o_orderstatus
+    """,
+)
+def order_price_buckets(spark, sf_dir):
+    """P6 when/when/otherwise bucketing (phase-bucket idiom,
+    novelty_approval.py:496-511)."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "distinct_customer_years",
+    oracle="""
+    SELECT count(*) AS n FROM (
+      SELECT DISTINCT o_custkey, year(o_orderdate) AS y FROM orders
+    )
+    """,
+)
+def distinct_customer_years(spark, sf_dir):
+    """P10 distinct on a key projection (47 uses in the reference)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", F.year("o_orderdate").alias("y"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- P9 coalesce priority + F16-adjacent JSON --------------------------------
+
+@query(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS k_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_rollup(spark, sf_dir):
+    """JSON property extraction (extension beyond the reference, which has
+    no JSON columns — SURVEY.md §2.8 F16)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "coalesce_date_priority",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(
+             CASE WHEN o_orderstatus = 'F' THEN year(o_orderdate) END,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN year(o_orderdate) + 1 END,
+             9999
+           ) AS best_year
+    FROM orders
+    """,
+)
+def coalesce_date_priority(spark, sf_dir):
+    """P9 first-non-null priority rule (the best-date idiom,
+    timestamp_evidence.py:304-307) over derived nullable columns."""
+    orders = load(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "F", y),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), y + 1
+            ),
+            F.lit(9999),
+        ).alias("best_year"),
+    )
+
+
+# --- P3 point query (pushdown) ----------------------------------------------
+
+@query(
+    "point_customer_orders",
+    oracle="""
+    SELECT o_orderkey, year(o_orderdate) AS order_year, o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_custkey = 371
+    """,
+)
+def point_customer_orders(spark, sf_dir):
+    """P3 point filter — the plotTargetDisease-style lookup
+    (plot_timeseries.py:722-724); predicate pushes to the parquet scan."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_custkey") == 371).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+        "o_orderstatus",
+    )

@@ -1,0 +1,266 @@
+"""Time-series operators (SURVEY.md §2.4-2.6, §3.1) on the driver tables.
+
+The flagship pipeline — dense scaffold → cumulative harmonic top-k score →
+logistic novelty — runs at (o_orderpriority, o_orderstatus) grain over
+``orders`` with ``year(o_orderdate)`` as event time, exactly the shape the
+reference computes per (disease, target, datasource) (timeseries.py:441-635).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from timeseries_spark.config import EngineConfig
+from timeseries_spark.functions.arrays import harmonic_score
+from timeseries_spark.operators.novelty import add_novelty
+from timeseries_spark.operators.scaffold import dense_scaffold, year_spine
+from timeseries_spark.operators.scoring import association_score
+from timeseries_spark.queries import load, query
+
+# orders span 1995..2001; sentinel (undated bucket) = 2002
+ORDERS_CFG = EngineConfig(first_year=1995, last_year=2001)
+KEYS = ("o_orderpriority", "o_orderstatus")
+
+# every order is dated, so the NULL-restored sentinel row is the all-time
+# score; scores normalized into ~[0,1] like the reference's evidence scores
+_EVIDENCE_SQL = """
+  SELECT o_orderpriority, o_orderstatus,
+         year(o_orderdate) AS year,
+         o_totalprice / 600000 AS score
+  FROM orders
+"""
+
+
+def _orders_evidence(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("year"),
+        (F.col("o_totalprice") / 600000).alias("score"),
+    )
+
+
+_ASSOC_ORACLE = """
+    WITH ev AS (%s),
+    keys AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM ev),
+    years AS (SELECT unnest(generate_series(1995, 2002)) AS year),
+    grid AS (SELECT * FROM keys CROSS JOIN years),
+    pool AS (
+      SELECT g.o_orderpriority, g.o_orderstatus, g.year, e.score,
+             row_number() OVER (
+               PARTITION BY g.o_orderpriority, g.o_orderstatus, g.year
+               ORDER BY e.score DESC
+             ) AS rn
+      FROM grid g
+      JOIN ev e ON e.o_orderpriority = g.o_orderpriority
+               AND e.o_orderstatus = g.o_orderstatus
+               AND e.year <= g.year
+    ),
+    hs AS (
+      SELECT o_orderpriority, o_orderstatus, year,
+             sum(score / (rn * rn)) / 1.64 AS score
+      FROM pool WHERE rn <= 50
+      GROUP BY o_orderpriority, o_orderstatus, year
+    ),
+    dense AS (
+      SELECT g.o_orderpriority, g.o_orderstatus, g.year, hs.score
+      FROM grid g
+      LEFT JOIN hs USING (o_orderpriority, o_orderstatus, year)
+    )
+""" % _EVIDENCE_SQL
+
+
+@query(
+    "assoc_score_yearly",
+    oracle=_ASSOC_ORACLE
+    + """
+    SELECT o_orderpriority, o_orderstatus,
+           CASE WHEN year = 2002 THEN NULL ELSE year END AS year,
+           round(score, 4) AS score
+    FROM dense
+    """,
+)
+def assoc_score_yearly(spark, sf_dir):
+    """The engine's heart (timeseries.py:441-527): dense yearly cumulative
+    top-50 harmonic score per key group, sentinel year restored to NULL."""
+    ev = _orders_evidence(spark, sf_dir)
+    out = association_score(ev, ORDERS_CFG, KEYS)
+    return out.withColumn("score", F.round("score", 4))
+
+
+@query(
+    "assoc_novelty_yearly",
+    oracle=_ASSOC_ORACLE
+    + """
+    , peaks AS (
+      SELECT o_orderpriority, o_orderstatus, year AS peakYear,
+             coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+               PARTITION BY o_orderpriority, o_orderstatus ORDER BY year
+             ) AS peak
+      FROM dense
+    ),
+    decays AS (
+      SELECT o_orderpriority, o_orderstatus, peak, peakYear,
+             unnest(generate_series(0, 10)) AS pos
+      FROM peaks WHERE peak > 0
+    ),
+    nov AS (
+      SELECT o_orderpriority, o_orderstatus, peakYear + pos AS year,
+             round(max(peak / (1 + exp(2.0 * (pos - 2.0)))), 3) AS novelty
+      FROM decays
+      GROUP BY o_orderpriority, o_orderstatus, peakYear + pos
+    )
+    SELECT d.o_orderpriority, d.o_orderstatus,
+           CASE WHEN d.year = 2002 THEN NULL ELSE d.year END AS year,
+           round(d.score, 4) AS score,
+           coalesce(n.novelty, 0.0) AS novelty
+    FROM dense d
+    LEFT JOIN nov n USING (o_orderpriority, o_orderstatus, year)
+    """,
+)
+def assoc_novelty_yearly(spark, sf_dir):
+    """Score + logistic novelty (timeseries.py:530-635): lag-peak →
+    posexplode decay window → max per year → right-join merge → zero fill."""
+    ev = _orders_evidence(spark, sf_dir)
+    scores = association_score(ev, ORDERS_CFG, KEYS)
+    out = add_novelty(scores, ORDERS_CFG, KEYS)
+    return out.withColumn("score", F.round("score", 4))
+
+
+@query(
+    "dense_daily_events",
+    oracle="""
+    WITH spine AS (SELECT unnest(generate_series(1, 31)) AS day),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT * FROM types CROSS JOIN spine),
+    facts AS (
+      SELECT event_type, day(ts) AS day, count(*) AS n,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT g.event_type, g.day,
+           coalesce(f.n, 0) AS n,
+           coalesce(f.total, 0.0) AS total
+    FROM grid g LEFT JOIN facts f USING (event_type, day)
+    """,
+)
+def dense_daily_events(spark, sf_dir):
+    """J7 cross-join scaffold + zero fill (timeseries.py:441-470) at day
+    grain over the events table."""
+    events = load(spark, sf_dir, "events")
+    facts = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    spine = year_spine(
+        events.sparkSession, 1, 31, include_sentinel=False
+    ).withColumnRenamed("year", "day")
+    return dense_scaffold(facts, ["event_type"], spine, "day").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+    )
+
+
+@query(
+    "cumulative_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT event_type, day, total,
+           round(sum(total) OVER (
+             PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM daily
+    """,
+)
+def cumulative_daily_value(spark, sf_dir):
+    """W1 cumulative window (rangeBetween unboundedPreceding→current,
+    timeseries.py:473-477) as a running per-type total."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.withColumn(
+        "running_total", F.round(F.sum("total").over(w), 2)
+    )
+
+
+@query(
+    "day_over_day_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT event_type, day, total,
+           round(total - lag(total) OVER (
+             PARTITION BY event_type ORDER BY day
+           ), 2) AS delta
+    FROM daily
+    """,
+)
+def day_over_day_delta(spark, sf_dir):
+    """W2 lag delta — the novelty 'peak' precursor (timeseries.py:588-594)."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.withColumn(
+        "delta", F.round(F.col("total") - F.lag("total").over(w), 2)
+    )
+
+
+@query(
+    "harmonic_topk_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(p / (rn * rn)) / 1.64, 4) AS harmonic_score,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM (
+      SELECT l_orderkey, l_extendedprice / 100000 AS p,
+             row_number() OVER (
+               PARTITION BY l_orderkey ORDER BY l_extendedprice DESC
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn <= 50
+    GROUP BY l_orderkey
+    """,
+)
+def harmonic_topk_per_order(spark, sf_dir):
+    """A1+O3+F7-F11: collect_list → NaN-filter → sort desc → slice top-50 →
+    positional 1/i² weighting → fold — the exact reference kernel idiom
+    (timeseries.py:481-510) at order grain."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", (F.col("l_extendedprice") / 100000).alias("p"))
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("p").alias("scores"))
+        .select(
+            "l_orderkey",
+            F.round(harmonic_score(F.col("scores"), k=50), 4).alias(
+                "harmonic_score"
+            ),
+            F.size("scores").cast("bigint").alias("n_parts"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Parquet / CSV IO with explicit schemas and a *correct* existence check.
+
+Fixes the reference's latent skip-if-exists bug: it guards recomputation
+with ``os.path.exists`` on ``gs://`` URIs, which is always False off the
+local filesystem (timeseries.py:344-347; SURVEY.md §2.1 S9). Here existence
+goes through Hadoop's FileSystem API, which resolves any configured scheme
+(file://, hdfs://, gs://, s3a://).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware path existence via the JVM Hadoop FileSystem."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Parquet scan (S1/S3). ``schema`` validates/prunes instead of trusting
+    footers; ``merge_schema`` for directories mixing per-source schemas
+    (timestamp_evidence.py:255-257)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with declared types (S4) — no inference pass."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Parquet sink (S6/S7/S8). Partitioned layouts (``sourceId=...``) keep
+    partition pruning available to every downstream scan. Unlike the
+    reference we never read-modify-overwrite the same path in one job
+    (timeseries.py:632-634 risk, SURVEY.md §7) — callers version outputs."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
