@@ -1,0 +1,104 @@
+"""Extension operators: dedup, similarity, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidates,
+    shingles,
+    simhash32,
+    simhash_pairs,
+    tokens,
+)
+from timeseries_spark.extensions.multimodal import (
+    decode_media,
+    resize_plan,
+    synthetic_media,
+)
+from timeseries_spark.extensions.similarity import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words entirely unrelated text here now"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["digest"]: r for r in exact_duplicates(docs).collect()}
+    dups = [r for r in out.values() if r["n_copies"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 1
+    assert dups[0]["n_copies"] == 2
+
+
+def test_shingles_short_doc(spark, docs):
+    out = docs.select("doc_id", shingles(tokens(F.col("text")), 3).alias("sh"))
+    got = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert got[5] == []  # shorter than n -> empty, not null
+    assert got[1][0] == "the quick brown"
+    assert len(got[1]) == 7
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    out = jaccard_pairs(docs, threshold=0.3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.4 < pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_lsh_catches_exact_dup(docs):
+    got = {(r["id_a"], r["id_b"]) for r in lsh_candidates(docs).collect()}
+    assert (1, 3) in got
+    assert (4, 5) not in got
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=7).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    sk = docs.select(simhash32(tokens(F.col("text"))).alias("sk")).collect()
+    assert all(0 <= r["sk"] < 2**32 for r in sk)
+
+
+def test_brute_force_topk_self_excluded(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(4, [1.0, 0.0, 0.0, 0.001])],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = vecs.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(vecs, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [4, 1]  # 4 nearly parallel
+    assert all(r["query_id"] == 0 for r in out)
+    assert out[0]["cos_sim"] > 0.999
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = synthetic_media(docs)
+    decoded = decode_media(media, fake=True)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["width"] == 1 % 64 + 16
+    assert rows[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    planned = resize_plan(decoded, max_side=32).collect()
+    assert all(
+        max(r["target_width"], r["target_height"]) <= 32 for r in planned
+    )
+
+
+def test_multimodal_stub_raises_without_fake(docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(synthetic_media(docs), fake=False)

@@ -1,0 +1,269 @@
+"""Deduplication operators for document-scale corpora.
+
+Four families, each with a different cost/recall point at 100 TB:
+
+- exact: hash-groupBy on a content digest — one shuffle, perfect precision;
+- n-gram Jaccard: inverted-index self-join on shingles (never all-pairs:
+  candidate space is bounded by shared-shingle co-occurrence);
+- MinHash + LSH banding: constant-size signatures, candidates from band
+  buckets — the classic near-dup pipeline for web-scale corpora;
+- SimHash: one 32-bit sketch per doc, hamming-distance filter.
+
+Everything is built from deterministic md5-based hashes (see ``hashing``)
+so results are engine-reproducible; Spark-side compute is pure higher-order
+functions (per-row, no Python), shuffles happen only at the documented
+joins/groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.hashing import md5_long
+
+
+def tokens(text: Column) -> Column:
+    """Single-space tokenizer (the corpus contract for these operators)."""
+    return F.split(text, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams as strings; empty array when the doc is
+    shorter than ``n`` tokens."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 digest groupBy; canonical row = min id.
+
+    Output: (digest, keep_id, n_copies). One shuffle on the digest —
+    at 100 TB this is the cheapest possible dedup and the digest groupBy
+    distributes evenly (md5 is uniform, no skew)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Inverted-index plan: explode distinct shingles -> self-join on shingle
+    (co-occurrence list) -> count shared shingles per pair -> jaccard from
+    |A∩B| / (|A| + |B| - |A∩B|). The self-join key is the shingle, so the
+    shuffle is bounded by posting-list sizes; hot shingles (stopword runs)
+    are the skew risk — AQE skew-join handles moderate cases, and a
+    document-frequency cap is the standard mitigation at corpus scale.
+    Jaccard is a ratio of exact integer counts — deterministic across
+    engines."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias(
+                "sh"
+            ),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: ``sig[i] = min over shingles of h_i(shingle)``
+    with ``h_i(s) = md5_long(s + '#' + i)``. Pure HOF — no shuffle, no UDF.
+    NULL-free: empty shingle sets yield a sentinel signature of +inf-like
+    max bigint so empty docs never collide with real ones."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh, lambda s: md5_long(F.concat(s, F.lit("#"), i.cast("string")))
+                )
+            ),
+            F.lit(2**62).cast("bigint"),
+        ),
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any whole band are
+    candidates. Plan: explode band digests -> groupBy-free self-join on
+    (band, digest) -> distinct pairs. At corpus scale the band join
+    replaces the quadratic all-pairs comparison; band-bucket skew (giant
+    clusters of near-identical docs) is the known hot spot and is why the
+    digest includes the band index."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n)), num_hashes
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("digest"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "digest"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash as a bigint, in ONE HOF fold (no explode, no shuffle):
+    accumulate a 32-slot ±1 vector over token hashes, then pack sign bits.
+
+    ``bit_j = 1 iff sum over tokens of (token_hash bit j ? +1 : -1) > 0``.
+    """
+    # 1 << j with a Column j: pow(2, j) is exact in double for j <= 31
+    def mask(j: Column) -> Column:
+        return F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("bigint"), 32),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.when(
+                    md5_long(t).bitwiseAND(mask(j)) > 0,
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(-1).cast("bigint")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, j: F.when(v > 0, mask(j)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidate generation uses the pigeonhole band trick: with 8 bands of
+    4 bits, any pair differing in at most 7 bits must agree exactly on at
+    least one band, so the self-join runs on (band, band_bits) instead of
+    all-pairs — with NO recall loss for ``max_hamming <= 7``. Exact
+    distance is then verified with xor+bit_count."""
+    if max_hamming > 7:
+        raise ValueError("banded plan guarantees recall only for max_hamming <= 7")
+    n_bands = 8
+    width = 32 // n_bands
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        simhash32(tokens(F.col(text_col))).alias("sk"),
+    )
+    banded = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                # sk >> (b*width) with Column b: sk < 2^32 so the double
+                # division is exact
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.floor(
+                        F.col("sk") / F.pow(F.lit(2.0), (b * width).cast("double"))
+                    )
+                    .cast("bigint")
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bits"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("id", "sk", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bits"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (BASELINE.json extension surface):
+
+- brute-force cosine top-k — the exact baseline: broadcast the query set,
+  score every (query, candidate) with a JVM-side double fold, window top-k.
+  At 100 TB the candidate side stays partition-parallel and nothing
+  shuffles except the final per-query top-k (tiny).
+- IVF-style partitioned search — the scale path: a coarse quantizer maps
+  every vector to a cluster; queries search only their cluster's vectors.
+  Here the quantizer is the dataset's ``label`` column with a deterministic
+  per-cluster representative (the min-id member), which keeps the whole
+  operator reproducible across engines; swap the representative for a
+  k-means centroid table in production.
+
+All scores are computed in double precision with a left-fold (array-order)
+summation, which makes them bit-identical across engines — the DuckDB
+oracles reproduce them exactly, not approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseries_spark.functions.vectors import cosine_similarity
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    Output: (query_id, neighbor_id, cos_sim, rank); ties broken by
+    neighbor id so ranking is total and deterministic."""
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    _as_double(F.col(query_vec_col)).alias("q"),
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF(nprobe=1) search: route each query to its nearest cluster
+    representative, then brute-force only inside that cluster.
+
+    The representative table is tiny (one row per cluster) and broadcast
+    twice (routing + probe); the big vector table is touched once with a
+    cluster-key equi join — this is the plan shape that survives a 1000×
+    corpus: no all-pairs, no global shuffle of the vectors."""
+    reps = (
+        vectors.groupBy(cluster_col)
+        .agg(F.min(id_col).alias("rep_id"))
+        .join(
+            vectors.select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("rep_vec")),
+            "rep_id",
+        )
+        .select(cluster_col, _as_double(F.col("rep_vec")).alias("rep_vec"))
+    )
+    routed = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(query_vec_col)).alias("q"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_sim", F.round(cosine_similarity(F.col("q"), F.col("rep_vec")), 6)
+        )
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("rep_sim").desc(), F.col(cluster_col)
+    )
+    probe = (
+        routed.withColumn("rr", F.row_number().over(w_route))
+        .filter(F.col("rr") == 1)
+        .select("query_id", "q", cluster_col)
+    )
+    scored = (
+        vectors.select(
+            F.col(cluster_col),
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .join(F.broadcast(probe), cluster_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(cluster_col).alias("cluster"),
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

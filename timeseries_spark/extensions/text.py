@@ -1,0 +1,100 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+fingerprinting (BASELINE.json extension surface).
+
+All per-row compute is native Column expressions (split / HOFs / regex) —
+JVM-side, codegen'd, no Python. The heuristics are deliberately simple and
+deterministic; they are the *plumbing* a 100 TB text pipeline needs, with
+the scoring functions swappable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.hashing import rolling_fingerprint
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Single-space tokenizer (corpus contract; see dedup.tokens)."""
+    return F.split(text, " ")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation
+    (same regex class semantics in Spark and DuckDB RE2)."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token count, mean word length,
+    stopword ratio, punctuation ratio — the standard cheap filters a
+    pretraining pipeline applies before expensive scoring."""
+    toks = ws_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("bigint"),
+            "n_words": n_words.cast("bigint"),
+            "mean_word_len": F.round(
+                (n_chars - (n_words - 1)) / n_words, 4
+            ),
+            "stopword_ratio": F.round(stop_hits / n_words, 4),
+            "punct_ratio": F.round(punct / n_chars, 4),
+        }
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-vocabulary language ID: count marker hits per language,
+    predict the arg-max (ties broken by language code). Output adds
+    ``pred_lang`` and ``marker_hits``."""
+    toks = ws_tokens(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(*markers)))
+                .cast("bigint")
+                .alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # deterministic arg-max with ascending-lang tie-break:
+    # filter to max hits, sort langs, take first
+    max_hits = F.array_max(F.transform(scores, lambda s: s["hits"]))
+    pred = F.array_sort(
+        F.transform(
+            F.filter(scores, lambda s: s["hits"] == max_hits), lambda s: s["lang"]
+        )
+    ).getItem(0)
+    return df.withColumns(
+        {"pred_lang": pred, "marker_hits": max_hits}
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two content fingerprints per doc: md5 of the normalized text
+    (lowercase, trimmed) and an order-sensitive rolling hash over tokens."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.withColumns(
+        {
+            "md5_fp": F.md5(norm),
+            "rolling_fp": rolling_fingerprint(ws_tokens(norm)),
+        }
+    )

@@ -1,1 +1,134 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries over the documents table (extension surface).
+
+Every pipeline (exact digest, n-gram Jaccard inverted index, MinHash-LSH
+banding, SimHash hamming) is reproduced verbatim in the DuckDB oracle via
+the shared md5-based hashing, so candidate sets match EXACTLY — these are
+not statistical checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidates,
+    simhash_pairs,
+)
+from timeseries_spark.extensions.hashing import md5_long_sql
+from timeseries_spark.queries import load, query
+
+# DuckDB spellings of the shared shingle/token pipeline
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len({t}) - 2 > 0 THEN "
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) "
+    "ELSE [] END)"
+).format(t=_TOKS)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest: hash-groupBy, canonical = min id."""
+    return exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.10
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted-index
+    self-join (no all-pairs)."""
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.10
+    )
+
+
+_SIG_SQL = (
+    "list_transform(generate_series(0, 31), i -> coalesce(list_min("
+    "list_transform(shs, s -> " + md5_long_sql("s || '#' || i::VARCHAR") + ")), "
+    "4611686018427387904))"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs — the web-scale
+    near-dup pipeline; bit-identical signatures in both engines."""
+    return lsh_candidates(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents
+    ),
+    th AS (SELECT id, {md5_long_sql('t')} AS h FROM tok),
+    bits AS (
+      SELECT id, j,
+             CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT << j ELSE 0 END AS bitval
+      FROM th, unnest(generate_series(0, 31)) AS g(j)
+      GROUP BY id, j
+    ),
+    sk AS (SELECT id, CAST(sum(bitval) AS BIGINT) AS sk FROM bits GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+    FROM sk a JOIN sk b ON a.id < b.id
+    WHERE bit_count(xor(a.sk, b.sk)) <= 6
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs, hamming <= 6; Spark computes the
+    sketch in one HOF fold and candidates via pigeonhole banding (exact
+    recall at this budget), the oracle brute-forces all pairs."""
+    out = simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))

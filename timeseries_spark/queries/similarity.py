@@ -1,1 +1,96 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over the embeddings table (extension surface).
+
+Cosine scores are double left-folds in array order — bit-identical across
+engines (see extensions/similarity.py) — so top-k results are exact
+matches, with ties broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.similarity import brute_force_topk, ivf_topk
+from timeseries_spark.queries import load, query
+
+# DuckDB double left-fold cosine between embedding lists a and b
+_COS = (
+    "round("
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y)) * "
+    " sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({b}, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y)))"
+    ", 6)"
+)
+
+
+def _queries_df(spark, sf_dir, n: int = 8):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a="q.qv", b="e.embedding")} AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors for 8 query vectors: broadcast query
+    side, JVM-side double fold, per-query window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label, embedding AS rep_vec FROM embeddings
+      WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    routed AS (
+      SELECT query_id, qv, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(a="qv", b="rep_vec")} DESC, label
+             ) AS rr
+      FROM q CROSS JOIN reps
+    ),
+    probe AS (SELECT query_id, qv, label FROM routed WHERE rr = 1),
+    scored AS (
+      SELECT p.query_id, p.label AS cluster, e.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="e.embedding")} AS cos_sim
+      FROM probe p JOIN embeddings e ON e.label = p.label
+      WHERE e.vec_id != p.query_id
+    )
+    SELECT query_id, cluster, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF(nprobe=1) top-5: route each query to the nearest cluster
+    representative (min-id member — deterministic), probe only that
+    cluster. The 100TB plan shape: representative table broadcast, vector
+    table touched once via cluster-key equi join."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5)

@@ -1,1 +1,148 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over the documents table (extension surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.hashing import rolling_fingerprint_sql
+from timeseries_spark.extensions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprints,
+    language_scores,
+    quality_metrics,
+    regex_token_count,
+    ws_tokens,
+)
+from timeseries_spark.queries import load, query
+
+
+@query(
+    "word_frequencies",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    HAVING count(*) >= 100
+    """,
+)
+def word_frequencies(spark, sf_dir):
+    """F1 explode + F12 split: corpus word frequencies (the explode idiom
+    of timeseries.py:354-359 / parse_timestamp.py:452-454)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           round((length(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')), 4) AS mean_word_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ({_STOP_SQL})))
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                 / length(text), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def doc_quality(spark, sf_dir):
+    """Quality scoring: length / word stats / stopword + punct ratios —
+    the cheap pretraining filters, all JVM-side expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_metrics(docs, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / punctuation singles)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        regex_token_count(F.col("text")).cast("bigint").alias("re_tokens"),
+    )
+
+
+_MARKER_SQL = ",\n      ".join(
+    "struct_pack(hits := CAST(len(list_filter(string_split(text, ' '), "
+    f"t -> t IN ({', '.join(repr(m) for m in markers)}))) AS BIGINT), "
+    f"lang := '{lang}')"
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, [
+        {_MARKER_SQL}
+      ] AS scores
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, scores,
+             list_max(list_transform(scores, s -> s.hits)) AS marker_hits
+      FROM scored
+    )
+    SELECT doc_id, lang,
+           list_sort(list_transform(
+             list_filter(scores, s -> s.hits = marker_hits), s -> s.lang
+           ))[1] AS pred_lang,
+           marker_hits
+    FROM m
+    """,
+)
+def language_id(spark, sf_dir):
+    """Language ID by marker-vocabulary hits (n-gram heuristic family);
+    arg-max with deterministic ascending-code tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    return language_scores(docs, "text").select(
+        "doc_id", "lang", "pred_lang", "marker_hits"
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS md5_fp,
+           {rolling_fingerprint_sql("string_split(lower(trim(text)), ' ')")}
+             AS rolling_fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: normalized md5 + order-sensitive rolling
+    hash (distinguishes token permutations), engine-reproducible."""
+    docs = load(spark, sf_dir, "documents")
+    return fingerprints(docs, "text").select("doc_id", "md5_fp", "rolling_fp")

@@ -232,6 +232,64 @@ def day_over_day_delta(spark, sf_dir):
 
 
 @query(
+    "windowed_event_counts",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+             AS window_start_s,
+           event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark, sf_dir):
+    """Tumbling event-time window aggregation — the SAME transformation the
+    streaming surface runs with a watermark (timeseries_spark.streaming);
+    batch mode here makes it oracle-checkable."""
+    from timeseries_spark.streaming.incremental import windowed_type_counts
+
+    events = load(spark, sf_dir, "events")
+    return windowed_type_counts(events, "1 hour", streaming=False)
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 2 HOUR
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization via native session_window (the stateful
+    streaming operator, here in batch mode); oracle reproduces it with
+    gaps-and-islands SQL."""
+    from timeseries_spark.streaming.incremental import sessionize
+
+    events = load(spark, sf_dir, "events")
+    return sessionize(events, "2 hours", streaming=False)
+
+
+@query(
     "harmonic_topk_per_order",
     oracle="""
     SELECT l_orderkey,
