@@ -62,8 +62,11 @@ def association_score(
             [(k, float(v)) for k, v in weights.items()],
             schema=f"{weight_key} string, weight double",
         )
+        # unknown sources default to weight 1.0 (the reference's registry
+        # always covers its sources; NULL-ing their scores would silently
+        # drop evidence)
         data = data.join(F.broadcast(wdf), weight_key, "left").withColumn(
-            score_col, F.col(score_col) * F.col("weight")
+            score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))
         )
 
     # 1 shuffle at evidence grain: per-(keys, year) score arrays, truncated

@@ -73,6 +73,7 @@ def all_oracles() -> dict[str, str]:
 
 def _import_all() -> None:
     # import side effects populate REGISTRY
+    from timeseries_spark.queries import analytics  # noqa: F401
     from timeseries_spark.queries import core  # noqa: F401
     from timeseries_spark.queries import tsq  # noqa: F401
     from timeseries_spark.queries import text  # noqa: F401

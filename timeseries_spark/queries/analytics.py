@@ -1,0 +1,154 @@
+"""Downstream analytics idioms (novelty_distribution.py /
+novelty_approval.py — SURVEY.md §2.4 A3/A5, §2.2 P4, §2.3 J9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.queries import load, query
+
+
+@query(
+    "distinct_count_matrix",
+    oracle="""
+    SELECT year(o_orderdate) AS year, o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_custkey || '#' || o_orderstatus) AS n_cust_status,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY year(o_orderdate), o_orderpriority
+    """,
+)
+def distinct_count_matrix(spark, sf_dir):
+    """A3: exact distinct counts per cell, incl. the composite-key
+    ``concat`` idiom (novelty_distribution.py:547-556). The reference never
+    approximates; ``approx_count_distinct`` stays opt-in."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("year"), "o_orderpriority"
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.concat(
+                    F.col("o_custkey").cast("string"),
+                    F.lit("#"),
+                    F.col("o_orderstatus"),
+                )
+            ).alias("n_cust_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "flag_matrix_rollup",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_urgent,
+             max(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+               AS has_jumbo,
+             max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS has_finished,
+             max(CASE WHEN year(o_orderdate) <= 1996 THEN 1 ELSE 0 END)
+               AS has_early
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(sum(has_urgent) AS BIGINT) AS n_urgent,
+           CAST(sum(has_jumbo) AS BIGINT) AS n_jumbo,
+           CAST(sum(has_finished) AS BIGINT) AS n_finished,
+           CAST(sum(has_early) AS BIGINT) AS n_early
+    FROM flags JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def flag_matrix_rollup(spark, sf_dir):
+    """A5: the bell/cascade bucket-matrix shape — many max(flag) columns in
+    one agg, then a second groupBy summing them
+    (novelty_approval.py:676-694)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("has_urgent"),
+        F.max(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
+            "has_jumbo"
+        ),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "has_finished"
+        ),
+        F.max(
+            F.when(F.year("o_orderdate") <= 1996, 1).otherwise(0)
+        ).alias("has_early"),
+    )
+    return (
+        flags.join(customer, flags.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("has_urgent").alias("n_urgent"),
+            F.sum("has_jumbo").alias("n_jumbo"),
+            F.sum("has_finished").alias("n_finished"),
+            F.sum("has_early").alias("n_early"),
+        )
+    )
+
+
+@query(
+    "excluded_sources_rollup",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source NOT IN ('src1', 'src7', 'src13')
+      AND lang IN ('en', 'es', 'fr')
+    GROUP BY source, lang
+    """,
+)
+def excluded_sources_rollup(spark, sf_dir):
+    """P4 isin / NOT-isin exclusion lists (the excludeDatasource /
+    therapeutic-area filters, timeseries.py:402-408,
+    novelty_distribution.py:426-436)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            ~F.col("source").isin("src1", "src7", "src13")
+            & F.col("lang").isin("en", "es", "fr")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "coverage_report",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           round(CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS frac_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def coverage_report(spark, sf_dir):
+    """J9 rewritten single-pass: the reference self-joins two aggregates of
+    the same table (timestamp_evidence.py:344-356); conditional aggregation
+    computes both sides in one scan, no join (SURVEY.md §2.3 J9)."""
+    events = load(spark, sf_dir, "events")
+    high = F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        high.alias("n_high"),
+        F.round(high.cast("double") / F.count(F.lit(1)), 4).alias("frac_high"),
+    )
