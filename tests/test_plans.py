@@ -1,0 +1,104 @@
+"""Physical-plan audit (SURVEY.md §4): assert the plans we'd want at
+100 TB, not just plans that pass. Formatted-mode explain is parsed for
+scan pushdown, join strategy, Python boundary crossings, and shuffle
+(Exchange) counts.
+
+Counting note: in formatted mode every node appears twice (tree line +
+detail header), so raw substring counts are divided by 2.
+"""
+
+import pytest
+
+from timeseries_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plan(spark):
+    q = all_queries()
+
+    def get(name: str) -> str:
+        df = q[name](spark, SF)
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    return get
+
+
+def shuffles(p: str) -> int:
+    return (p.count("Exchange") - p.count("BroadcastExchange")) // 2
+
+
+def test_point_query_pushes_filter_and_prunes_columns(plan):
+    """P3/S2: the plotTargetDisease-style lookup must reach the parquet
+    reader as a pushed filter with a pruned schema — at 100 TB this is the
+    difference between a point read and a full scan."""
+    p = plan("point_customer_orders")
+    assert "EqualTo(o_custkey,371)" in p
+    assert "o_comment" not in p  # untouched column never read
+    assert shuffles(p) == 0
+
+
+def test_dimension_joins_broadcast(plan):
+    """J2 chains join facts to small dims: every dim side must broadcast —
+    no SortMergeJoin, no shuffle of the fact table for the join itself."""
+    for name in ("revenue_by_nation", "supplier_part_revenue", "ontology_rollup"):
+        p = plan(name)
+        assert p.count("SortMergeJoin") == 0, name
+        assert p.count("BroadcastHashJoin") > 0, name
+        assert shuffles(p) <= 2, name  # agg + presentation sort only
+
+
+def test_scoring_plan_shuffle_budget(plan):
+    """The harmonic-score pipeline (scaffold cross join + groupBy +
+    cumulative window) must stay within 2 shuffles: one at evidence grain,
+    one at series grain; the scaffold joins broadcast."""
+    p = plan("assoc_score_yearly")
+    assert p.count("CartesianProduct") == 0
+    assert p.count("SortMergeJoin") == 0
+    assert shuffles(p) <= 2
+
+
+def test_novelty_adds_no_shuffle(plan):
+    """The single-pass novelty kernel reuses the scoring partitioning: the
+    combined score+novelty plan must not shuffle more than scoring alone
+    (vs. +3 exchanges for the reference's lag->explode->agg->right-join)."""
+    assert shuffles(plan("assoc_novelty_yearly")) <= shuffles(
+        plan("assoc_score_yearly")
+    )
+
+
+def test_no_cartesian_products_anywhere(plan):
+    """Nothing in the registry may plan an unbounded cartesian product;
+    scaffold cross joins must broadcast their small side."""
+    for name in all_queries():
+        assert plan(name).count("CartesianProduct") == 0, name
+
+
+def test_python_boundary_only_in_multimodal(plan):
+    """UDF discipline (SURVEY.md §2.10): every query stays JVM-side except
+    the multimodal decode stub, which is Arrow-batched by design."""
+    for name in all_queries():
+        p = plan(name)
+        py = p.count("EvalPython") + p.count("InPandas") + p.count("MapInArrow")
+        if name == "media_decode_stats":
+            assert py > 0  # Arrow-batched, not row-at-a-time
+            assert p.count("BatchEvalPython") == 0
+        else:
+            assert py == 0, name
+
+
+def test_dedup_pipelines_avoid_all_pairs(plan):
+    """Candidate generation must be index/bucket joins, never all-pairs:
+    no cartesian, no nested-loop join on the document side."""
+    for name in (
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ):
+        p = plan(name)
+        assert p.count("CartesianProduct") == 0, name
+        assert shuffles(p) <= 3, name

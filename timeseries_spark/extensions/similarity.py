@@ -71,6 +71,48 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), blocked by a coarse cluster key.
+
+    The block key turns the O(n²) all-pairs problem into a per-block
+    self-join: both sides shuffle once on ``block_col`` and candidate
+    generation never leaves the block. At 100 TB the block key comes from a
+    coarse quantizer (k-means / LSH hyperplane bucket) so block sizes stay
+    bounded; here it is the dataset's ``label`` column, which keeps the
+    pipeline deterministic and oracle-checkable. Recall is bounded by the
+    blocker exactly as in MinHash-LSH banding."""
+    lhs = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("va"),
+    )
+    rhs = vectors.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        lhs.join(rhs, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("block"),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -433,6 +433,39 @@ def coalesce_date_priority(spark, sf_dir):
     )
 
 
+@query(
+    "right_join_fill",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, coalesce(n_urgent, 0) AS n_urgent
+    FROM (
+      SELECT o_custkey, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey
+    ) u
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def right_join_fill(spark, sf_dir):
+    """J5 right join: a sparse aggregate re-attached to the full dimension
+    preserving every row, missing values filled with 0 (the novelty-merge
+    idiom, timeseries.py:621-626). The aggregate side is small after
+    groupBy, so AQE broadcasts it and no row of the big side shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return urgent.join(
+        customer, urgent.o_custkey == customer.c_custkey, "right"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+    )
+
+
 # --- P3 point query (pushdown) ----------------------------------------------
 
 @query(

@@ -17,7 +17,9 @@ from timeseries_spark.extensions.dedup import (
     simhash_pairs,
 )
 from timeseries_spark.extensions.hashing import md5_long_sql
+from timeseries_spark.extensions.similarity import embedding_near_dup
 from timeseries_spark.queries import load, query
+from timeseries_spark.queries.similarity import _COS
 
 # DuckDB spellings of the shared shingle/token pipeline
 _TOKS = "string_split(text, ' ')"
@@ -69,6 +71,23 @@ def dedup_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.10
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT label AS block, vec_id, embedding FROM embeddings)
+    SELECT a.block, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.30
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, cluster-blocked self-join (no
+    all-pairs): one shuffle on the block key, JVM-side double-fold cosine,
+    threshold filter. The 100 TB blocker is a coarse quantizer bucket."""
+    return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.30)
 
 
 _SIG_SQL = (
