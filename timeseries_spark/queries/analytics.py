@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from timeseries_spark.operators.skew import salted_sum
 from timeseries_spark.queries import load, query
 
 
@@ -151,4 +152,36 @@ def coverage_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_total"),
         high.alias("n_high"),
         F.round(high.cast("double") / F.count(F.lit(1)), 4).alias("frac_high"),
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_quantity), 2) AS l_quantity_sum,
+           round(sum(l_extendedprice), 2) AS l_extendedprice_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Salted two-stage aggregation over a 3-value (maximally skewed) key:
+    partials at (key, salt) spread each hot key over 16 sub-keys, the final
+    combine sees only tiny salted rows. Result is exactly the plain
+    groupBy (the oracle); the salt is derived from l_orderkey so the
+    pipeline stays deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li,
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+        buckets=16,
+        deterministic_from="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("l_quantity_sum", 2).alias("l_quantity_sum"),
+        F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
     )

@@ -322,3 +322,37 @@ def harmonic_topk_per_order(spark, sf_dir):
             F.size("scores").cast("bigint").alias("n_parts"),
         )
     )
+
+
+@query(
+    "running_record_events",
+    oracle="""
+    WITH prev AS (
+      SELECT user_id, event_id, ts, value,
+             max(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_peak
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, prev_peak
+    FROM prev WHERE prev_peak IS NULL OR value > prev_peak
+    """,
+)
+def running_record_events(spark, sf_dir):
+    """Per-user record detector — batch mode of the engine's custom
+    stateful streaming operator (applyInPandasWithState holding one double
+    per user; timeseries_spark.streaming.running_peaks). Batch is a
+    running-max window, so the oracle checks the exact semantics the
+    stateful path must reproduce (asserted equal in tests/test_streaming)."""
+    from timeseries_spark.streaming.incremental import running_peaks
+
+    events = load(spark, sf_dir, "events")
+    return running_peaks(events, streaming=False).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+        "prev_peak",
+    )

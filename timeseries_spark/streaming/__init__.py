@@ -11,6 +11,7 @@ every streaming op is also exercisable by the batch oracle gate.
 from timeseries_spark.streaming.incremental import (
     read_event_stream,
     run_available_now,
+    running_peaks,
     sessionize,
     windowed_type_counts,
 )
@@ -18,6 +19,7 @@ from timeseries_spark.streaming.incremental import (
 __all__ = [
     "read_event_stream",
     "run_available_now",
+    "running_peaks",
     "sessionize",
     "windowed_type_counts",
 ]

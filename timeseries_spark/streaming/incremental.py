@@ -11,7 +11,7 @@ state store — the property that makes these run forever at 100 TB/day.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark import schemas
@@ -83,17 +83,81 @@ def sessionize(
     )
 
 
+def running_peaks(
+    events: DataFrame, streaming: bool = False
+) -> DataFrame:
+    """Per-user record detector: emit every event whose ``value`` exceeds
+    all of that user's earlier values, with the previous record attached.
+
+    Batch mode is a running-max window (pure Catalyst). Streaming mode is
+    the engine's custom stateful operator surface: ``applyInPandasWithState``
+    holds one double per user (the record so far) across micro-batches —
+    O(|users|) state forever, no watermark needed, arbitrarily late keys
+    resume from their stored record. Output:
+    (user_id, event_id, ts, value, prev_peak nullable)."""
+    if not streaming:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max("value").over(w)
+        return (
+            events.select(
+                "user_id", "event_id", "ts", "value", prev.alias("prev_peak")
+            )
+            .filter(
+                F.col("prev_peak").isNull()
+                | (F.col("value") > F.col("prev_peak"))
+            )
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side dependency
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, "
+        "value double, prev_peak double"
+    )
+
+    def emit_records(key, pdf_iter, state):
+        peak = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdf_iter:
+            for r in pdf.sort_values("ts").itertuples(index=False):
+                if peak is None or r.value > peak:
+                    rows.append((key[0], r.event_id, r.ts, r.value, peak))
+                    peak = float(r.value)
+        if peak is not None:
+            state.update((peak,))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value", "prev_peak"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        emit_records,
+        out_schema,
+        "peak double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, spark: SparkSession
+    stream_df: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain all currently-available input through the streaming plan into
     an in-memory sink and return the materialized result (test harness)."""
-    # complete mode: append would hold back windows not yet past the
-    # watermark, so a drained test run would miss the newest windows
+    # complete mode for windowed aggs: append would hold back windows not
+    # yet past the watermark, so a drained test run would miss the newest
+    # windows; stateful flat-map operators are append-only.
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
