@@ -1,0 +1,100 @@
+"""Stage-3 analytics: distribution counts, TA top-1, approval bell —
+hand-computed expectations over tiny fixtures (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.analytics import (
+    approval_bell_matrix,
+    first_approval_year,
+    novelty_distribution,
+    peak_novelty_rows,
+    top_therapeutic_area,
+)
+
+
+@pytest.fixture(scope="module")
+def assoc(spark):
+    rows = [
+        # diseaseId, targetId, datasourceId, year, score, novelty
+        ("D1", "T1", "s1", 2001, 0.2, 0.0),
+        ("D1", "T1", "s1", 2002, 0.6, 0.4),   # peak
+        ("D1", "T1", "s1", 2003, 0.6, 0.1),
+        ("D1", "T2", "s1", 2002, 0.3, 0.25),  # tie year 1
+        ("D1", "T2", "s1", 2003, 0.5, 0.25),  # tie year 2 (both kept)
+        ("D2", "T1", "s2", 2001, 0.9, 0.8),   # peak
+        ("D2", "T1", "s2", None, 0.9, 0.0),   # undated row never counts
+        ("D2", "T3", "s2", 2002, 0.1, 0.05),  # below cutoff
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="diseaseId string, targetId string, datasourceId string,"
+        " year int, score double, novelty double",
+    )
+
+
+def test_peak_rows_keep_ties(assoc):
+    peaks = peak_novelty_rows(assoc)
+    t2 = peaks.filter("targetId = 'T2' AND datasourceId = 's1'").collect()
+    assert sorted(r["year"] for r in t2) == [2002, 2003]
+
+
+def test_top_therapeutic_area_ranking(spark, disease):
+    # priority list: TA2 before TA1; fixture diseases only carry TA1
+    out = {
+        r["diseaseId"]: r["therapeuticArea"]
+        for r in top_therapeutic_area(disease, ["TA2", "TA1"]).collect()
+    }
+    assert out["D1"] == "TA1"
+    # every disease with any TA got exactly one row
+    assert len(out) == disease.filter(F.size("therapeuticAreas") > 0).count()
+
+
+def test_novelty_distribution_counts(spark, assoc):
+    disease_ta = spark.createDataFrame(
+        [("D1", "TA1"), ("D2", "TA1")], schema="diseaseId string, therapeuticArea string"
+    )
+    out = novelty_distribution(assoc, disease_ta, cutoff=0.1)
+    got = {
+        (r["year"], r["datasourceId"]): (r["association"], r["target"])
+        for r in out.filter("therapeuticArea = 'TA1'").collect()
+    }
+    # (D1,T1,s1) peaks 2002; (D1,T2,s1) ties 2002+2003; (D2,T1,s2) peaks 2001
+    assert got[(2002, "s1")] == (2, 2)  # T1 and T2 both novel in 2002
+    assert got[(2003, "s1")] == (1, 1)  # T2's tie year
+    assert got[(2001, "s2")] == (1, 1)
+    # dense zero-filled scaffold: every (year, source) cell exists
+    assert got[(2001, "s1")] == (0, 0)
+    years = assoc.filter("year is not null").select("year").distinct().count()
+    assert out.count() == years * 2 * 1  # years × sources × TAs
+
+
+def test_first_approval_keeps_ties(spark):
+    drugs = spark.createDataFrame(
+        [
+            ("T1", "dA", 1999),
+            ("T1", "dB", 1999),  # tie kept
+            ("T1", "dC", 2005),
+            ("T2", "dD", None),  # never approved -> dropped
+        ],
+        schema="targetId string, drugId string, firstApprovalYear int",
+    )
+    out = first_approval_year(drugs).collect()
+    assert sorted(r["drugId"] for r in out) == ["dA", "dB"]
+
+
+def test_bell_matrix_offsets(spark, assoc):
+    approvals = spark.createDataFrame(
+        [("T1", 2002), ("T2", 2000)],
+        schema="targetId string, firstApprovalYear int",
+    )
+    peaks = peak_novelty_rows(assoc)
+    out = {
+        r["offset"]: r["n_targets"]
+        for r in approval_bell_matrix(peaks, approvals, window=3, cutoff=0.1).collect()
+    }
+    # T1 peaks: 2002 (s1, off 0), 2001 (s2, off -1); T2 peaks 2002+2003 (off 2,3)
+    assert out[0] == 1 and out[-1] == 1
+    assert out[2] == 1 and out[3] == 1
+    assert out[-3] == 0 and out[1] == 0
+    assert len(out) == 7

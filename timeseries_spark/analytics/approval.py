@@ -1,0 +1,97 @@
+"""Novelty-vs-drug-approval analytics (reference novelty_approval.py).
+
+Stage-3b: align each target's novelty-peak years against its first drug
+approval year and accumulate the 'bell' matrix — how often novelty peaks
+N years before/after approval.
+
+Scale notes: the drugs table is dimension-sized (broadcast); the flag
+matrix aggregates per target first (tiny) before the final sum, so the
+expensive side is reduced before any wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_approval_year(drugs: DataFrame) -> DataFrame:
+    """Earliest approval per target, ties kept: group-min window + equality
+    filter (novelty_approval.py:368-376, W5). Input columns:
+    (targetId, drugId, firstApprovalYear); output keeps the drug rows that
+    achieved the minimum."""
+    w = Window.partitionBy("targetId")
+    return (
+        drugs.filter(F.col("firstApprovalYear").isNotNull())
+        .withColumn("minYear", F.min("firstApprovalYear").over(w))
+        .filter(F.col("firstApprovalYear") == F.col("minYear"))
+        .drop("minYear")
+    )
+
+
+def approval_bell_matrix(
+    peaks: DataFrame,
+    approvals: DataFrame,
+    window: int = 5,
+    cutoff: float = 0.1,
+) -> DataFrame:
+    """The 'bell' analysis (novelty_approval.py:576-694): for each target
+    with an approved drug, flag which offsets (peakYear − approvalYear,
+    clamped to ±``window``) carry a novelty peak ≥ ``cutoff``, one flag
+    row per target (A5 max-flag matrix), then sum flags across targets.
+
+    ``peaks``: (targetId, year, novelty) peak rows (e.g.
+    ``peak_novelty_rows`` output); ``approvals``: (targetId,
+    firstApprovalYear). Output: one row per offset in [-window, window]
+    with ``n_targets`` — how many targets peaked at that offset."""
+    joined = (
+        peaks.filter(F.col("novelty") >= cutoff)
+        .filter(F.col("year").isNotNull())
+        .join(
+            F.broadcast(
+                approvals.select("targetId", "firstApprovalYear").distinct()
+            ),
+            "targetId",
+        )
+        .withColumn(
+            "offset",
+            F.greatest(
+                F.lit(-window),
+                F.least(
+                    F.lit(window),
+                    F.col("year") - F.col("firstApprovalYear"),
+                ),
+            ),
+        )
+    )
+    # per-target flag matrix: max(flag) per offset in ONE agg
+    # (novelty_approval.py:676-694), then column-wise sum
+    flags = joined.groupBy("targetId").agg(
+        *[
+            F.max(
+                F.when(F.col("offset") == o, 1).otherwise(0)
+            ).alias(f"off_{o + window}")
+            for o in range(-window, window + 1)
+        ]
+    )
+    summed = flags.agg(
+        *[
+            F.sum(f"off_{o + window}").alias(f"off_{o + window}")
+            for o in range(-window, window + 1)
+        ]
+    )
+    # unpivot to (offset, n_targets) — presentation-friendly long form
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(o).alias("offset"),
+                F.col(f"off_{o + window}").alias("n_targets"),
+            )
+            for o in range(-window, window + 1)
+        ]
+    )
+    return (
+        summed.select(F.explode(pairs).alias("e"))
+        .select("e.offset", "e.n_targets")
+        .orderBy("offset")
+    )

@@ -1,0 +1,105 @@
+"""Novelty-distribution analytics (reference novelty_distribution.py).
+
+Given the engine's association tables (score + novelty at (d,t[,ds],year)
+grain), these operators answer "how many novel associations / targets per
+year, per datasource, per therapeutic area?" — the reference's stage-3a.
+
+Scale notes: the disease→TA dimension is tiny and broadcast; peak
+detection is a window over the dense series (already partitioned by the
+association keys); the final counts aggregate the *peak rows only* (one
+row per association), so the big dense table is reduced before the count
+shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_therapeutic_area(
+    disease: DataFrame, ta_ranking: Sequence[str]
+) -> DataFrame:
+    """One therapeutic area per disease: explode ``therapeuticAreas``,
+    rank by the caller's priority list (earlier = higher priority,
+    unlisted areas last), keep the row_number()==1 row
+    (novelty_distribution.py:60-108, W3).
+
+    Output: (diseaseId, therapeuticArea)."""
+    spark = disease.sparkSession
+    rank_df = spark.createDataFrame(
+        [(ta, i) for i, ta in enumerate(ta_ranking)],
+        schema="therapeuticArea string, ranking int",
+    )
+    exploded = disease.select(
+        F.col("id").alias("diseaseId"),
+        F.explode("therapeuticAreas").alias("therapeuticArea"),
+    ).join(F.broadcast(rank_df), "therapeuticArea", "left")
+    w = Window.partitionBy("diseaseId").orderBy(
+        F.coalesce(F.col("ranking"), F.lit(2**31 - 1)), "therapeuticArea"
+    )
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("diseaseId", "therapeuticArea")
+    )
+
+
+def peak_novelty_rows(
+    assoc: DataFrame,
+    key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
+) -> DataFrame:
+    """Rows where novelty equals the group's maximum — the argmax-with-ties
+    idiom; the float-equality filter is load-bearing: ties stay, never
+    'fix' into row_number (novelty_distribution.py:720-726, W4;
+    SURVEY.md §7)."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        assoc.withColumn("max_novelty", F.max("novelty").over(w))
+        .filter(F.col("novelty") == F.col("max_novelty"))
+        .drop("max_novelty")
+    )
+
+
+def novelty_distribution(
+    assoc: DataFrame,
+    disease_ta: DataFrame,
+    cutoff: float = 0.1,
+    key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
+) -> DataFrame:
+    """Counts of novel associations and novel targets per
+    (year, datasourceId, therapeuticArea), densified over the full
+    year × source × TA scaffold with zero fill
+    (novelty_distribution.py:737-809).
+
+    A (d,t,ds) association is 'novel in year y' if y is its peak-novelty
+    year and the peak is ≥ ``cutoff``. ``disease_ta`` is
+    (diseaseId, therapeuticArea) — typically ``top_therapeutic_area``
+    output — and is broadcast."""
+    peaks = (
+        peak_novelty_rows(assoc, key_cols)
+        .filter(F.col("novelty") >= cutoff)
+        .filter(F.col("year").isNotNull())
+        .join(F.broadcast(disease_ta), "diseaseId")
+    )
+    counts = peaks.groupBy("year", "datasourceId", "therapeuticArea").agg(
+        F.countDistinct(
+            F.concat(F.col("targetId"), F.col("diseaseId"))
+        ).alias("association"),
+        F.countDistinct("targetId").alias("target"),
+    )
+    # dense scaffold: every (year, source, TA) cell exists, zero-filled
+    # (J7 — each distinct side is tiny, the cross join is broadcast)
+    spine = (
+        assoc.select("year")
+        .filter(F.col("year").isNotNull())
+        .distinct()
+        .crossJoin(assoc.select("datasourceId").distinct())
+        .crossJoin(disease_ta.select("therapeuticArea").distinct())
+    )
+    return (
+        spine.join(counts, ["year", "datasourceId", "therapeuticArea"], "left")
+        .na.fill(0, ["association", "target"])
+    )
