@@ -104,3 +104,57 @@ def test_pubmed_explode_outer_keeps_null_literature(spark):
 def test_curation_year(spark):
     ev = spark.createDataFrame([("e1", "2001-02-03")], "id string, studyStartDate string")
     assert with_curation_year(ev).collect()[0]["curationYear"] == 2001
+
+
+def test_multikey_curation_join_null_sentinel(spark):
+    """J3: NULL join keys match NULL lookup keys via the "0" sentinel
+    (timestamp_evidence.py:158-167)."""
+    from timeseries_spark.operators.dating import with_curation_lookup_year
+
+    ev = spark.createDataFrame(
+        [("e1", "TF1", "DF1", "conf1"), ("e2", "TF2", None, "conf1"),
+         ("e3", "TF1", "DF1", "other")],
+        "id string, targetFromSourceId string, diseaseFromSource string,"
+        " confidence string",
+    )
+    lookup = spark.createDataFrame(
+        [("TF1", "DF1", "conf1", 2012), ("TF2", None, "conf1", 2015)],
+        "targetFromSourceId string, diseaseFromSource string,"
+        " confidence string, year int",
+    )
+    out = with_curation_lookup_year(
+        ev, lookup, ("targetFromSourceId", "diseaseFromSource", "confidence")
+    )
+    got = {r["id"]: r["curationYear"] for r in out.collect()}
+    assert got == {"e1": 2012, "e2": 2015, "e3": None}
+    assert set(out.columns) == {
+        "id", "targetFromSourceId", "diseaseFromSource", "confidence",
+        "curationYear",
+    }
+
+
+def test_url_year_explode_outer(spark):
+    from timeseries_spark.operators.dating import with_url_year
+
+    ev = spark.createDataFrame(
+        [("e1", [("http://a", "A"), ("http://b", "B")]), ("e2", None), ("e3", [])],
+        "id string, urls array<struct<url:string,niceName:string>>",
+    )
+    lookup = spark.createDataFrame([("http://a", 2019)], "url string, year int")
+    out = with_url_year(ev, lookup)
+    assert out.count() == 4
+    got = {r["id"]: r["curationYear"] for r in out.filter("url = 'http://a'").collect()}
+    assert got == {"e1": 2019}
+
+
+def test_merge_dated_anti_union(spark, evidence_dated):
+    from timeseries_spark.operators.dating import merge_dated
+
+    dated = evidence_dated.filter("year IS NOT NULL").withColumn(
+        "extraCol", F.lit("x")
+    )
+    merged = merge_dated(dated, evidence_dated.drop("year"))
+    assert merged.count() == evidence_dated.count()
+    # undated remainder present with NULL extraCol
+    undated = merged.filter("id = 'e6'").collect()[0]
+    assert undated["extraCol"] is None

@@ -93,3 +93,47 @@ def select_best_date(
             F.min("year").cast("int").alias("year"),
         )
     )
+
+
+def with_curation_lookup_year(
+    evidence: DataFrame,
+    lookup: DataFrame,
+    keys: tuple[str, ...],
+    year_col: str = "curationYear",
+) -> DataFrame:
+    """Multi-key curation-date join (J3, up to 6 key columns,
+    timestamp_evidence.py:138-147, 168-177). NULL join keys on either side
+    are filled with the sentinel "0" before the join — the reference's
+    workaround for NULL never equaling NULL in an equi join
+    (timestamp_evidence.py:158-167) — and restored after."""
+    marked = [f"__k_{k}" for k in keys]
+    lhs = evidence
+    rhs = lookup
+    for k, m in zip(keys, marked):
+        lhs = lhs.withColumn(m, F.coalesce(F.col(k).cast("string"), F.lit("0")))
+        rhs = rhs.withColumn(m, F.coalesce(F.col(k).cast("string"), F.lit("0"))).drop(k)
+    out = lhs.join(
+        F.broadcast(rhs.withColumnRenamed("year", year_col)), marked, "left"
+    )
+    return out.drop(*marked)
+
+
+def with_url_year(evidence: DataFrame, url2year: DataFrame) -> DataFrame:
+    """curationYear via the nested-struct-array URL path (clingen,
+    timestamp_evidence.py:131-133): explode_outer the ``urls.url`` field
+    (rows with NULL/empty arrays survive with a NULL url) and join the
+    per-url year lookup."""
+    return evidence.withColumn("url", F.explode_outer("urls.url")).join(
+        F.broadcast(url2year.withColumnRenamed("year", "curationYear")),
+        "url",
+        "left",
+    )
+
+
+def merge_dated(dated: DataFrame, evidence: DataFrame) -> DataFrame:
+    """Stack per-source dated frames with the not-yet-dated remainder:
+    left-anti join on ``id`` finds untouched evidence, unionByName with
+    allowMissingColumns re-assembles the full set
+    (timestamp_evidence.py:259-266, 296-303 — J6 + U1)."""
+    remainder = evidence.join(dated.select("id"), "id", "left_anti")
+    return dated.unionByName(remainder, allowMissingColumns=True)
