@@ -67,3 +67,17 @@ def write_parquet(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    mode: str = "error",
+) -> None:
+    """CSV sink (S11): the reference collects aggregate matrices to driver
+    pandas and ``to_csv``s them (novelty_approval.py:707-715). Staying
+    distributed scales; ``single_file=True`` coalesces presentation-sized
+    results to one part file without a driver round-trip."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
