@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from timeseries_spark.extensions.hashing import md5_long
+from timeseries_spark.extensions.hashing import md5_h1, md5_h2, md5_long
+from timeseries_spark.functions.parallelism import ensure_parallelism
 
 
 def tokens(text: Column) -> Column:
@@ -76,6 +77,7 @@ def jaccard_pairs(
     document-frequency cap is the standard mitigation at corpus scale.
     Jaccard is a ratio of exact integer counts — deterministic across
     engines."""
+    df = ensure_parallelism(df)
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -108,20 +110,28 @@ def jaccard_pairs(
     )
 
 
+EMPTY_SIG_SENTINEL = 2**62
+
+
 def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: ``sig[i] = min over shingles of h_i(shingle)``
-    with ``h_i(s) = md5_long(s + '#' + i)``. Pure HOF — no shuffle, no UDF.
-    NULL-free: empty shingle sets yield a sentinel signature of +inf-like
-    max bigint so empty docs never collide with real ones."""
+    """MinHash signature: ``sig[i] = min over shingles of h1(s) + i*h2(s)``
+    (double hashing — one md5 per shingle; see ``hashing.md5_h2``). Pure
+    HOF — no shuffle, no UDF. Empty shingle sets yield a sentinel
+    signature so empty docs only collide with other empty docs.
+
+    NOTE: lambda-nested expressions are re-evaluated per outer element, so
+    this HOF form still digests each shingle ``num_hashes`` times; use the
+    explode/aggregate plan in :func:`lsh_candidates` when the corpus is
+    large — same signature, one digest per shingle."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
             F.array_min(
                 F.transform(
-                    sh, lambda s: md5_long(F.concat(s, F.lit("#"), i.cast("string")))
+                    sh, lambda s: md5_h1(s) + i.cast("bigint") * md5_h2(s)
                 )
             ),
-            F.lit(2**62).cast("bigint"),
+            F.lit(EMPTY_SIG_SENTINEL).cast("bigint"),
         ),
     )
 
@@ -136,16 +146,40 @@ def lsh_candidates(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any whole band are
-    candidates. Plan: explode band digests -> groupBy-free self-join on
-    (band, digest) -> distinct pairs. At corpus scale the band join
-    replaces the quadratic all-pairs comparison; band-bucket skew (giant
-    clusters of near-identical docs) is the known hot spot and is why the
-    digest includes the band index."""
+    candidates. At corpus scale the band join replaces the quadratic
+    all-pairs comparison; band-bucket skew (giant clusters of
+    near-identical docs) is the known hot spot and is why the digest
+    includes the band index.
+
+    Signature plan: explode shingles, digest each ONCE into the two
+    double-hashing halves (a projection materializes them as attributes —
+    inside a HOF lambda the digest would re-run per hash index), then
+    ``groupBy(id)`` computes all ``num_hashes`` mins in one aggregate.
+    ``explode_outer`` keeps shingle-less docs, which surface with the
+    sentinel signature (empty docs still pair with empty docs, as the
+    oracle specifies)."""
     rows = num_hashes // bands
-    sig = df.select(
+    df = ensure_parallelism(df)
+    hp = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(
-            F.array_distinct(shingles(tokens(F.col(text_col)), n)), num_hashes
+        F.explode_outer(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("s"),
+    ).select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
+    sig = hp.groupBy("id").agg(
+        *[
+            F.min(F.col("h1") + i * F.col("h2")).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "id",
+        F.array(
+            *[
+                F.coalesce(
+                    F.col(f"__m{i}"), F.lit(EMPTY_SIG_SENTINEL).cast("bigint")
+                )
+                for i in range(num_hashes)
+            ]
         ).alias("sig"),
     )
     banded = sig.select(
@@ -187,15 +221,17 @@ def simhash32(toks: Column) -> Column:
     def mask(j: Column) -> Column:
         return F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
 
+    # hash each token ONCE up front — md5 inside the bit lambda would be
+    # re-evaluated for all 32 bits of every token
     acc = F.aggregate(
-        toks,
+        F.transform(toks, md5_long),
         F.array_repeat(F.lit(0).cast("bigint"), 32),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(31)),
                 lambda j: F.when(
-                    md5_long(t).bitwiseAND(mask(j)) > 0,
+                    h.bitwiseAND(mask(j)) > 0,
                     F.lit(1).cast("bigint"),
                 ).otherwise(F.lit(-1).cast("bigint")),
             ),
@@ -231,6 +267,7 @@ def simhash_pairs(
         raise ValueError("banded plan guarantees recall only for max_hamming <= 7")
     n_bands = 8
     width = 32 // n_bands
+    df = ensure_parallelism(df)
     sk = df.select(
         F.col(id_col).alias("id"),
         simhash32(tokens(F.col(text_col))).alias("sk"),

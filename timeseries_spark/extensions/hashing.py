@@ -28,6 +28,30 @@ def md5_long_sql(expr: str) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
+def md5_h1(col: Column) -> Column:
+    """md5 hex digits 1-13 as a 52-bit bigint (double-hashing base)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
+
+
+def md5_h2(col: Column) -> Column:
+    """md5 hex digits 14-26 as a 52-bit bigint (double-hashing step).
+
+    ``h_i(s) = h1(s) + i * h2(s)`` (Kirsch-Mitzenmacher) gives ``i``
+    independent-enough hash functions from ONE md5 evaluation — the
+    standard trick that makes a 32-hash MinHash signature cost one digest
+    per shingle instead of 32. Both halves are < 2^52, so
+    ``h1 + 31 * h2 < 2^58`` never overflows bigint in any engine."""
+    return F.conv(F.substring(F.md5(col), 14, 13), 16, 10).cast("bigint")
+
+
+def md5_h1_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 13))::BIGINT"
+
+
+def md5_h2_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 14, 13))::BIGINT"
+
+
 def rolling_fingerprint(tokens: Column) -> Column:
     """Order-sensitive polynomial rolling hash over a token array:
     ``acc = (acc * 31 + md5_long(token)) % 1e9+7`` folded left.

@@ -33,25 +33,22 @@ from pyspark.sql import functions as F
 from timeseries_spark.config import EngineConfig
 
 
-def _novelty_series(
-    series: Column, cfg: EngineConfig
-) -> Column:
-    """Given ``array<struct<year:int, score:double>>`` sorted by year,
-    return ``array<struct<year, score, novelty>>`` (same order)."""
-    years = F.transform(series, lambda s: s["year"])
+def _peaks(series: Column) -> Column:
+    """Positive year-over-year jumps of a year-sorted series:
+    ``array<struct<py:int, pk:double>>``. NaN/NULL scores count as 0
+    (the reference's fillna before the lag, timeseries.py:584-586)."""
     filled = F.transform(
         series,
         lambda s: F.coalesce(F.nanvl(s["score"], F.lit(0.0)), F.lit(0.0)),
     )
     n = F.size(series)
-    # peaks[i] for 1-based positions 2..n: (peakYear, score[i] - score[i-1])
-    peaks = F.when(
+    return F.when(
         n >= 2,
         F.filter(
             F.transform(
                 F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
                 lambda i: F.struct(
-                    F.element_at(years, i).alias("py"),
+                    F.element_at(series, i)["year"].alias("py"),
                     (
                         F.element_at(filled, i) - F.element_at(filled, i - 1)
                     ).alias("pk"),
@@ -60,6 +57,16 @@ def _novelty_series(
             lambda p: p["pk"] > 0,
         ),
     ).otherwise(F.array().cast("array<struct<py:int,pk:double>>"))
+
+
+def _novelty_series(
+    series: Column, peaks: Column, cfg: EngineConfig
+) -> Column:
+    """Given ``array<struct<year:int, score:double>>`` sorted by year and
+    its precomputed ``peaks`` (materialized as a column so codegen does not
+    re-inline the peak scan per element), return
+    ``array<struct<year, score, novelty>>`` (same order)."""
+    years = F.transform(series, lambda s: s["year"])
 
     def novelty_at(j: Column) -> Column:
         yj = F.element_at(years, j)
@@ -88,7 +95,7 @@ def _novelty_series(
         )
 
     return F.transform(
-        F.sequence(F.lit(1), n),
+        F.sequence(F.lit(1), F.size(series)),
         lambda j: F.struct(
             F.element_at(years, j).alias("year"),
             F.element_at(F.transform(series, lambda s: s["score"]), j).alias(
@@ -132,9 +139,11 @@ def add_novelty(
         ).alias("series")
     )
 
-    out = grouped.select(
+    out = grouped.withColumn("peaks", _peaks(F.col("series"))).select(
         *keys,
-        F.explode(_novelty_series(F.col("series"), cfg)).alias("e"),
+        F.explode(
+            _novelty_series(F.col("series"), F.col("peaks"), cfg)
+        ).alias("e"),
     )
     return out.select(
         *keys,

@@ -90,10 +90,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.30)
 
 
+# double-hashing signature: sig[i] = min over shingles of h1 + i*h2
+# (one md5 per shingle; matches extensions.dedup.lsh_candidates exactly)
 _SIG_SQL = (
     "list_transform(generate_series(0, 31), i -> coalesce(list_min("
-    "list_transform(shs, s -> " + md5_long_sql("s || '#' || i::VARCHAR") + ")), "
-    "4611686018427387904))"
+    "list_transform(shs, s -> "
+    "('0x' || substring(md5(s), 1, 13))::BIGINT"
+    " + i * ('0x' || substring(md5(s), 14, 13))::BIGINT"
+    ")), 4611686018427387904))"
 )
 
 
