@@ -102,3 +102,36 @@ def test_multimodal_roundtrip(spark, docs):
 def test_multimodal_stub_raises_without_fake(docs):
     with pytest.raises(NotImplementedError):
         decode_media(synthetic_media(docs), fake=False)
+
+
+def test_feature_extraction_vectors(spark, sf_dir):
+    """Multimodal feature stub: deterministic L1-normalized byte histogram
+    per payload, the array<double> shape the ANN operators consume."""
+    from timeseries_spark.extensions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+    from timeseries_spark.queries import load
+
+    media = synthetic_media(load(spark, sf_dir, "documents").limit(50))
+    feats = extract_features(media, n_bins=16, fake=True).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    from timeseries_spark.extensions.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), (None, None, 3500, "fake")),
+         (2, "image", bytearray(b"x"), (10, 10, None, "fake"))],
+        "media_id long, kind string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = {r["media_id"]: r["frame_offsets_ms"] for r in frame_sample(media, 1000).collect()}
+    assert out[1] == [0, 1000, 2000, 3000]
+    assert out[2] == []

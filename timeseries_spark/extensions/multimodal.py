@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseries_spark.functions.parallelism import ensure_parallelism
+
 DECODED_SCHEMA = (
     "media_id bigint, kind string, width int, height int, n_bytes bigint, "
     "mean_byte double"
@@ -86,7 +88,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 )
             yield _pd.DataFrame(out)
 
-    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+    # payload decode is compute-bound: spread small-file inputs over the
+    # cluster before the Python stage (no-op when already partitioned)
+    return ensure_parallelism(df).mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def synthetic_media(documents: DataFrame) -> DataFrame:
@@ -131,4 +135,61 @@ def resize_plan(decoded: DataFrame, max_side: int = 32) -> DataFrame:
                 F.round(F.col("height") * scale).cast("int"), F.lit(1)
             ),
         }
+    )
+
+
+FEATURES_SCHEMA = "media_id bigint, kind string, feature array<double>"
+
+
+def extract_features(df: DataFrame, n_bins: int = 16, fake: bool = False) -> DataFrame:
+    """Feature extraction over binary payloads: Arrow-batched mapInPandas
+    emitting a fixed-size ``array<double>`` embedding per media row — the
+    exact shape the similarity-search operators consume downstream.
+
+    The real extractor (CNN features, audio spectra) is STUBBED; the fake
+    path computes a deterministic ``n_bins`` byte histogram (L1-normalized)
+    of the payload body, so the full distributed contract — binary in,
+    vector out, Arrow batches, payload column pruned after this stage —
+    is exercised end to end."""
+    if not fake:
+        raise NotImplementedError(
+            "feature extractors unavailable in this container; use "
+            "fake=True for the deterministic byte-histogram embedding"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def hist(payload: bytes) -> list[float]:
+            body = bytes(payload).rpartition(b":")[2]
+            counts = [0] * n_bins
+            for b in body:
+                counts[b * n_bins // 256] += 1
+            total = float(len(body)) or 1.0
+            return [c / total for c in counts]
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": [hist(p) for p in pdf["payload"]],
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: the millisecond offsets a real
+    frame grabber would decode, one array per row (pure column math — the
+    codec-side grab is the stubbed step). Rows without a duration (images)
+    get an empty plan. Output adds ``frame_offsets_ms: array<int>``."""
+    dur = F.col("meta.duration_ms")
+    return media.withColumn(
+        "frame_offsets_ms",
+        F.when(
+            dur.isNotNull() & (dur > 0),
+            F.sequence(F.lit(0), dur - 1, F.lit(every_ms)),
+        ).otherwise(F.array().cast("array<int>")),
     )
