@@ -135,3 +135,22 @@ def test_frame_sample_plan(spark):
     out = {r["media_id"]: r["frame_offsets_ms"] for r in frame_sample(media, 1000).collect()}
     assert out[1] == [0, 1000, 2000, 3000]
     assert out[2] == []
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a 4-doc chain collapses to one component in
+    >1 iteration (diameter 3), singletons keep themselves, a separate
+    pair keeps its own min."""
+    from timeseries_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 7), (7, 9), (20, 30)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 5, 7, 9, 11, 20, 30)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, docs).collect()
+    }
+    assert got == {2: 2, 5: 2, 7: 2, 9: 2, 11: 11, 20: 20, 30: 20}

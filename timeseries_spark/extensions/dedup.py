@@ -304,3 +304,76 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    near-dup pair graph by iterative min-label propagation. Every doc gets
+    ``component`` = the smallest doc id reachable through near-dup edges
+    (itself when un-paired); keep ``component == doc_id`` rows to dedup.
+
+    The loop is the standard bounded-iteration Spark pattern: each round
+    joins labels across edges and takes the min; rounds needed = graph
+    diameter (near-dup clusters are shallow — a handful of rounds).
+    Each round is one self-contained shuffle on the vertex id; ``persist``
+    + early-exit when no label changes. At 100 TB switch the equality
+    convergence check to a count aggregate exactly as here — it is one
+    action per round, not per row.
+
+    ``pairs``: (id_a, id_b) undirected candidate edges; ``vertices``: the
+    full doc table (un-paired docs must still appear in the output).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("vid", "dst").withColumnRenamed(
+                        "label", "nlabel"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vid"))
+                .agg(F.min("nlabel").alias("nmin"))
+            )
+            updated = (
+                labels.join(neighbor_min, "vid", "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "vid")
+                .filter(F.col("u.label") != F.col("l.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = updated
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("vid").alias(id_col), F.col("label").alias("component")
+        )
+    finally:
+        edges.unpersist()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.dedup import (
+    connected_components,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidates,
@@ -155,3 +156,48 @@ def dedup_simhash(spark, sf_dir):
     recall at this budget), the oracle brute-forces all pairs."""
     out = simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM undirected
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Canonical-doc assignment: connected components of the MinHash-LSH
+    near-dup graph by iterative min-label propagation (the engine's
+    bounded-iteration surface); the oracle computes the same components
+    with a recursive-CTE transitive closure. Un-paired docs form singleton
+    components."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidates(docs, n=3, num_hashes=32, bands=8)
+    return connected_components(pairs, docs)
