@@ -81,3 +81,31 @@ def write_csv(
     results to one part file without a driver round-trip."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-hash-partitions rows into
+    ``num_buckets`` files per partition keyed on ``bucket_cols``.
+
+    This is the 100 TB co-location tool the path-based sinks can't give:
+    two tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange — Spark trusts the on-disk hash layout, so the
+    fact-to-fact joins that would otherwise shuffle terabytes (evidence ⋈
+    association on (diseaseId, targetId)) become partition-local map
+    joins. ``sort_cols`` additionally pre-sorts within buckets, turning
+    sort-merge joins into merge-only. Bucketing requires the table
+    catalog (``saveAsTable``) — bucket metadata lives there, not in
+    parquet footers."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_cols is not None:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*s)
+    writer.format("parquet").saveAsTable(table)
