@@ -63,3 +63,37 @@ def test_untouched_groups_not_recomputed(spark, evidence_dated, new_batch, cfg):
     inc = incremental_association(poisoned, all_evidence, new_batch, cfg, KEYS)
     t2 = inc.filter("targetId = 'T2'").select("novelty").distinct().collect()
     assert {r["novelty"] for r in t2} == {9.9}
+
+
+def test_streaming_foreachbatch_incremental(
+    spark, evidence_dated, new_batch, cfg, tmp_path_factory
+):
+    """End-to-end live mode: a stream of evidence files drained with
+    availableNow through the foreachBatch sink must leave the newest
+    association version equal to a full batch recompute of all evidence."""
+    from timeseries_spark.streaming.incremental import (
+        IncrementalAssociationSink,
+        run_incremental,
+    )
+
+    base = tmp_path_factory.mktemp("live")
+    stream_dir = str(base / "in")
+    evidence_dated.coalesce(1).write.parquet(stream_dir)
+    new_batch.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    schema = evidence_dated.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    sink = IncrementalAssociationSink(
+        cfg, str(base / "evidence"), str(base / "assoc")
+    )
+    run_incremental(stream, sink)
+
+    current = sink.current_version(spark)
+    assert current is not None
+    got = spark.read.parquet(current)
+    expected = _full(evidence_dated.unionByName(new_batch), cfg)
+    assert _as_set(got) == _as_set(expected)

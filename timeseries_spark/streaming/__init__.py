@@ -9,7 +9,9 @@ every streaming op is also exercisable by the batch oracle gate.
 """
 
 from timeseries_spark.streaming.incremental import (
+    IncrementalAssociationSink,
     read_event_stream,
+    run_incremental,
     run_available_now,
     running_peaks,
     sessionize,
@@ -17,7 +19,9 @@ from timeseries_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "IncrementalAssociationSink",
     "read_event_stream",
+    "run_incremental",
     "run_available_now",
     "running_peaks",
     "sessionize",

@@ -163,3 +163,89 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+class IncrementalAssociationSink:
+    """foreachBatch bridge from a stream of new evidence to the engine's
+    incremental recompute (plans/incremental.py): each micro-batch appends
+    to the evidence store, recomputes ONLY the touched (d,t,ds) groups,
+    and publishes a new immutable association version.
+
+    Versioned publication (``assoc_dir/v<batch_id>``) instead of
+    read-modify-overwrite: readers always see a complete consistent
+    version (the reference overwrites the table it is reading,
+    timeseries.py:632-634 — SURVEY.md §7 risk), and the previous version
+    stays queryable during the write. ``current_version`` returns the
+    newest published path. State across restarts is the evidence store
+    plus the version directory — both idempotent under micro-batch replay
+    because the append is keyed by batch id and versions overwrite."""
+
+    def __init__(self, cfg, evidence_dir: str, assoc_dir: str, key_cols=None):
+        from timeseries_spark.plans.incremental import incremental_association
+
+        self._incremental = incremental_association
+        self.cfg = cfg
+        self.evidence_dir = evidence_dir
+        self.assoc_dir = assoc_dir
+        self.keys = list(key_cols or ("diseaseId", "targetId", "datasourceId"))
+
+    def current_version(self, spark: SparkSession) -> str | None:
+        from timeseries_spark.sources.io import table_exists
+
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.assoc_dir)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return None
+        versions = [
+            f.getPath().getName()
+            for f in fs.listStatus(path)
+            if f.getPath().getName().startswith("v")
+        ]
+        if not versions:
+            return None
+        latest = max(versions, key=lambda v: int(v[1:]))
+        out = f"{self.assoc_dir}/{latest}"
+        return out if table_exists(spark, out) else None
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch callback (bind with ``.foreachBatch(sink.process)``)."""
+        from timeseries_spark.operators.novelty import add_novelty
+        from timeseries_spark.operators.scoring import association_score
+
+        spark = batch_df.sparkSession
+        # idempotent append: replayed batches land in the same subdir
+        batch_df.write.mode("overwrite").parquet(
+            f"{self.evidence_dir}/batch={batch_id}"
+        )
+        all_evidence = spark.read.parquet(self.evidence_dir)
+        current = self.current_version(spark)
+        if current is None:
+            fresh = add_novelty(
+                association_score(all_evidence, self.cfg, self.keys),
+                self.cfg,
+                self.keys,
+            )
+        else:
+            fresh = self._incremental(
+                spark.read.parquet(current),
+                all_evidence,
+                batch_df,
+                self.cfg,
+                self.keys,
+            )
+        fresh.write.mode("overwrite").parquet(f"{self.assoc_dir}/v{batch_id}")
+
+
+def run_incremental(
+    new_evidence_stream: DataFrame, sink: IncrementalAssociationSink
+):
+    """Attach the sink and drain everything currently available."""
+    q = (
+        new_evidence_stream.writeStream.foreachBatch(sink.process)
+        .option("checkpointLocation", f"{sink.assoc_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
