@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,30 @@ def dense_scaffold(
     keys = df.select(*key_cols).distinct()
     grid = keys.crossJoin(F.broadcast(spine))
     return grid.join(df, [*key_cols, spine_col], "left")
+
+
+def shuffled_null_years(
+    evidence: DataFrame,
+    key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
+    year_col: str = "year",
+    seed: int = 42,
+) -> DataFrame:
+    """Statistical null model (O5): permute the year column within the
+    whole evidence set — the reference's commented-out shuffle machinery
+    (timeseries.py:415-433) used by the notebook's correlation control
+    (analysis.ipynb cells 2-6).
+
+    Seeded ``rand`` keeps a given run reproducible; the permutation joins
+    two row_number orderings (original vs shuffled) so years are exactly
+    conserved as a multiset — a true permutation, not a resample."""
+    w_orig = Window.orderBy(F.monotonically_increasing_id())
+    w_rand = Window.orderBy(F.rand(seed), F.monotonically_increasing_id())
+    base = evidence.withColumn("__rn", F.row_number().over(w_orig))
+    shuffled_years = evidence.select(year_col).withColumn(
+        "__rn", F.row_number().over(w_rand)
+    ).withColumnRenamed(year_col, "__shuffled_year")
+    return (
+        base.join(shuffled_years, "__rn")
+        .drop("__rn", year_col)
+        .withColumnRenamed("__shuffled_year", year_col)
+    )
