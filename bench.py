@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 HEADLINE = [
     "assoc_score_yearly",
     "assoc_novelty_yearly",
+    "assoc_weighted_overall",
     "harmonic_topk_per_order",
     "pricing_summary",
     "revenue_by_nation",

@@ -356,3 +356,61 @@ def running_record_events(spark, sf_dir):
         "value",
         "prev_peak",
     )
+
+
+@query(
+    "assoc_weighted_overall",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderstatus,
+             year(o_orderdate) AS year,
+             (o_totalprice / 600000) * CASE o_orderpriority
+               WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 1.0
+               WHEN '3-MEDIUM' THEN 0.5 ELSE 0.2 END AS score
+      FROM orders
+    ),
+    keys AS (SELECT DISTINCT o_orderstatus FROM ev),
+    years AS (SELECT unnest(generate_series(1995, 2002)) AS year),
+    grid AS (SELECT * FROM keys CROSS JOIN years),
+    pool AS (
+      SELECT g.o_orderstatus, g.year, e.score,
+             row_number() OVER (
+               PARTITION BY g.o_orderstatus, g.year
+               ORDER BY e.score DESC
+             ) AS rn
+      FROM grid g
+      JOIN ev e ON e.o_orderstatus = g.o_orderstatus AND e.year <= g.year
+    ),
+    hs AS (
+      SELECT o_orderstatus, year, sum(score / (rn * rn)) / 1.64 AS score
+      FROM pool WHERE rn <= 50 GROUP BY o_orderstatus, year
+    )
+    SELECT g.o_orderstatus,
+           CASE WHEN g.year = 2002 THEN NULL ELSE g.year END AS year,
+           round(hs.score, 4) AS score
+    FROM grid g LEFT JOIN hs USING (o_orderstatus, year)
+    """,
+)
+def assoc_weighted_overall(spark, sf_dir):
+    """The overall grain (timeseries.py:638-732): evidence scores scaled by
+    a per-source weight (broadcast 5-row map, unknown sources default 1.0)
+    BEFORE the harmonic cumulation, keys collapsed to the coarser grain —
+    the cross-source pooling that makes the overall score dominated by
+    high-weight sources exactly as the reference intends."""
+    ev = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("src"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        (F.col("o_totalprice") / 600000).alias("score"),
+    )
+    weights = {
+        "1-URGENT": 1.0,
+        "2-HIGH": 1.0,
+        "3-MEDIUM": 0.5,
+        "4-NOT SPECIFIED": 0.2,
+        "5-LOW": 0.2,
+    }
+    out = association_score(
+        ev, ORDERS_CFG, ("o_orderstatus",), weights=weights, weight_key="src"
+    )
+    return out.withColumn("score", F.round("score", 4))
