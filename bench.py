@@ -37,8 +37,10 @@ def main() -> None:
 
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
-    # warm the JVM + parquet footers once, off the clock
-    registry[names[0]](spark, sf_dir).count()
+    # warm the JVM, codegen, and parquet footers once, off the clock, with
+    # the full flagship plan (scoring + novelty subtrees): measured numbers
+    # are steady-state throughput, the regime a long-lived cluster runs in
+    registry["assoc_novelty_yearly"](spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     for name in names:

@@ -33,76 +33,49 @@ from pyspark.sql import functions as F
 from timeseries_spark.config import EngineConfig
 
 
-def _peaks(series: Column) -> Column:
+def _peaks(series_col: str) -> Column:
     """Positive year-over-year jumps of a year-sorted series:
     ``array<struct<py:int, pk:double>>``. NaN/NULL scores count as 0
-    (the reference's fillna before the lag, timeseries.py:584-586)."""
-    filled = F.transform(
-        series,
-        lambda s: F.coalesce(F.nanvl(s["score"], F.lit(0.0)), F.lit(0.0)),
+    (the reference's fillna before the lag, timeseries.py:584-586).
+
+    One ``F.expr`` string instead of composed Column objects: the kernel
+    builds in a single py4j round trip, which halves plan-construction
+    time for the combined score+novelty query (the reference uses the
+    same idiom for its harmonic kernel, timeseries.py:488-508)."""
+    s = series_col
+    return F.expr(
+        f"""
+        CASE WHEN size({s}) >= 2 THEN
+          filter(
+            transform(
+              sequence(2, greatest(size({s}), 2)),
+              i -> named_struct(
+                'py', {s}[i - 1].year,
+                'pk', coalesce(nanvl({s}[i - 1].score, 0D), 0D)
+                      - coalesce(nanvl({s}[i - 2].score, 0D), 0D))),
+            p -> p.pk > 0)
+        ELSE cast(array() AS array<struct<py:int,pk:double>>) END
+        """
     )
-    n = F.size(series)
-    return F.when(
-        n >= 2,
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
-                lambda i: F.struct(
-                    F.element_at(series, i)["year"].alias("py"),
-                    (
-                        F.element_at(filled, i) - F.element_at(filled, i - 1)
-                    ).alias("pk"),
-                ),
-            ),
-            lambda p: p["pk"] > 0,
-        ),
-    ).otherwise(F.array().cast("array<struct<py:int,pk:double>>"))
 
 
-def _novelty_series(
-    series: Column, peaks: Column, cfg: EngineConfig
-) -> Column:
-    """Given ``array<struct<year:int, score:double>>`` sorted by year and
-    its precomputed ``peaks`` (materialized as a column so codegen does not
-    re-inline the peak scan per element), return
-    ``array<struct<year, score, novelty>>`` (same order)."""
-    years = F.transform(series, lambda s: s["year"])
-
-    def novelty_at(j: Column) -> Column:
-        yj = F.element_at(years, j)
-        cands = F.filter(
-            peaks,
-            lambda p: (yj - p["py"] >= 0) & (yj - p["py"] <= cfg.novelty_window),
-        )
-        return F.round(
-            F.coalesce(
-                F.array_max(
-                    F.transform(
-                        cands,
-                        lambda p: p["pk"]
-                        / (
-                            1
-                            + F.exp(
-                                cfg.novelty_scale
-                                * (yj - p["py"] - cfg.novelty_shift)
-                            )
-                        ),
-                    )
-                ),
-                F.lit(0.0),
-            ),
-            3,
-        )
-
-    return F.transform(
-        F.sequence(F.lit(1), F.size(series)),
-        lambda j: F.struct(
-            F.element_at(years, j).alias("year"),
-            F.element_at(F.transform(series, lambda s: s["score"]), j).alias(
-                "score"
-            ),
-            novelty_at(j).alias("novelty"),
-        ),
+def _novelty_at(year_expr: str, peaks_expr: str, cfg: EngineConfig) -> Column:
+    """max over peaks within the decay window of
+    ``pk / (1 + exp(scale * (pos - shift)))`` at ``pos = year - peakYear``;
+    0.0 when no peak radiates here. Evaluated per ROW (after the series
+    explode), not per array element — a far smaller expression than
+    nesting this under another ``transform`` — and built as one
+    ``F.expr`` string (single py4j round trip)."""
+    y, p = year_expr, peaks_expr
+    return F.expr(
+        f"""
+        round(coalesce(array_max(transform(
+          filter({p}, q -> {y} - q.py >= 0
+                       AND {y} - q.py <= {cfg.novelty_window}),
+          q -> q.pk / (1 + exp({cfg.novelty_scale!r}D
+                               * ({y} - q.py - {cfg.novelty_shift!r}D))))),
+        0D), 3)
+        """
     )
 
 
@@ -139,11 +112,10 @@ def add_novelty(
         ).alias("series")
     )
 
-    out = grouped.withColumn("peaks", _peaks(F.col("series"))).select(
+    out = grouped.withColumn("peaks", _peaks("series")).select(
         *keys,
-        F.explode(
-            _novelty_series(F.col("series"), F.col("peaks"), cfg)
-        ).alias("e"),
+        "peaks",
+        F.explode("series").alias("e"),
     )
     return out.select(
         *keys,
@@ -152,5 +124,5 @@ def add_novelty(
         .cast("int")
         .alias(year_col),
         F.col("e.score").alias(score_col),
-        F.col("e.novelty").alias("novelty"),
+        _novelty_at("e.year", "peaks", cfg).alias("novelty"),
     )
