@@ -98,3 +98,25 @@ def test_bell_matrix_offsets(spark, assoc):
     assert out[2] == 1 and out[3] == 1
     assert out[-3] == 0 and out[1] == 0
     assert len(out) == 7
+
+
+def test_datatype_rollup(spark, assoc, cfg):
+    """Sources collapse onto their registry aggregation_id; unregistered
+    sources pass through; counts sum."""
+    from timeseries_spark.analytics.distribution import by_datatype
+
+    disease_ta = spark.createDataFrame(
+        [("D1", "TA1"), ("D2", "TA1")],
+        schema="diseaseId string, therapeuticArea string",
+    )
+    dist = novelty_distribution(assoc, disease_ta, cutoff=0.1)
+    rolled = by_datatype(dist, cfg)
+    got = {
+        (r["year"], r["datatypeId"]): (r["association"], r["target"])
+        for r in rolled.collect()
+    }
+    # fixture sources s1/s2 are not in the registry -> identity mapping
+    assert got[(2002, "s1")] == (2, 2)
+    assert got[(2001, "s2")] == (1, 1)
+    # registered source would collapse: sanity-check the mapping table
+    assert any(ds.aggregation_id == "literature" for ds in cfg.datasources)

@@ -103,3 +103,25 @@ def novelty_distribution(
         spine.join(counts, ["year", "datasourceId", "therapeuticArea"], "left")
         .na.fill(0, ["association", "target"])
     )
+
+
+def by_datatype(
+    distribution: DataFrame, cfg, source_col: str = "datasourceId"
+) -> DataFrame:
+    """Roll the per-datasource distribution up to data-type grain
+    (novelty_distribution.py writes both datasourceId and datatypeId
+    variants): map each source to its ``aggregation_id`` via the broadcast
+    registry and re-aggregate. Unregistered sources keep their own id."""
+    reg = distribution.sparkSession.createDataFrame(
+        [(ds.id, ds.aggregation_id) for ds in cfg.datasources],
+        schema=f"{source_col} string, datatypeId string",
+    )
+    return (
+        distribution.join(F.broadcast(reg), source_col, "left")
+        .withColumn("datatypeId", F.coalesce("datatypeId", F.col(source_col)))
+        .groupBy("year", "datatypeId", "therapeuticArea")
+        .agg(
+            F.sum("association").alias("association"),
+            F.sum("target").alias("target"),
+        )
+    )
