@@ -317,13 +317,20 @@ def connected_components(
     ``component`` = the smallest doc id reachable through near-dup edges
     (itself when un-paired); keep ``component == doc_id`` rows to dedup.
 
-    The loop is the standard bounded-iteration Spark pattern: each round
-    joins labels across edges and takes the min; rounds needed = graph
-    diameter (near-dup clusters are shallow — a handful of rounds).
-    Each round is one self-contained shuffle on the vertex id; ``persist``
-    + early-exit when no label changes. At 100 TB switch the equality
-    convergence check to a count aggregate exactly as here — it is one
-    action per round, not per row.
+    Each round does (a) a neighbor-min hop across the edges and (b) one
+    pointer-jump (``label <- label[label]``), so convergence is
+    O(log(diameter)) rounds instead of O(diameter) — chain-shaped clusters
+    (the LSH worst case) collapse in a handful of rounds. Convergence is
+    detected by the label SUM, which strictly decreases while any label
+    can still shrink: one cheap aggregate action per round, no comparison
+    join. Each round ends in an eager ``localCheckpoint``: caching alone
+    is NOT enough for iterative self-joins — persist caches data but
+    Catalyst still re-analyzes the whole accumulated lineage every round,
+    and the double-referenced hop subtree doubles the tree per iteration
+    (exponential analysis cost). Checkpointing truncates the plan to a
+    leaf, keeping every round O(1) to analyze. On a cluster prefer
+    ``checkpoint`` with a reliable dir (localCheckpoint dies with an
+    executor); the loop structure is identical.
 
     ``pairs``: (id_a, id_b) undirected candidate edges; ``vertices``: the
     full doc table (un-paired docs must still appear in the output).
@@ -338,40 +345,50 @@ def connected_components(
     )
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).persist()
+    ).localCheckpoint()
+    prev_sum = None
     try:
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(
-                    labels.withColumnRenamed("vid", "dst").withColumnRenamed(
-                        "label", "nlabel"
+                    labels.select(
+                        F.col("vid").alias("dst"), F.col("label").alias("nlabel")
                     ),
                     "dst",
                 )
                 .groupBy(F.col("src").alias("vid"))
                 .agg(F.min("nlabel").alias("nmin"))
             )
+            hopped = labels.join(neighbor_min, "vid", "left").select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            ).localCheckpoint()
+            # pointer jump: adopt the label of one's label — squares the
+            # propagation distance per round
             updated = (
-                labels.join(neighbor_min, "vid", "left")
+                hopped.alias("h")
+                .join(
+                    hopped.select(
+                        F.col("vid").alias("label"), F.col("label").alias("ll")
+                    ).alias("l2"),
+                    "label",
+                    "left",
+                )
                 .select(
                     "vid",
                     F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                        F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "vid")
-                .filter(F.col("u.label") != F.col("l.label"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
+            cur_sum = updated.agg(F.sum("label")).first()[0]
             labels = updated
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.select(
             F.col("vid").alias(id_col), F.col("label").alias("component")
         )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_spark.functions.parallelism import ensure_parallelism
 from timeseries_spark.functions.vectors import cosine_similarity
 
 
@@ -43,6 +44,7 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cos_sim, rank); ties broken by
     neighbor id so ranking is total and deterministic."""
+    vectors = ensure_parallelism(vectors)
     scored = (
         vectors.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
