@@ -10,6 +10,7 @@ from timeseries_spark.sources.fixtures import (
 from timeseries_spark.sources.io import (
     read_csv,
     read_parquet,
+    register_views,
     table_exists,
     write_csv,
     write_parquet,
@@ -22,6 +23,7 @@ __all__ = [
     "gen_target",
     "read_csv",
     "read_parquet",
+    "register_views",
     "table_exists",
     "write_csv",
     "write_parquet",

@@ -109,3 +109,21 @@ def write_bucketed(
         s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*s)
     writer.format("parquet").saveAsTable(table)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Register the testdata tables as temp views so the whole engine
+    surface is reachable from plain ``spark.sql`` — the reference has no
+    SQL entry point; with views every oracle query in
+    ``__spark_entry__.oracle_sql()`` (modulo dialect) also runs on Spark
+    directly."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in names:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
