@@ -120,3 +120,21 @@ def test_datatype_rollup(spark, assoc, cfg):
     assert got[(2001, "s2")] == (1, 1)
     # registered source would collapse: sanity-check the mapping table
     assert any(ds.aggregation_id == "literature" for ds in cfg.datasources)
+
+
+def test_cascade_slices_per_approval_year(spark, assoc):
+    from timeseries_spark.analytics import approval_cascade
+
+    approvals = spark.createDataFrame(
+        [("T1", 2002), ("T2", 2000)],
+        schema="targetId string, firstApprovalYear int",
+    )
+    peaks = peak_novelty_rows(assoc)
+    out = approval_cascade(peaks, approvals, window=3, cutoff=0.1).collect()
+    got = {(r["approvalYear"], r["offset"]): r["n_targets"] for r in out}
+    # T1 (approved 2002): peaks at offsets 0 and -1; T2 (2000): offsets 2, 3
+    assert got[(2002, 0)] == 1 and got[(2002, -1)] == 1
+    assert got[(2000, 2)] == 1 and got[(2000, 3)] == 1
+    assert got[(2002, 3)] == 0
+    # 7 offsets per approval year present
+    assert len(out) == 14

@@ -4,6 +4,7 @@ novelty_approval.py), rebuilt as pure DataFrame operators."""
 
 from timeseries_spark.analytics.approval import (
     approval_bell_matrix,
+    approval_cascade,
     first_approval_year,
 )
 from timeseries_spark.analytics.distribution import (
@@ -14,6 +15,7 @@ from timeseries_spark.analytics.distribution import (
 
 __all__ = [
     "approval_bell_matrix",
+    "approval_cascade",
     "first_approval_year",
     "novelty_distribution",
     "peak_novelty_rows",

@@ -95,3 +95,70 @@ def approval_bell_matrix(
         .select("e.offset", "e.n_targets")
         .orderBy("offset")
     )
+
+
+def approval_cascade(
+    peaks: DataFrame,
+    approvals: DataFrame,
+    window: int = 5,
+    cutoff: float = 0.1,
+) -> DataFrame:
+    """The 'cascade' analysis (novelty_approval.py:897-931, 2060-2068):
+    the bell matrix sliced per approval year — for each
+    (approvalYear, offset) cell, how many targets had a novelty peak at
+    that offset from that year's approvals. The reference writes one
+    output partition per approval year; here the partition column is in
+    the result (callers ``write_parquet(partition_by='approvalYear')``).
+
+    Shares the per-target flag aggregation with the bell: flags first
+    (one row per target × approval year — tiny), sums after."""
+    joined = (
+        peaks.filter(F.col("novelty") >= cutoff)
+        .filter(F.col("year").isNotNull())
+        .join(
+            F.broadcast(
+                approvals.select(
+                    "targetId",
+                    F.col("firstApprovalYear").alias("approvalYear"),
+                ).distinct()
+            ),
+            "targetId",
+        )
+        .withColumn(
+            "offset",
+            F.greatest(
+                F.lit(-window),
+                F.least(
+                    F.lit(window), F.col("year") - F.col("approvalYear")
+                ),
+            ),
+        )
+    )
+    flags = joined.groupBy("targetId", "approvalYear").agg(
+        *[
+            F.max(F.when(F.col("offset") == o, 1).otherwise(0)).alias(
+                f"off_{o + window}"
+            )
+            for o in range(-window, window + 1)
+        ]
+    )
+    summed = flags.groupBy("approvalYear").agg(
+        *[
+            F.sum(f"off_{o + window}").alias(f"off_{o + window}")
+            for o in range(-window, window + 1)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(o).alias("offset"),
+                F.col(f"off_{o + window}").alias("n_targets"),
+            )
+            for o in range(-window, window + 1)
+        ]
+    )
+    return (
+        summed.select("approvalYear", F.explode(pairs).alias("e"))
+        .select("approvalYear", "e.offset", "e.n_targets")
+        .orderBy("approvalYear", "offset")
+    )
