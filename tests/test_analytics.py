@@ -138,3 +138,21 @@ def test_cascade_slices_per_approval_year(spark, assoc):
     assert got[(2002, 3)] == 0
     # 7 offsets per approval year present
     assert len(out) == 14
+
+
+def test_target_facet_counts(spark, assoc):
+    from timeseries_spark.analytics.distribution import target_facet_counts
+
+    prior = spark.createDataFrame(
+        [("T1", True, False), ("T2", False, True)],
+        schema="targetId string, hasLigand boolean, hasSafetyEvent boolean",
+    )
+    novel = peak_novelty_rows(assoc).filter(F.col("novelty") >= 0.1)
+    got = {
+        (r["year"], r["datasourceId"]): (
+            r["n_targets"], r["n_with_ligand"], r["n_with_safety_event"]
+        )
+        for r in target_facet_counts(novel, prior).collect()
+    }
+    assert got[(2002, "s1")] == (2, 1, 1)  # T1 (ligand) + T2 (safety)
+    assert got[(2001, "s2")] == (1, 1, 0)  # T1 only

@@ -158,3 +158,15 @@ def test_merge_dated_anti_union(spark, evidence_dated):
     # undated remainder present with NULL extraCol
     undated = merged.filter("id = 'e6'").collect()[0]
     assert undated["extraCol"] is None
+
+
+def test_dating_coverage_single_pass(spark, evidence_dated):
+    from timeseries_spark.operators.dating import dating_coverage
+
+    cov = {
+        r["datasourceId"]: (r["n_evidence"], r["n_dated"], r["dated_fraction"])
+        for r in dating_coverage(evidence_dated, evidence_dated).collect()
+    }
+    # src_a: 5 evidence rows, 4 dated (e6 undated); src_b: 2 rows, 2 dated
+    assert cov["src_a"] == (5, 4, 0.8)
+    assert cov["src_b"] == (2, 2, 1.0)

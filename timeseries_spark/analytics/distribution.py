@@ -125,3 +125,32 @@ def by_datatype(
             F.sum("target").alias("target"),
         )
     )
+
+
+def target_facet_counts(
+    novel_targets: DataFrame, prioritisation: DataFrame
+) -> DataFrame:
+    """Target-prioritisation facets over novel targets
+    (novelty_distribution.py:492-556): left-join the per-target
+    prioritisation flags (broadcast dimension) and count novel targets
+    per (year, datasourceId) split by tractability/safety facets, one
+    conditional aggregation per facet in a single pass."""
+    flags = prioritisation.select(
+        "targetId",
+        F.coalesce(F.col("hasLigand").cast("int"), F.lit(0)).alias("lig"),
+        F.coalesce(F.col("hasSafetyEvent").cast("int"), F.lit(0)).alias("saf"),
+    )
+    return (
+        novel_targets.join(F.broadcast(flags), "targetId", "left")
+        .na.fill(0, ["lig", "saf"])
+        .groupBy("year", "datasourceId")
+        .agg(
+            F.countDistinct("targetId").alias("n_targets"),
+            F.countDistinct(
+                F.when(F.col("lig") == 1, F.col("targetId"))
+            ).alias("n_with_ligand"),
+            F.countDistinct(
+                F.when(F.col("saf") == 1, F.col("targetId"))
+            ).alias("n_with_safety_event"),
+        )
+    )

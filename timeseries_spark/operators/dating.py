@@ -137,3 +137,26 @@ def merge_dated(dated: DataFrame, evidence: DataFrame) -> DataFrame:
     (timestamp_evidence.py:259-266, 296-303 — J6 + U1)."""
     remainder = evidence.join(dated.select("id"), "id", "left_anti")
     return dated.unionByName(remainder, allowMissingColumns=True)
+
+
+def dating_coverage(evidence: DataFrame, dated: DataFrame) -> DataFrame:
+    """Per-source dating coverage report (timestamp_evidence.py:333-357):
+    total vs dated evidence counts and the dated fraction, in ONE pass
+    over a union instead of the reference's join of two aggregates (J9
+    rewrite). ``dated`` must carry a non-null ``year`` for dated rows."""
+    tagged = evidence.select(
+        "datasourceId", F.lit(0).alias("is_dated")
+    ).unionByName(
+        dated.filter(F.col("year").isNotNull()).select(
+            "datasourceId", F.lit(1).alias("is_dated")
+        )
+    )
+    return tagged.groupBy("datasourceId").agg(
+        F.sum(F.lit(1) - F.col("is_dated")).alias("n_evidence"),
+        F.sum("is_dated").alias("n_dated"),
+        F.round(
+            F.sum("is_dated")
+            / F.greatest(F.sum(F.lit(1) - F.col("is_dated")), F.lit(1)),
+            4,
+        ).alias("dated_fraction"),
+    )
