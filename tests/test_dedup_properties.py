@@ -1,0 +1,117 @@
+"""Property-based invariants for the dedup kernels: the HOF signature
+formula must equal the explode/agg plan used at scale, duplicates must
+always collide, and sketches must be permutation-stable where the math
+says so."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.dedup import (
+    lsh_candidates,
+    minhash_signature,
+    shingles,
+    simhash32,
+    simhash_pairs,
+    tokens,
+)
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet forces collisions
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+@SLOW
+@given(rows=texts)
+def test_hof_signature_equals_explode_plan(spark, rows):
+    """minhash_signature (HOF form) and the lsh_candidates explode/groupBy
+    plan compute THE SAME signature — the scale rewrite must be a pure
+    physical change."""
+    docs = _docs(spark, rows)
+    hof = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(
+                F.array_distinct(shingles(tokens(F.col("text")), 3)), 32
+            ).alias("sig"),
+        ).collect()
+    }
+    # reproduce the explode/agg signature exactly as lsh_candidates builds it
+    from timeseries_spark.extensions.dedup import EMPTY_SIG_SENTINEL
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    hp = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode_outer(
+            F.array_distinct(shingles(tokens(F.col("text")), 3))
+        ).alias("s"),
+    ).select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
+    agg = hp.groupBy("id").agg(
+        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(32)]
+    )
+    exploded = {
+        r["id"]: tuple(
+            r[f"m{i}"] if r[f"m{i}"] is not None else EMPTY_SIG_SENTINEL
+            for i in range(32)
+        )
+        for r in agg.collect()
+    }
+    assert hof == exploded
+
+
+@SLOW
+@given(rows=texts)
+def test_exact_duplicates_always_collide(spark, rows):
+    """Any two docs with identical text MUST appear as an LSH candidate
+    pair (identical signatures agree on every band) and at SimHash
+    hamming 0."""
+    dup = rows + [rows[0]]  # force at least one exact duplicate pair
+    docs = _docs(spark, dup)
+    a, b = 0, len(dup) - 1
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidates(docs, n=3).collect()
+    }
+    assert (a, b) in lsh
+    sim = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert sim.get((a, b)) == 0
+
+
+@SLOW
+@given(rows=texts)
+def test_simhash_depends_only_on_token_multiset(spark, rows):
+    """The sketch is a sum over token hashes — token order must not
+    change it."""
+    docs = _docs(spark, rows)
+    rev = _docs(
+        spark, [" ".join(reversed(t.split(" "))) for t in rows]
+    )
+    sk = lambda d: {
+        r["doc_id"]: r["sk"]
+        for r in d.select(
+            "doc_id", simhash32(tokens(F.col("text"))).alias("sk")
+        ).collect()
+    }
+    assert sk(docs) == sk(rev)
