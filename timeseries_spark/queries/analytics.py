@@ -185,3 +185,77 @@ def skew_salted_agg(spark, sf_dir):
         F.round("l_quantity_sum", 2).alias("l_quantity_sum"),
         F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
     )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). At 100 TB swap for
+    ``approx_percentile`` (t-digest, mergeable partials) — exact
+    percentile shuffles every value to its group like the reference's
+    exact distinct counts; the approx form is the opt-in, same as A3."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(CAST(o_year AS VARCHAR), 'ALL') AS year,
+           round(sum(rev), 2) AS revenue
+    FROM (
+      SELECT n_name, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    GROUP BY ROLLUP (n_name, o_year)
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotal ROLLUP (nation → nation+year → grand total) —
+    beyond the reference (it never uses grouping sets) but table stakes
+    for a log-analytics engine; Catalyst expands the rollup into one
+    Expand + single aggregation, no multi-pass union."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias(
+                "year"
+            ),
+            "revenue",
+        )
+    )
