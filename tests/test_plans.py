@@ -109,3 +109,12 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
         p = plan(name)
         assert p.count("CartesianProduct") == 0, name
         assert shuffles(p) <= bound, name
+
+
+def test_rollup_is_single_pass(plan):
+    """ROLLUP must plan as one Expand + one aggregation — never a union of
+    per-level aggregates (which would rescan the join output per level)."""
+    p = plan("revenue_rollup")
+    assert "Expand" in p
+    assert p.count("Union") == 0
+    assert shuffles(p) <= 2  # rollup agg + nothing else; joins broadcast
