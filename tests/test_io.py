@@ -90,3 +90,30 @@ def test_register_views_sql_surface(spark):
         "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey"
     ).first()["n"]
     assert n > 0
+
+
+def test_asof_join_semantics(spark):
+    """>= ties match; no-prior-right rows get NULL; tolerance drops stale
+    matches."""
+    from timeseries_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 10, "b"), ("u1", 30, "c"), ("u2", 7, "d")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 1.0), ("u1", 9, 2.0)], "k string, t long, v double"
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert out == {"a": 1.0, "b": 2.0, "c": 2.0, "d": None}
+    bounded = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["v"], tolerance=10
+        ).collect()
+    }
+    # at t=30 the last right row (t=9) is 21 old -> dropped by tolerance
+    assert bounded == {"a": 1.0, "b": 2.0, "c": None, "d": None}

@@ -414,3 +414,47 @@ def assoc_weighted_overall(spark, sf_dir):
         ev, ORDERS_CFG, ("o_orderstatus",), weights=weights, weight_key="src"
     )
     return out.withColumn("score", F.round("score", 4))
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value AS last_purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+           e.event_type, e.value, p.last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join — the canonical operator Spark lacks natively: every
+    event carries the value of the user's most recent purchase at or
+    before it. Implemented as union + carry-forward window (one shuffle,
+    operators/asof.py); the oracle uses DuckDB's native ASOF JOIN, so the
+    engines must agree on the full semantics including >= ties."""
+    from timeseries_spark.operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts", "event_type", "value"),
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["last_purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_type",
+        "value",
+        "last_purchase_value",
+    )
