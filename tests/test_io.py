@@ -117,3 +117,31 @@ def test_asof_join_semantics(spark):
     }
     # at t=30 the last right row (t=9) is 21 old -> dropped by tolerance
     assert bounded == {"a": 1.0, "b": 2.0, "c": None, "d": None}
+
+
+def test_interval_join_left_and_broadcast(spark):
+    from timeseries_spark.operators.ranges import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 99.0)], "pid long, v double"
+    )
+    ivals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 4.0, 20.0)], "name string, lo double, hi double"
+    )
+    inner = {
+        (r["pid"], r["name"])
+        for r in interval_join(pts, ivals, "v", "lo", "hi", 8.0).collect()
+    }
+    assert inner == {(1, "a"), (1, "b"), (2, "b")}  # overlaps multi-match
+    left = {
+        (r["pid"], r["name"])
+        for r in interval_join(pts, ivals, "v", "lo", "hi", 8.0, how="left").collect()
+    }
+    assert left == inner | {(3, None)}
+    bc = {
+        (r["pid"], r["name"])
+        for r in interval_join(
+            pts, ivals, "v", "lo", "hi", broadcast=True
+        ).collect()
+    }
+    assert bc == inner

@@ -259,3 +259,45 @@ def revenue_rollup(spark, sf_dir):
             "revenue",
         )
     )
+
+
+@query(
+    "interval_band_counts",
+    oracle="""
+    WITH bands AS (
+      SELECT band * 10 AS band_id,
+             band * band * 2.0 AS lo,
+             band * band * 2.0 + 40 + band AS hi
+      FROM (SELECT unnest(generate_series(0, 9)) AS band)
+    )
+    SELECT band_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN bands ON value >= lo AND value <= hi
+    GROUP BY band_id
+    """,
+)
+def interval_band_counts(spark, sf_dir):
+    """Interval join via the bucketized equi-join plan (operators/
+    ranges.py): overlapping non-uniform value bands, each event matched to
+    every containing band — the oracle runs the raw inequality join, the
+    engine never does (no nested loop at scale)."""
+    from timeseries_spark.operators.ranges import interval_join
+
+    events = load(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        (F.col("id") * 10).alias("band_id"),
+        (F.col("id") * F.col("id") * 2.0).alias("lo"),
+        (F.col("id") * F.col("id") * 2.0 + 40 + F.col("id")).alias("hi"),
+    )
+    out = interval_join(
+        events.select("event_id", "value"),
+        bands,
+        "value",
+        "lo",
+        "hi",
+        bucket_width=25.0,
+    )
+    return out.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
