@@ -79,6 +79,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    salt: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold), blocked by a coarse cluster key.
@@ -89,20 +90,29 @@ def embedding_near_dup(
     coarse quantizer (k-means / LSH hyperplane bucket) so block sizes stay
     bounded; here it is the dataset's ``label`` column, which keeps the
     pipeline deterministic and oracle-checkable. Recall is bounded by the
-    blocker exactly as in MinHash-LSH banding."""
+    blocker exactly as in MinHash-LSH banding.
+
+    ``salt`` splits each block's left side into deterministic sub-salts
+    (hash of the id) and replicates the right side per salt: parallelism
+    becomes blocks × salt tasks instead of one task per block, without
+    changing the pair set (each (a,b) meets exactly once, under a's
+    salt)."""
+    vectors = ensure_parallelism(vectors)
     lhs = vectors.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("va"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("__salt"),
     )
     rhs = vectors.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         _as_double(F.col(vec_col)).alias("vb"),
-    )
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return (
-        lhs.join(rhs, "block")
+        lhs.join(rhs, ["block", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .drop("__salt")
         .select(
             F.col("block"),
             "id_a",
