@@ -26,7 +26,7 @@ from timeseries_spark.config import EngineConfig
 from timeseries_spark.operators.novelty import add_novelty
 from timeseries_spark.operators.ontology import expand_ontology
 from timeseries_spark.operators.scoring import association_score
-from timeseries_spark.sources.io import table_exists, write_parquet
+from timeseries_spark.sources.io import cached, table_exists, write_parquet
 
 DS_KEYS = ("diseaseId", "targetId", "datasourceId")
 OVERALL_KEYS = ("diseaseId", "targetId")
@@ -77,12 +77,10 @@ class TimeseriesPipeline:
         scores = association_score(
             evidence_dated, self.cfg, OVERALL_KEYS, weights=weights
         )
-        scores.persist()  # novelty consumes it twice (timeseries.py:766-768)
-        try:
+        # novelty consumes scores twice (timeseries.py:766-768)
+        with cached(scores):
             out = add_novelty(scores, self.cfg, OVERALL_KEYS)
             return self._sink(out, stage)
-        finally:
-            scores.unpersist()
 
     def run(
         self, evidence_dated: DataFrame, disease: DataFrame
