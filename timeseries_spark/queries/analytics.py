@@ -301,3 +301,60 @@ def interval_band_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT day(ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY day(ts)
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot (long -> wide): one column per event type, counts per day.
+    The value list is EXPLICIT — an unpinned pivot runs a distinct scan
+    first and produces nondeterministic column order, both wrong at
+    scale."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.dayofmonth("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "sliding_window_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT event_type, day, total,
+           round(avg(total) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS avg_7d
+    FROM daily
+    """,
+)
+def sliding_window_avg(spark, sf_dir):
+    """Sliding rowsBetween frame (the one frame spec the reference never
+    needed — SURVEY.md §2.5 note): trailing 7-day moving average per
+    type."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn("avg_7d", F.round(F.avg("total").over(w), 4))
