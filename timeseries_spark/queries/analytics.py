@@ -358,3 +358,77 @@ def sliding_window_avg(spark, sf_dir):
 
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     return daily.withColumn("avg_7d", F.round(F.avg("total").over(w), 4))
+
+
+@query(
+    "unpivot_flags_long",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_urgent,
+             max(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+               AS has_jumbo
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT flag, CAST(sum(v) AS BIGINT) AS n_customers FROM (
+      SELECT 'has_urgent' AS flag, has_urgent AS v FROM flags
+      UNION ALL
+      SELECT 'has_jumbo', has_jumbo FROM flags
+    ) GROUP BY flag
+    """,
+)
+def unpivot_flags_long(spark, sf_dir):
+    """Unpivot (wide -> long, the inverse of pivot) via the native
+    ``unpivot``/melt — one pass, no per-column union re-scan."""
+    orders = load(spark, sf_dir, "orders")
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("has_urgent"),
+        F.max(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
+            "has_jumbo"
+        ),
+    )
+    return (
+        flags.unpivot("o_custkey", ["has_urgent", "has_jumbo"], "flag", "v")
+        .groupBy("flag")
+        .agg(F.sum("v").alias("n_customers"))
+    )
+
+
+@query(
+    "string_normalize",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(
+             string_split(trim(regexp_replace(substring(text, 1, 40),
+                                              '[^A-Za-z ]', '', 'g')), ' '),
+             w -> CASE WHEN len(w) = 0 THEN w
+                       ELSE upper(substring(w, 1, 1)) || lower(substring(w, 2))
+                  END), ' ') AS headline,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digits
+    FROM documents
+    """,
+)
+def string_normalize(spark, sf_dir):
+    """The reference's stage-0 driver-pandas string cleanup (.title(),
+    regex strip — parse_timestamp.py:160-163, 229-255) as on-cluster
+    Column expressions (SURVEY.md §2.8): regexp_replace + trim + initcap
+    stay in codegen, run where the data is. (DuckDB has no initcap; the
+    oracle spells it with a word-wise list transform.)"""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.initcap(
+            F.trim(
+                F.regexp_replace(
+                    F.substring("text", 1, 40), "[^A-Za-z ]", ""
+                )
+            )
+        ).alias("headline"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digits"),
+    )
