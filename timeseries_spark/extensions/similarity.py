@@ -134,9 +134,12 @@ def ivf_topk(
     cluster_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) search: route each query to its nearest cluster
-    representative, then brute-force only inside that cluster.
+    """IVF search: route each query to its ``nprobe`` nearest cluster
+    representatives, then brute-force only inside those clusters —
+    ``nprobe`` is the recall/cost knob (probe cost scales linearly,
+    recall approaches brute-force).
 
     The representative table is tiny (one row per cluster) and broadcast
     twice (routing + probe); the big vector table is touched once with a
@@ -166,7 +169,7 @@ def ivf_topk(
     )
     probe = (
         routed.withColumn("rr", F.row_number().over(w_route))
-        .filter(F.col("rr") == 1)
+        .filter(F.col("rr") <= nprobe)
         .select("query_id", "q", cluster_col)
     )
     scored = (

@@ -94,3 +94,44 @@ def ann_ivf_topk(spark, sf_dir):
     table touched once via cluster-key equi join."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+
+@query(
+    "ann_ivf_nprobe2",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label, embedding AS rep_vec FROM embeddings
+      WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    routed AS (
+      SELECT query_id, qv, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(a="qv", b="rep_vec")} DESC, label
+             ) AS rr
+      FROM q CROSS JOIN reps
+    ),
+    probe AS (SELECT query_id, qv, label FROM routed WHERE rr <= 2),
+    scored AS (
+      SELECT p.query_id, p.label AS cluster, e.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="e.embedding")} AS cos_sim
+      FROM probe p JOIN embeddings e ON e.label = p.label
+      WHERE e.vec_id != p.query_id
+    )
+    SELECT query_id, cluster, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_nprobe2(spark, sf_dir):
+    """IVF with nprobe=2 — the recall/cost knob: each query searches its
+    TWO nearest clusters; top-k ranked across both probes. Probe cost
+    scales linearly with nprobe while the corpus is still touched only
+    through cluster-key equi joins."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5, nprobe=2)
