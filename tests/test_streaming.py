@@ -81,3 +81,56 @@ def test_stateful_running_peaks_matches_batch(spark, event_dir, tmp_path_factory
     s = {tuple(r) for r in got.collect()}
     assert b == s
     assert len(b) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """A row arriving in a later micro-batch with event time older than
+    max(event_time) - watermark must be DROPPED by the streaming agg but
+    counted by batch — the bounded-state contract, demonstrated."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mkrow = lambda i, hours, v: (
+        i, base + dt.timedelta(hours=hours), 1, "click", float(v), "{}"
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path_factory.mktemp("late"))
+    import time
+
+    # batch 0: events at hours 0 and 10 -> watermark becomes 10h - 2h = 8h,
+    # but it is applied with a ONE-BATCH lag (computed at batch end, used
+    # from the next batch on)
+    spark.createDataFrame(
+        [mkrow(1, 0, 1.0), mkrow(2, 10, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(0.05)  # distinct mod times => deterministic batch order
+    # batch 1: within-watermark row, also burns the lag batch
+    spark.createDataFrame([mkrow(4, 9.5, 5.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(0.05)
+    # batch 2: hour 1 is 7h behind the now-effective 8h watermark -> dropped
+    spark.createDataFrame([mkrow(3, 1, 100.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = windowed_type_counts(
+        read_event_stream(spark, d), "1 hour", watermark="2 hours"
+    )
+    # update mode: complete mode retains ALL state (the watermark never
+    # drops anything there); in update mode late rows are filtered. The
+    # memory sink appends one row per updated window per batch — counts
+    # only grow, so each window's final value is its max.
+    got = run_available_now(stream, "late_test", spark, output_mode="update")
+    final = got.groupBy("window_start_s", "event_type").agg(
+        F.max("total_value").alias("tv")
+    )
+    stream_total = final.agg(F.sum("tv")).first()[0]
+    batch_total = windowed_type_counts(
+        spark.read.parquet(d), "1 hour", streaming=False
+    ).agg(F.sum("total_value")).first()[0]
+    assert batch_total == pytest.approx(107.0)
+    assert stream_total == pytest.approx(7.0)  # the 100.0 late row dropped
