@@ -154,3 +154,26 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(pairs, docs).collect()
     }
     assert got == {2: 2, 5: 2, 7: 2, 9: 2, 11: 11, 20: 20, 30: 20}
+
+
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    """Lloyd iterations: same input -> identical assignments; total
+    squared distance non-increasing vs the 1-iteration run; clusters in
+    range; every vector assigned exactly once."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    a = kmeans_assign(emb, k=5, max_iter=6)
+    b = kmeans_assign(emb, k=5, max_iter=6)
+    rows_a = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in a.collect()}
+    rows_b = {r["vec_id"]: (r["cluster"], r["sq_dist"]) for r in b.collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) == emb.count()
+    assert {c for c, _ in rows_a.values()} <= set(range(5))
+    one_iter = kmeans_assign(emb, k=5, max_iter=1)
+    import pyspark.sql.functions as F
+
+    t1 = one_iter.agg(F.sum("sq_dist")).first()[0]
+    t6 = a.agg(F.sum("sq_dist")).first()[0]
+    assert t6 <= t1 + 1e-9

@@ -1,0 +1,103 @@
+"""Deterministic k-means (Lloyd) over embedding columns — the coarse
+quantizer that feeds the IVF index and the embedding-dedup blocker in
+production (their tests use the dataset's ``label`` column for
+reproducibility; this provides the same thing when no label exists).
+
+Design mirrors ``connected_components``: a bounded driver loop where each
+round is pure DataFrame ops ending in an eager ``localCheckpoint`` (the
+lineage-truncation lesson — persist alone lets Catalyst re-analyze an
+ever-growing plan). Per round:
+
+1. assign: points × broadcast centroids (k rows) → argmin squared
+   euclidean, ties to the lowest centroid id — one map stage, no shuffle
+   of the points beyond the final aggregation;
+2. update: per-dimension means via posexplode + groupBy (cluster, dim) —
+   |points| × dim rows shuffled, the standard distributed Lloyd update.
+
+Determinism: init = the k lowest-id vectors, tie-broken argmin, fixed
+iteration count or exact-assignment convergence — same input, same
+clusters, any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseries_spark.functions.parallelism import ensure_parallelism
+
+
+def _sq_dist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment (vec_id, cluster, sq_dist) after at most
+    ``max_iter`` Lloyd rounds (early exit when assignments stop moving,
+    detected by the total-distance aggregate strictly decreasing)."""
+    pts = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    ).localCheckpoint()
+
+    w = Window.orderBy("vid")
+    centroids = (
+        pts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+
+    assigned = None
+    prev_total = None
+    for _ in range(max_iter):
+        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
+            "sq_dist", _sq_dist(F.col("v"), F.col("c"))
+        )
+        w_best = Window.partitionBy("vid").orderBy("sq_dist", "cid")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1)
+            .select("vid", "v", F.col("cid").alias("cluster"), "sq_dist")
+            .localCheckpoint()
+        )
+        total = assigned.agg(F.round(F.sum("sq_dist"), 9)).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+        # Lloyd update: per-dimension means (empty clusters keep their old
+        # centroid — they simply receive no update row and drop out;
+        # deterministic because assignment is)
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "x")
+        )
+        centroids = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return assigned.select(
+        F.col("vid").alias(id_col), "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
