@@ -73,3 +73,42 @@ def test_golden_pins(spark, evidence):
     assert assoc.count() == 13008
     assert _checksum(assoc, "score") == 978.499392
     assert _checksum(assoc, "novelty") == 383.869
+
+
+def test_dating_two_hop_over_generated_fixtures(spark):
+    """Dating end-to-end on generated tables: gwas evidence rows resolve a
+    studyYear through credible_set -> study; best-date coalesce prefers it
+    over publicationYear."""
+    from timeseries_spark.operators.dating import (
+        select_best_date,
+        with_study_year,
+    )
+    from timeseries_spark.sources.fixtures import gen_credible_set, gen_study
+
+    ev = gen_evidence(spark, 5000, 50, 40)
+    study = gen_study(spark, 500)
+    cs = gen_credible_set(spark, 2000, 500)
+    gwas = ev.filter(F.col("datasourceId") == "gwas_credible_sets")
+    assert gwas.count() > 0
+    dated = with_study_year(gwas, study, cs)
+    resolved = dated.filter(F.col("studyYear").isNotNull())
+    assert resolved.count() > 0
+    best = select_best_date(
+        dated.withColumn("pmid", F.explode_outer("literature")),
+        ("id", "targetId", "diseaseId", "datasourceId"),
+    )
+    assert best.count() == gwas.count()
+    # studyYear wins over publicationYear where both exist
+    sample = (
+        dated.filter(
+            F.col("studyYear").isNotNull()
+            & F.col("publicationYear").isNotNull()
+            & (F.col("studyYear") != F.col("publicationYear"))
+        )
+        .select("id", "studyYear")
+        .limit(1)
+        .collect()
+    )
+    if sample:
+        row = best.filter(F.col("id") == sample[0]["id"]).first()
+        assert row["year"] == sample[0]["studyYear"]

@@ -2,9 +2,11 @@
 generators (the stage-0 replacement, S12)."""
 
 from timeseries_spark.sources.fixtures import (
+    gen_credible_set,
     gen_disease,
     gen_drugs,
     gen_evidence,
+    gen_study,
     gen_target,
 )
 from timeseries_spark.sources.io import (
@@ -17,9 +19,11 @@ from timeseries_spark.sources.io import (
 )
 
 __all__ = [
+    "gen_credible_set",
     "gen_disease",
     "gen_drugs",
     "gen_evidence",
+    "gen_study",
     "gen_target",
     "read_csv",
     "read_parquet",

@@ -148,3 +148,28 @@ def gen_drugs(spark: SparkSession, n: int = 800, n_targets: int = 500) -> DataFr
             (F.lit(1985) + F.pmod(F.hash(F.col("id").cast("string"), F.lit("ay")), F.lit(40))).cast("int"),
         ).alias("firstApprovalYear"),
     )
+
+
+def gen_study(spark: SparkSession, n: int = 500) -> DataFrame:
+    """GWAS study dimension (studyId, publicationDate "YYYY-MM-DD")."""
+    return spark.range(n).select(
+        F.concat(F.lit("GCST"), F.col("id")).alias("studyId"),
+        F.concat(
+            (F.lit(1995) + F.pmod(F.hash(F.col("id").cast("string"), F.lit("sy")), F.lit(30))).cast("string"),
+            F.lit("-03-15"),
+        ).alias("publicationDate"),
+    )
+
+
+def gen_credible_set(
+    spark: SparkSession, n: int = 2_000, n_studies: int = 500
+) -> DataFrame:
+    """Credible-set bridge (studyLocusId -> studyId) for the two-hop
+    dating join (timestamp_evidence.py:209-230)."""
+    return spark.range(n).select(
+        F.concat(F.lit("L"), F.col("id")).alias("studyLocusId"),
+        F.concat(
+            F.lit("GCST"),
+            F.pmod(F.hash(F.col("id").cast("string"), F.lit("cs")), F.lit(n_studies)),
+        ).alias("studyId"),
+    )
