@@ -55,16 +55,20 @@ def test_indirect_propagates_to_ancestors(staged):
 
 
 def test_overall_grain_combines_sources(staged, cfg):
-    """Overall grain pools evidence across datasources (weights default to
-    1.0 for sources outside the registry): the (D1,T1) 2005 pool is
-    [0.891, 0.87, 0.5, 0.0576]."""
+    """Overall grain = two-level harmonic over the per-source scores
+    (timeseries.py:638-732; weights default to 1.0 for sources outside the
+    registry): at 2005 src_a has cumulated [0.891, 0.87, 0.0576] and src_b
+    [0.5]; each is harmonic-summed and /1.64-normalized per source, then
+    the two source scores are harmonic-summed and /1.64-normalized again."""
     tables, _ = staged
     overall = tables["association_overall"]
     s = {
         r["year"]: r["score"]
         for r in overall.filter("diseaseId = 'D1' AND targetId = 'T1'").collect()
     }
-    expected = (0.891 / 1 + 0.87 / 4 + 0.5 / 9 + 0.0576 / 16) / 1.64
+    src_a = (0.891 / 1 + 0.87 / 4 + 0.0576 / 9) / 1.64
+    src_b = 0.5 / 1.64
+    expected = (max(src_a, src_b) / 1 + min(src_a, src_b) / 4) / 1.64
     assert s[2005] == pytest.approx(expected)
     assert s[2010] == pytest.approx(expected)
 

@@ -109,3 +109,66 @@ def association_score(
         .alias(year_col),
         "score",
     )
+
+
+def overall_score(
+    per_source: DataFrame,
+    cfg: EngineConfig,
+    key_cols: Sequence[str] = ("diseaseId", "targetId"),
+    source_col: str = "datasourceId",
+    year_col: str = "year",
+    score_col: str = "score",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Overall association score from the per-datasource score table — the
+    reference's two-level harmonic (timeseries.py:638-732).
+
+    Each per-source score is already a cumulative top-k harmonic sum
+    normalized by ``max_score``; the overall grain weights those scores by
+    datasource, collects them per (*key_cols, year), and applies the
+    harmonic sum AGAIN with a second ``/max_score`` normalization
+    (timeseries.py:687-718 — the double normalization is deliberate
+    reference behavior, not a bug here). No cumulative window: the
+    per-source series are already cumulative, so one groupBy per year
+    suffices — a single shuffle at (keys, year) grain.
+
+    The per-source input is dense over the full year spine for every key
+    group, so the output is dense too; years with no scored source fold to
+    NULL score (empty-array harmonic), matching the reference's
+    NULL-propagating fold. Unknown sources default to weight 1.0
+    (documented departure: the reference's LEFT weight join NULLs their
+    scores out, silently dropping the source — its registry always covers
+    its sources, so the cases never diverge in practice).
+    """
+    spark = per_source.sparkSession
+    keys = list(key_cols)
+
+    data = per_source.withColumn(
+        year_col,
+        F.coalesce(F.col(year_col), F.lit(cfg.sentinel_year)).cast("int"),
+    )
+    if weights is not None:
+        wdf = spark.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()],
+            schema=f"{source_col} string, weight double",
+        )
+        data = data.join(F.broadcast(wdf), source_col, "left").withColumn(
+            score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))
+        )
+
+    pooled = data.groupBy(*keys, year_col).agg(
+        F.collect_list(score_col).alias("source_scores")
+    )
+    scored = pooled.withColumn(
+        score_col,
+        harmonic_sum(top_k_desc(F.col("source_scores"), cfg.top_k))
+        / F.lit(cfg.max_score),
+    )
+    return scored.select(
+        *keys,
+        F.when(F.col(year_col) == cfg.sentinel_year, F.lit(None))
+        .otherwise(F.col(year_col))
+        .cast("int")
+        .alias(year_col),
+        score_col,
+    )

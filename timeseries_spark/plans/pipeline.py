@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from timeseries_spark.config import EngineConfig
 from timeseries_spark.operators.novelty import add_novelty
 from timeseries_spark.operators.ontology import expand_ontology
-from timeseries_spark.operators.scoring import association_score
+from timeseries_spark.operators.scoring import association_score, overall_score
 from timeseries_spark.sources.io import cached, table_exists, write_parquet
 
 DS_KEYS = ("diseaseId", "targetId", "datasourceId")
@@ -69,13 +69,22 @@ class TimeseriesPipeline:
         return self._sink(out, stage, "sourceId")
 
     def association_overall(
-        self, evidence_dated: DataFrame, stage: str = "association_overall"
+        self, by_datasource: DataFrame, stage: str = "association_overall"
     ) -> DataFrame:
-        """Weighted overall grain (timeseries.py:638-833): evidence scores
-        scaled by datasource weight before the harmonic sum."""
+        """Weighted overall grain from the PER-DATASOURCE score table
+        (timeseries.py:638-833): the per-source cumulative scores (already
+        top-k harmonic-summed and /1.64-normalized) are weighted, pooled
+        per (d,t,year), and harmonic-summed again with a second /1.64
+        normalization — the reference's two-level formula. No extra
+        cumulative window: per-source series are already cumulative."""
         weights = dict(self.cfg.weights())
-        scores = association_score(
-            evidence_dated, self.cfg, OVERALL_KEYS, weights=weights
+        scores = overall_score(
+            by_datasource.select(
+                *OVERALL_KEYS, "datasourceId", "year", "score"
+            ),
+            self.cfg,
+            OVERALL_KEYS,
+            weights=weights,
         )
         # novelty consumes scores twice (timeseries.py:766-768)
         with cached(scores):
@@ -85,18 +94,20 @@ class TimeseriesPipeline:
     def run(
         self, evidence_dated: DataFrame, disease: DataFrame
     ) -> dict[str, DataFrame]:
-        """Full sequence: direct + indirect variants of both grains
-        (timeseries.py:836-855)."""
+        """Full sequence: direct + indirect variants of both grains, the
+        overall grain chained from the per-datasource stage output exactly
+        as the reference reads it back (timeseries.py:657-663, 836-855)."""
         indirect = self.indirect_evidence(evidence_dated, disease)
-        return {
-            name: fn(df, name)
-            for name, fn, df in (
-                ("association_by_datasource", self.association_by_datasource, evidence_dated),
-                ("association_by_datasource_indirect", self.association_by_datasource, indirect),
-                ("association_overall", self.association_overall, evidence_dated),
-                ("association_overall_indirect", self.association_overall, indirect),
+        out: dict[str, DataFrame] = {}
+        for suffix, ev in (("", evidence_dated), ("_indirect", indirect)):
+            by_ds = self.association_by_datasource(
+                ev, f"association_by_datasource{suffix}"
             )
-        }
+            out[f"association_by_datasource{suffix}"] = by_ds
+            out[f"association_overall{suffix}"] = self.association_overall(
+                by_ds, f"association_overall{suffix}"
+            )
+        return out
 
 
 def point_query(

@@ -358,45 +358,70 @@ def running_record_events(spark, sf_dir):
     )
 
 
+_WEIGHT_CASE = """CASE src
+               WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 1.0
+               WHEN '3-MEDIUM' THEN 0.5 ELSE 0.2 END"""
+
+
 @query(
     "assoc_weighted_overall",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
-      SELECT o_orderstatus,
+      SELECT o_orderstatus, o_orderpriority AS src,
              year(o_orderdate) AS year,
-             (o_totalprice / 600000) * CASE o_orderpriority
-               WHEN '1-URGENT' THEN 1.0 WHEN '2-HIGH' THEN 1.0
-               WHEN '3-MEDIUM' THEN 0.5 ELSE 0.2 END AS score
+             o_totalprice / 600000 AS score
       FROM orders
     ),
-    keys AS (SELECT DISTINCT o_orderstatus FROM ev),
+    keys AS (SELECT DISTINCT o_orderstatus, src FROM ev),
     years AS (SELECT unnest(generate_series(1995, 2002)) AS year),
     grid AS (SELECT * FROM keys CROSS JOIN years),
     pool AS (
-      SELECT g.o_orderstatus, g.year, e.score,
+      SELECT g.o_orderstatus, g.src, g.year, e.score,
              row_number() OVER (
-               PARTITION BY g.o_orderstatus, g.year
+               PARTITION BY g.o_orderstatus, g.src, g.year
                ORDER BY e.score DESC
              ) AS rn
       FROM grid g
-      JOIN ev e ON e.o_orderstatus = g.o_orderstatus AND e.year <= g.year
+      JOIN ev e ON e.o_orderstatus = g.o_orderstatus
+               AND e.src = g.src AND e.year <= g.year
     ),
-    hs AS (
-      SELECT o_orderstatus, year, sum(score / (rn * rn)) / 1.64 AS score
-      FROM pool WHERE rn <= 50 GROUP BY o_orderstatus, year
-    )
+    src_scores AS (
+      SELECT o_orderstatus, src, year,
+             sum(score / (rn * rn)) / 1.64 AS sscore
+      FROM pool WHERE rn <= 50 GROUP BY o_orderstatus, src, year
+    ),
+    weighted AS (
+      SELECT o_orderstatus, year,
+             sscore * {_WEIGHT_CASE} AS wscore,
+             row_number() OVER (
+               PARTITION BY o_orderstatus, year
+               ORDER BY sscore * {_WEIGHT_CASE} DESC
+             ) AS rn
+      FROM src_scores
+    ),
+    overall AS (
+      SELECT o_orderstatus, year, sum(wscore / (rn * rn)) / 1.64 AS score
+      FROM weighted WHERE rn <= 50 GROUP BY o_orderstatus, year
+    ),
+    statuses AS (SELECT DISTINCT o_orderstatus FROM ev),
+    sgrid AS (SELECT * FROM statuses CROSS JOIN years)
     SELECT g.o_orderstatus,
            CASE WHEN g.year = 2002 THEN NULL ELSE g.year END AS year,
-           round(hs.score, 4) AS score
-    FROM grid g LEFT JOIN hs USING (o_orderstatus, year)
+           round(o.score, 4) AS score
+    FROM sgrid g LEFT JOIN overall o USING (o_orderstatus, year)
     """,
 )
 def assoc_weighted_overall(spark, sf_dir):
-    """The overall grain (timeseries.py:638-732): evidence scores scaled by
-    a per-source weight (broadcast 5-row map, unknown sources default 1.0)
-    BEFORE the harmonic cumulation, keys collapsed to the coarser grain —
-    the cross-source pooling that makes the overall score dominated by
-    high-weight sources exactly as the reference intends."""
+    """The overall grain's two-level harmonic (timeseries.py:638-732):
+    per-source cumulative scores are computed first (each already top-50
+    harmonic-summed and /1.64-normalized), then weighted by datasource
+    (broadcast 5-row map, unknown sources default 1.0), pooled per
+    (key, year), and harmonic-summed AGAIN with a second /1.64
+    normalization — the reference's deliberate double normalization. No
+    second cumulative window: the per-source series are already
+    cumulative."""
+    from timeseries_spark.operators.scoring import overall_score
+
     ev = load(spark, sf_dir, "orders").select(
         "o_orderstatus",
         F.col("o_orderpriority").alias("src"),
@@ -410,8 +435,13 @@ def assoc_weighted_overall(spark, sf_dir):
         "4-NOT SPECIFIED": 0.2,
         "5-LOW": 0.2,
     }
-    out = association_score(
-        ev, ORDERS_CFG, ("o_orderstatus",), weights=weights, weight_key="src"
+    per_source = association_score(ev, ORDERS_CFG, ("o_orderstatus", "src"))
+    out = overall_score(
+        per_source,
+        ORDERS_CFG,
+        ("o_orderstatus",),
+        source_col="src",
+        weights=weights,
     )
     return out.withColumn("score", F.round("score", 4))
 
