@@ -25,6 +25,11 @@ def assoc(spark):
         ("D2", "T1", "s2", 2001, 0.9, 0.8),   # peak
         ("D2", "T1", "s2", None, 0.9, 0.0),   # undated row never counts
         ("D2", "T3", "s2", 2002, 0.1, 0.05),  # below cutoff
+        # group whose GLOBAL max novelty sits on the undated bucket: the
+        # reference's filter-then-argmax order must still count the best
+        # dated peak (2003), not drop the group
+        ("D2", "T4", "s2", None, 0.9, 0.9),
+        ("D2", "T4", "s2", 2003, 0.5, 0.3),
     ]
     return spark.createDataFrame(
         rows,
@@ -54,19 +59,25 @@ def test_novelty_distribution_counts(spark, assoc):
     disease_ta = spark.createDataFrame(
         [("D1", "TA1"), ("D2", "TA1")], schema="diseaseId string, therapeuticArea string"
     )
-    out = novelty_distribution(assoc, disease_ta, cutoff=0.1)
+    out = novelty_distribution(
+        assoc, disease_ta, cutoff=0.1, year_min=2000, year_max=2003
+    )
     got = {
         (r["year"], r["datasourceId"]): (r["association"], r["target"])
         for r in out.filter("therapeuticArea = 'TA1'").collect()
     }
     # (D1,T1,s1) peaks 2002; (D1,T2,s1) ties 2002+2003; (D2,T1,s2) peaks 2001
     assert got[(2002, "s1")] == (2, 2)  # T1 and T2 both novel in 2002
-    assert got[(2003, "s1")] == (1, 1)  # T2's tie year
+    # T2's tie year still counts the association, but the TARGET count uses
+    # first-peak-year-per-(ds,target) (min year) — T2 already counted at 2002
+    assert got[(2003, "s1")] == (1, 0)
     assert got[(2001, "s2")] == (1, 1)
+    # filter-then-argmax: T4's global max is on the undated bucket, but its
+    # dated 2003 peak (novelty 0.3) must still count
+    assert got[(2003, "s2")] == (1, 1)
     # dense zero-filled scaffold: every (year, source) cell exists
     assert got[(2001, "s1")] == (0, 0)
-    years = assoc.filter("year is not null").select("year").distinct().count()
-    assert out.count() == years * 2 * 1  # years × sources × TAs
+    assert out.count() == 4 * 2 * 1  # year_min..year_max × sources × TAs
 
 
 def test_first_approval_keeps_ties(spark):
@@ -88,10 +99,9 @@ def test_bell_matrix_offsets(spark, assoc):
         [("T1", 2002), ("T2", 2000)],
         schema="targetId string, firstApprovalYear int",
     )
-    peaks = peak_novelty_rows(assoc)
     out = {
         r["offset"]: r["n_targets"]
-        for r in approval_bell_matrix(peaks, approvals, window=3, cutoff=0.1).collect()
+        for r in approval_bell_matrix(assoc, approvals, window=3, cutoff=0.1).collect()
     }
     # T1 peaks: 2002 (s1, off 0), 2001 (s2, off -1); T2 peaks 2002+2003 (off 2,3)
     assert out[0] == 1 and out[-1] == 1
@@ -109,7 +119,9 @@ def test_datatype_rollup(spark, assoc, cfg):
         [("D1", "TA1"), ("D2", "TA1")],
         schema="diseaseId string, therapeuticArea string",
     )
-    dist = novelty_distribution(assoc, disease_ta, cutoff=0.1)
+    dist = novelty_distribution(
+        assoc, disease_ta, cutoff=0.1, year_min=2000, year_max=2003
+    )
     rolled = by_datatype(dist, cfg)
     got = {
         (r["year"], r["datatypeId"]): (r["association"], r["target"])
@@ -129,8 +141,7 @@ def test_cascade_slices_per_approval_year(spark, assoc):
         [("T1", 2002), ("T2", 2000)],
         schema="targetId string, firstApprovalYear int",
     )
-    peaks = peak_novelty_rows(assoc)
-    out = approval_cascade(peaks, approvals, window=3, cutoff=0.1).collect()
+    out = approval_cascade(assoc, approvals, window=3, cutoff=0.1).collect()
     got = {(r["approvalYear"], r["offset"]): r["n_targets"] for r in out}
     # T1 (approved 2002): peaks at offsets 0 and -1; T2 (2000): offsets 2, 3
     assert got[(2002, 0)] == 1 and got[(2002, -1)] == 1

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_spark.analytics.distribution import peak_novelty_rows
+
 
 def first_approval_year(drugs: DataFrame) -> DataFrame:
     """Earliest approval per target, ties kept: group-min window + equality
@@ -29,24 +31,43 @@ def first_approval_year(drugs: DataFrame) -> DataFrame:
     )
 
 
+def approval_peaks(
+    assoc: DataFrame,
+    cutoff: float = 0.1,
+) -> DataFrame:
+    """Per-(target, datasource) novelty-peak rows for the approval
+    analyses, in the reference's filter-then-argmax order
+    (novelty_approval.py:402-407): drop sub-cutoff and NULL-year rows
+    FIRST, then keep rows at the group max — so a group whose global max
+    sits on the undated bucket still surfaces its best dated peak. The
+    argmax partition is (targetId, datasourceId) — disease is pooled,
+    matching the reference window."""
+    filtered = assoc.filter(
+        (F.col("novelty") >= cutoff) & F.col("year").isNotNull()
+    )
+    return peak_novelty_rows(filtered, ("targetId", "datasourceId"))
+
+
 def approval_bell_matrix(
-    peaks: DataFrame,
+    assoc: DataFrame,
     approvals: DataFrame,
     window: int = 5,
     cutoff: float = 0.1,
 ) -> DataFrame:
-    """The 'bell' analysis (novelty_approval.py:576-694): for each target
-    with an approved drug, flag which offsets (peakYear − approvalYear,
-    clamped to ±``window``) carry a novelty peak ≥ ``cutoff``, one flag
-    row per target (A5 max-flag matrix), then sum flags across targets.
+    """The 'bell' analysis (novelty_approval.py:392-407, 576-694): for
+    each target with an approved drug, flag which offsets
+    (peakYear − approvalYear, clamped to ±``window``) carry a novelty
+    peak ≥ ``cutoff``, one flag row per target (A5 max-flag matrix), then
+    sum flags across targets.
 
-    ``peaks``: (targetId, year, novelty) peak rows (e.g.
-    ``peak_novelty_rows`` output); ``approvals``: (targetId,
-    firstApprovalYear). Output: one row per offset in [-window, window]
-    with ``n_targets`` — how many targets peaked at that offset."""
+    ``assoc``: association rows with (targetId, datasourceId, year,
+    novelty) — filtering and the per-(target, datasource) argmax run
+    inside, filter-first (see ``approval_peaks``); ``approvals``:
+    (targetId, firstApprovalYear). Output: one row per offset in
+    [-window, window] with ``n_targets`` — how many targets peaked at
+    that offset."""
     joined = (
-        peaks.filter(F.col("novelty") >= cutoff)
-        .filter(F.col("year").isNotNull())
+        approval_peaks(assoc, cutoff)
         .join(
             F.broadcast(
                 approvals.select("targetId", "firstApprovalYear").distinct()
@@ -98,7 +119,7 @@ def approval_bell_matrix(
 
 
 def approval_cascade(
-    peaks: DataFrame,
+    assoc: DataFrame,
     approvals: DataFrame,
     window: int = 5,
     cutoff: float = 0.1,
@@ -110,11 +131,11 @@ def approval_cascade(
     output partition per approval year; here the partition column is in
     the result (callers ``write_parquet(partition_by='approvalYear')``).
 
+    Filtering + argmax run inside, filter-first (``approval_peaks``).
     Shares the per-target flag aggregation with the bell: flags first
     (one row per target × approval year — tiny), sums after."""
     joined = (
-        peaks.filter(F.col("novelty") >= cutoff)
-        .filter(F.col("year").isNotNull())
+        approval_peaks(assoc, cutoff)
         .join(
             F.broadcast(
                 approvals.select(

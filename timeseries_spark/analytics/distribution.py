@@ -67,40 +67,68 @@ def novelty_distribution(
     assoc: DataFrame,
     disease_ta: DataFrame,
     cutoff: float = 0.1,
+    year_min: int = 2000,
+    year_max: int = 2025,
     key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
 ) -> DataFrame:
     """Counts of novel associations and novel targets per
     (year, datasourceId, therapeuticArea), densified over the full
-    year × source × TA scaffold with zero fill
-    (novelty_distribution.py:737-809).
+    ``year_min..year_max`` × source × TA scaffold with zero fill
+    (novelty_distribution.py:640-809).
 
-    A (d,t,ds) association is 'novel in year y' if y is its peak-novelty
-    year and the peak is ≥ ``cutoff``. ``disease_ta`` is
-    (diseaseId, therapeuticArea) — typically ``top_therapeutic_area``
-    output — and is broadcast."""
-    peaks = (
-        peak_novelty_rows(assoc, key_cols)
-        .filter(F.col("novelty") >= cutoff)
-        .filter(F.col("year").isNotNull())
+    Reference-order semantics (novelty_distribution.py:649-726): the year
+    bounds and ``novelty >= cutoff`` filters and the TA join run BEFORE
+    the per-group max-novelty window, so a group whose global max lands
+    on the NULL-year undated bucket (or outside the bounds) still counts
+    its best surviving dated peak — filter-then-argmax, not the reverse.
+
+    Counting (novelty_distribution.py:746-764): ``association`` counts
+    distinct (disease,target) pairs peaking in each (year, ds, TA) cell;
+    ``target`` counts each target only at its FIRST peak year per
+    datasource — min(year) per (datasourceId, targetId), NOT split by TA
+    — so a target with tied peaks across years/TAs is counted once. The
+    target counts join the grid on (datasourceId, year) alone and repeat
+    across that cell's TAs, exactly as the reference's second join does.
+
+    ``disease_ta`` is (diseaseId, therapeuticArea) — typically
+    ``top_therapeutic_area`` output — and is broadcast."""
+    filtered = (
+        assoc.filter(
+            (F.col("year") >= year_min)
+            & (F.col("year") <= year_max)
+            & (F.col("novelty") >= cutoff)
+        )
         .join(F.broadcast(disease_ta), "diseaseId")
     )
-    counts = peaks.groupBy("year", "datasourceId", "therapeuticArea").agg(
+    peaks = peak_novelty_rows(filtered, key_cols)
+    assoc_counts = peaks.groupBy("year", "datasourceId", "therapeuticArea").agg(
         F.countDistinct(
             F.concat(F.col("targetId"), F.col("diseaseId"))
-        ).alias("association"),
-        F.countDistinct("targetId").alias("target"),
+        ).alias("association")
+    )
+    # first peak year per (datasource, target) — then count per (year, ds)
+    # (novelty_distribution.py:755-760)
+    target_counts = (
+        peaks.groupBy("datasourceId", "targetId")
+        .agg(F.min("year").alias("year"))
+        .groupBy("year", "datasourceId")
+        .agg(F.countDistinct("targetId").alias("target"))
     )
     # dense scaffold: every (year, source, TA) cell exists, zero-filled
     # (J7 — each distinct side is tiny, the cross join is broadcast)
+    spark = assoc.sparkSession
+    years = spark.range(1).select(
+        F.explode(F.sequence(F.lit(year_min), F.lit(year_max))).alias("year")
+    )
     spine = (
-        assoc.select("year")
-        .filter(F.col("year").isNotNull())
-        .distinct()
-        .crossJoin(assoc.select("datasourceId").distinct())
-        .crossJoin(disease_ta.select("therapeuticArea").distinct())
+        years.crossJoin(peaks.select("datasourceId").distinct())
+        .crossJoin(peaks.select("therapeuticArea").distinct())
     )
     return (
-        spine.join(counts, ["year", "datasourceId", "therapeuticArea"], "left")
+        spine.join(
+            assoc_counts, ["year", "datasourceId", "therapeuticArea"], "left"
+        )
+        .join(target_counts, ["year", "datasourceId"], "left")
         .na.fill(0, ["association", "target"])
     )
 
