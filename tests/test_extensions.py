@@ -177,3 +177,24 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
     t1 = one_iter.agg(F.sum("sq_dist")).first()[0]
     t6 = a.agg(F.sum("sq_dist")).first()[0]
     assert t6 <= t1 + 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k=3 over 4 points at 2 distinct locations: two init centroids are
+    identical, ties assign to the lowest cid, so cluster 1 receives no
+    points — it must keep its old centroid (k stays 3), not vanish."""
+    from timeseries_spark.extensions.kmeans import kmeans_fit
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),
+            (2, [10.0, 10.0]),
+            (3, [10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, centroids = kmeans_fit(vecs, k=3, max_iter=4)
+    assert centroids.count() == 3
+    got = {r["vid"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}

@@ -119,6 +119,31 @@ def test_asof_join_semantics(spark):
     assert bounded == {"a": 1.0, "b": 2.0, "c": None, "d": None}
 
 
+def test_asof_join_null_payload_rows_match(spark):
+    """DuckDB ASOF semantics: the LATEST right row wins even when its
+    payload columns are NULL — no carry-through of an older non-null
+    value, and multiple value columns never mix rows."""
+    from timeseries_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b")], "k string, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 1.0, "x"), ("u1", 9, None, "y"), ("u1", 15, 3.0, None)],
+        "k string, t long, v double, s string",
+    )
+    out = {
+        r["tag"]: (r["v"], r["s"])
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["v", "s"]
+        ).collect()
+    }
+    # at t=10 the latest right row is t=9 with v NULL: v must be NULL (not
+    # the t=5 value) and s must be 'y' — both fields from the SAME row
+    assert out["a"] == (None, "y")
+    assert out["b"] == (3.0, None)
+
+
 def test_interval_join_left_and_broadcast(spark):
     from timeseries_spark.operators.ranges import interval_join
 

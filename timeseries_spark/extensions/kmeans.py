@@ -35,16 +35,18 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     vectors: DataFrame,
     k: int = 10,
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Cluster assignment (vec_id, cluster, sq_dist) after at most
-    ``max_iter`` Lloyd rounds (early exit when assignments stop moving,
-    detected by the total-distance aggregate strictly decreasing)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Run Lloyd and return ``(assignments, centroids)`` — assignments as
+    (vid, v, cluster, sq_dist), centroids as (cid, c). The centroid table
+    always has exactly ``k`` rows: clusters that receive no points in a
+    round keep their previous centroid (left join + coalesce in the
+    update)."""
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("vid"),
@@ -77,13 +79,14 @@ def kmeans_assign(
         if total == prev_total:
             break
         prev_total = total
-        # Lloyd update: per-dimension means (empty clusters keep their old
-        # centroid — they simply receive no update row and drop out;
-        # deterministic because assignment is)
+        # Lloyd update: per-dimension means. A cluster with no assigned
+        # points produces no mean row; the left join + coalesce keeps its
+        # OLD centroid so k never shrinks mid-run (deterministic because
+        # assignment is)
         dims = assigned.select(
             "cluster", F.posexplode("v").alias("dim", "x")
         )
-        centroids = (
+        means = (
             dims.groupBy("cluster", "dim")
             .agg(F.avg("x").alias("m"))
             .groupBy("cluster")
@@ -94,10 +97,28 @@ def kmeans_assign(
             )
             .select(
                 F.col("cluster").alias("cid"),
-                F.transform(F.col("dm"), lambda s: s["m"]).alias("c"),
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("c_new"),
             )
+        )
+        centroids = (
+            centroids.join(means, "cid", "left")
+            .select("cid", F.coalesce("c_new", "c").alias("c"))
             .localCheckpoint()
         )
+    return assigned, centroids
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment (vec_id, cluster, sq_dist) after at most
+    ``max_iter`` Lloyd rounds (early exit when assignments stop moving,
+    detected by the total-distance aggregate strictly decreasing)."""
+    assigned, _ = kmeans_fit(vectors, k, max_iter, id_col, vec_col)
     return assigned.select(
         F.col("vid").alias(id_col), "cluster", F.round("sq_dist", 6).alias("sq_dist")
     )

@@ -12,6 +12,12 @@ self-join blowup — is the union-and-carry-forward plan:
    forward onto every subsequent left row;
 3. keep the left rows.
 
+The payload is ONE struct of all value columns plus the right timestamp,
+so the carried match is always the single latest right row — a right row
+whose value columns are NULL still wins (its struct is non-null), and
+multiple value columns can never mix rows. This is DuckDB's ASOF
+semantics exactly: latest row's values, NULLs included.
+
 Cost: ONE shuffle of |left| + |right| on the key — the same price as a
 plain equi join, regardless of how far back matches reach. The naive
 alternative (range join ``l.t >= r.t`` + argmax) is quadratic per key.
@@ -45,18 +51,26 @@ def asof_join(
     on = list(on)
     values = list(value_cols)
 
+    # one struct per right row: all payload columns + the row's timestamp.
+    # last(ignorenulls) over the STRUCT treats a right row with NULL
+    # payload fields as a real (non-null) match, and guarantees every
+    # projected field comes from the same — latest — right row.
     r = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__is_r"),
-        *[F.col(c).alias(f"__v_{c}") for c in values],
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(c) for c in values],
+        ).alias("__pay"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns if c not in on],
     )
+    pay_type = r.schema["__pay"].dataType
     l = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__is_r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in values],
+        F.lit(None).cast(pay_type).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in on],
     )
     # right rows sort before left rows at equal time => ">=" tie semantics
@@ -65,27 +79,15 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__cv_{c}")
-            for c in values
-        ],
-        F.max(F.when(F.col("__is_r") == 1, F.col("__t"))).over(w).alias("__rt"),
+    carried = r.unionByName(l).withColumn(
+        "__cp", F.last("__pay", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__is_r") == 0)
     if tolerance is not None:
-        fresh = F.col("__rt") >= F.col("__t") - tolerance
-        out = out.select(
-            "*",
-            *[
-                F.when(fresh, F.col(f"__cv_{c}")).alias(f"__fv_{c}")
-                for c in values
-            ],
-        )
-        cv = "__fv_{}"
+        fresh = F.col("__cp.__rt") >= F.col("__t") - tolerance
+        vals = [F.when(fresh, F.col(f"__cp.{c}")).alias(c) for c in values]
     else:
-        cv = "__cv_{}"
+        vals = [F.col(f"__cp.{c}").alias(c) for c in values]
     return out.select(
         *on,
         F.col("__t").alias(left_time),
@@ -94,5 +96,5 @@ def asof_join(
             for c in left.columns
             if c not in on and c != left_time
         ],
-        *[F.col(cv.format(c)).alias(c) for c in values],
+        *vals,
     )
