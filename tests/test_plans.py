@@ -111,6 +111,28 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
         assert shuffles(p) <= bound, name
 
 
+def test_shuffled_null_model_is_bucket_parallel(spark):
+    """O5 scale fix: the permutation null model must not plan a global
+    (partition-less) window — no Exchange SinglePartition anywhere; both
+    row_number orderings partition by the hash bucket."""
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.operators.scaffold import shuffled_null_years
+    from timeseries_spark.queries import load
+
+    ev = load(spark, SF, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_custkey",
+    )
+    df = shuffled_null_years(ev)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in p
+    assert p.count("CartesianProduct") == 0
+
+
 def test_rollup_is_single_pass(plan):
     """ROLLUP must plan as one Expand + one aggregation — never a union of
     per-level aggregates (which would rescan the join output per level)."""

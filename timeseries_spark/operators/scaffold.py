@@ -50,26 +50,48 @@ def dense_scaffold(
 
 def shuffled_null_years(
     evidence: DataFrame,
-    key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
+    id_col: str = "id",
     year_col: str = "year",
     seed: int = 42,
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Statistical null model (O5): permute the year column within the
-    whole evidence set — the reference's commented-out shuffle machinery
+    """Statistical null model (O5): permute the year column across the
+    evidence set — the reference's commented-out shuffle machinery
     (timeseries.py:415-433) used by the notebook's correlation control
     (analysis.ipynb cells 2-6).
 
-    Seeded ``rand`` keeps a given run reproducible; the permutation joins
-    two row_number orderings (original vs shuffled) so years are exactly
-    conserved as a multiset — a true permutation, not a resample."""
-    w_orig = Window.orderBy(F.monotonically_increasing_id())
-    w_rand = Window.orderBy(F.rand(seed), F.monotonically_increasing_id())
-    base = evidence.withColumn("__rn", F.row_number().over(w_orig))
-    shuffled_years = evidence.select(year_col).withColumn(
-        "__rn", F.row_number().over(w_rand)
-    ).withColumnRenamed(year_col, "__shuffled_year")
+    Scale design: rows land in ``n_buckets`` deterministic hash buckets
+    (``md5_long(id) % n_buckets``); within each bucket two row_number
+    orderings — 'original' (by ``md5(id)``) and 'shuffled' (by
+    ``md5(id || seed)``) — are joined on (bucket, rn), moving each year
+    to a different row of the same bucket. Every window PARTITIONS BY the
+    bucket, so the permutation is embarrassingly parallel — no global
+    single-task Window (the previous design funneled the whole table
+    through one task). The year multiset is conserved per bucket, hence
+    globally: a true permutation, not a resample.
+
+    Fully deterministic given (id values, seed) and engine-portable (md5
+    ordering, no ``rand``): a DuckDB oracle can replay the identical
+    permutation — see the ``novelty_null_correlation`` query. ``id_col``
+    values must be unique (md5 ties would make ranks ambiguous)."""
+    from timeseries_spark.extensions.hashing import md5_long
+
+    bucket = F.pmod(md5_long(F.col(id_col)), F.lit(n_buckets))
+    w_orig = Window.partitionBy("__b").orderBy(F.md5(F.col(id_col)))
+    w_perm = Window.partitionBy("__b").orderBy(
+        F.md5(F.concat(F.col(id_col), F.lit(f":{seed}")))
+    )
+    base = evidence.withColumn("__b", bucket).withColumn(
+        "__rn", F.row_number().over(w_orig)
+    )
+    shuffled_years = (
+        evidence.select(F.col(id_col), F.col(year_col).alias("__shuffled_year"))
+        .withColumn("__b", bucket)
+        .withColumn("__rn", F.row_number().over(w_perm))
+        .drop(id_col)
+    )
     return (
-        base.join(shuffled_years, "__rn")
-        .drop("__rn", year_col)
+        base.join(shuffled_years, ["__b", "__rn"])
+        .drop("__b", "__rn", year_col)
         .withColumnRenamed("__shuffled_year", year_col)
     )

@@ -447,6 +447,97 @@ def assoc_weighted_overall(spark, sf_dir):
 
 
 @query(
+    "novelty_null_correlation",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             o_orderpriority AS src,
+             o_custkey % 100 AS grp,
+             year(o_orderdate) AS year
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT *, ('0x' || substring(md5(id), 1, 15))::BIGINT % 16 AS b
+      FROM ev
+    ),
+    orig AS (
+      SELECT *, row_number() OVER (PARTITION BY b ORDER BY md5(id)) AS rn
+      FROM bucketed
+    ),
+    perm AS (
+      SELECT b, year AS shuffled_year,
+             row_number() OVER (PARTITION BY b ORDER BY md5(id || ':7')) AS rn
+      FROM bucketed
+    ),
+    null_ev AS (
+      SELECT o.src, o.grp, p.shuffled_year AS year
+      FROM orig o JOIN perm p USING (b, rn)
+    ),
+    real_peak AS (
+      SELECT src, grp, year AS real_peak FROM (
+        SELECT src, grp, year,
+               row_number() OVER (
+                 PARTITION BY src, grp ORDER BY count(*) DESC, year
+               ) AS rn
+        FROM ev GROUP BY src, grp, year
+      ) WHERE rn = 1
+    ),
+    null_peak AS (
+      SELECT src, grp, year AS null_peak FROM (
+        SELECT src, grp, year,
+               row_number() OVER (
+                 PARTITION BY src, grp ORDER BY count(*) DESC, year
+               ) AS rn
+        FROM null_ev GROUP BY src, grp, year
+      ) WHERE rn = 1
+    )
+    SELECT src, round(corr(real_peak, null_peak), 4) AS corr_real_null,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM real_peak JOIN null_peak USING (src, grp)
+    GROUP BY src
+    """,
+)
+def novelty_null_correlation(spark, sf_dir):
+    """The notebook's correlation control (analysis.ipynb cells 2-6):
+    Pearson correlation between each group's real peak-activity year and
+    its peak year under the permutation null model
+    (``shuffled_null_years``), one coefficient per source. A real dating
+    signal shows corr ≈ 0 against the null — the analytic the reference
+    uses to argue the timeseries carry information. The permutation is
+    md5-deterministic (no rand), so DuckDB replays it EXACTLY: this
+    oracle row also pins the null model itself."""
+    from timeseries_spark.operators.scaffold import shuffled_null_years
+
+    orders = load(spark, sf_dir, "orders")
+    ev = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderpriority").alias("src"),
+        F.pmod(F.col("o_custkey"), F.lit(100)).alias("grp"),
+        F.year("o_orderdate").cast("int").alias("year"),
+    )
+    null_ev = shuffled_null_years(ev, id_col="id", seed=7, n_buckets=16)
+
+    def peak(df, out_name):
+        counts = df.groupBy("src", "grp", "year").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("src", "grp").orderBy(
+            F.col("n").desc(), F.col("year")
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "grp", F.col("year").alias(out_name))
+        )
+
+    joined = peak(ev, "real_peak").join(peak(null_ev, "null_peak"), ["src", "grp"])
+    return joined.groupBy("src").agg(
+        F.round(F.corr("real_peak", "null_peak"), 4).alias("corr_real_null"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+
+
+@query(
     "asof_last_purchase",
     oracle="""
     WITH p AS (
