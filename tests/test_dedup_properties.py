@@ -115,3 +115,59 @@ def test_simhash_depends_only_on_token_multiset(spark, rows):
         ).collect()
     }
     assert sk(docs) == sk(rev)
+
+
+def test_doc_freq_cap_kills_hot_shingle_pairs(spark):
+    """Two docs that share ONLY a corpus-hot shingle pair up uncapped but
+    must NOT pair once max_doc_freq binds; pairs sharing cool shingles
+    survive the cap unchanged."""
+    from timeseries_spark.extensions.dedup import jaccard_pairs
+
+    hot = "x y z"  # 3-gram carried by every doc -> df 6 > cap 3
+    rows = [
+        (0, f"{hot} alpha beta gamma delta"),
+        (1, f"{hot} alpha beta gamma delta"),  # near-dup of 0 (cool overlap)
+        (2, f"{hot} epsilon zeta eta theta"),
+        (3, f"{hot} iota kappa lam mu"),
+        (4, f"{hot} nu xi omicron pi"),
+        (5, f"{hot} rho sigma tau upsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, n=3, threshold=0.05, max_doc_freq=3
+        ).collect()
+    }
+    # uncapped: the hot shingle links everything pairwise
+    assert (2, 3) in uncapped and (0, 2) in uncapped
+    # capped: only the genuinely-similar pair remains
+    assert capped == {(0, 1)}
+
+
+def test_doc_freq_cap_lsh_sentinel_for_all_hot_docs(spark):
+    """LSH with the cap: docs whose every shingle is hot degrade to the
+    sentinel signature and bucket with genuinely empty docs — and a
+    boilerplate run can no longer mint a corpus-wide band bucket."""
+    from timeseries_spark.extensions.dedup import lsh_candidates
+
+    boiler = "one two three"
+    rows = [(i, boiler) for i in range(5)] + [
+        (5, ""),  # genuinely empty
+        (6, f"{boiler} unique suffix here now"),
+        (7, "totally different content words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, max_doc_freq=3).collect()
+    }
+    # all-hot docs 0-4 and empty doc 5 share the sentinel -> pair together
+    sentinel_club = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert sentinel_club <= capped
+    # doc 7 shares nothing cool with anyone
+    assert not any(7 in p for p in capped)

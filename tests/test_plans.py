@@ -104,6 +104,11 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
         "dedup_minhash_lsh": 4,
         "dedup_simhash": 3,
         "dedup_embedding_cosine": 2,
+        # df-capped variants: + the hot-set aggregation, textually repeated
+        # per shingle-subtree alias (ReusedExchange computes it once; the
+        # hot side itself broadcasts — no extra join shuffle)
+        "dedup_jaccard_capped": 15,
+        "dedup_lsh_capped": 8,
     }
     for name, bound in budget.items():
         p = plan(name)

@@ -60,12 +60,27 @@ def exact_duplicates(
     )
 
 
+def hot_shingles(sh: DataFrame, max_doc_freq: int, col: str = "sh") -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_doc_freq`` over an
+    exploded (id, shingle) table with distinct shingles per doc. The hot
+    set is tiny by construction (only the most common boilerplate runs),
+    so callers broadcast it into an anti-join."""
+    return (
+        sh.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select(col)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -73,10 +88,15 @@ def jaccard_pairs(
     (co-occurrence list) -> count shared shingles per pair -> jaccard from
     |A∩B| / (|A| + |B| - |A∩B|). The self-join key is the shingle, so the
     shuffle is bounded by posting-list sizes; hot shingles (stopword runs)
-    are the skew risk — AQE skew-join handles moderate cases, and a
-    document-frequency cap is the standard mitigation at corpus scale.
-    Jaccard is a ratio of exact integer counts — deterministic across
-    engines."""
+    are the skew risk — one shingle shared by 100k docs creates a ~10^10
+    row join blowup AQE cannot save. ``max_doc_freq`` is the standard
+    mitigation at corpus scale: shingles with document frequency above
+    the cap are dropped BEFORE the self-join (broadcast anti-join against
+    the tiny hot set), bounding every posting list at the cap. Sizes and
+    Jaccard are then computed in the capped shingle space (docs left with
+    zero shingles simply produce no pairs) — the oracle applies the
+    identical cap, so results stay hash-exact. Jaccard is a ratio of
+    exact integer counts — deterministic across engines."""
     df = ensure_parallelism(df)
     sh = (
         df.select(
@@ -86,6 +106,8 @@ def jaccard_pairs(
             ),
         )
     )
+    if max_doc_freq is not None:
+        sh = sh.join(F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -143,6 +165,7 @@ def lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any whole band are
@@ -150,6 +173,15 @@ def lsh_candidates(
     all-pairs comparison; band-bucket skew (giant clusters of
     near-identical docs) is the known hot spot and is why the digest
     includes the band index.
+
+    ``max_doc_freq`` caps shingle document frequency BEFORE signatures:
+    hot shingles (df > cap — stopword runs, boilerplate) are nulled out
+    via a broadcast join against the tiny hot set, so they contribute to
+    no signature and can never form a band bucket shared by every doc
+    that carries them. Docs whose shingles are ALL hot degrade to the
+    sentinel signature — the same bucket as genuinely empty docs (their
+    content is pure boilerplate, which IS the empty document for dedup
+    purposes). The oracle applies the identical cap.
 
     Signature plan: explode shingles, digest each ONCE into the two
     double-hashing halves (a projection materializes them as attributes —
@@ -160,12 +192,18 @@ def lsh_candidates(
     oracle specifies)."""
     rows = num_hashes // bands
     df = ensure_parallelism(df)
-    hp = df.select(
+    ex = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             F.array_distinct(shingles(tokens(F.col(text_col)), n))
         ).alias("s"),
-    ).select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
+    )
+    if max_doc_freq is not None:
+        hot = hot_shingles(ex, max_doc_freq, "s").withColumn("__hot", F.lit(1))
+        ex = ex.join(F.broadcast(hot), "s", "left").withColumn(
+            "s", F.when(F.col("__hot").isNull(), F.col("s"))
+        )
+    hp = ex.select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
     sig = hp.groupBy("id").agg(
         *[
             F.min(F.col("h1") + i * F.col("h2")).alias(f"__m{i}")

@@ -74,6 +74,93 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+# double-hashing signature: sig[i] = min over shingles of h1 + i*h2
+# (one md5 per shingle; matches extensions.dedup.lsh_candidates exactly)
+_SIG_SQL = (
+    "list_transform(generate_series(0, 31), i -> coalesce(list_min("
+    "list_transform(shs, s -> "
+    "('0x' || substring(md5(s), 1, 13))::BIGINT"
+    " + i * ('0x' || substring(md5(s), 14, 13))::BIGINT"
+    ")), 4611686018427387904))"
+)
+
+
+@query(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    ),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > 5),
+    sh AS (SELECT id, sh FROM ex WHERE sh NOT IN (SELECT sh FROM hot)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.10
+    """,
+)
+def dedup_jaccard_capped(spark, sf_dir):
+    """Document-frequency-capped Jaccard: shingles with df > 5 (hot
+    boilerplate — the sf0.01 corpus tops out at df 7, so the cap BINDS)
+    are dropped before the inverted-index self-join, bounding every
+    posting list; sizes and similarity live in the capped shingle space
+    in both engines."""
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.10, max_doc_freq=5
+    )
+
+
+@query(
+    "dedup_lsh_capped",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    ex AS (SELECT id, unnest(shs) AS s FROM base),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 5),
+    kept AS (SELECT id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+    capped AS (
+      SELECT b.id,
+             coalesce(list(k.s) FILTER (k.s IS NOT NULL), []) AS shs
+      FROM base b LEFT JOIN kept k ON k.id = b.id
+      GROUP BY b.id
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM capped),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    """,
+)
+def dedup_lsh_capped(spark, sf_dir):
+    """MinHash-LSH with the df > 5 shingle cap applied BEFORE signatures:
+    hot shingles contribute to no signature, so a boilerplate run shared
+    by the whole corpus can no longer mint a band bucket containing every
+    doc. Docs whose shingles are all hot degrade to the sentinel (empty)
+    signature in both engines."""
+    return lsh_candidates(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=8,
+        max_doc_freq=5,
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -89,17 +176,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     all-pairs): one shuffle on the block key, JVM-side double-fold cosine,
     threshold filter. The 100 TB blocker is a coarse quantizer bucket."""
     return embedding_near_dup(load(spark, sf_dir, "embeddings"), threshold=0.30)
-
-
-# double-hashing signature: sig[i] = min over shingles of h1 + i*h2
-# (one md5 per shingle; matches extensions.dedup.lsh_candidates exactly)
-_SIG_SQL = (
-    "list_transform(generate_series(0, 31), i -> coalesce(list_min("
-    "list_transform(shs, s -> "
-    "('0x' || substring(md5(s), 1, 13))::BIGINT"
-    " + i * ('0x' || substring(md5(s), 14, 13))::BIGINT"
-    ")), 4611686018427387904))"
-)
 
 
 @query(
