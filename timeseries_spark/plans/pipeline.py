@@ -117,10 +117,17 @@ def point_query(
     target_id: str,
     disease: DataFrame | None = None,
     target: DataFrame | None = None,
+    include_non_dated: bool = False,
 ) -> DataFrame:
     """The plotTargetDisease query (plot_timeseries.py:667-799) minus the
     matplotlib coupling: one (disease, target) timeline across the overall
     series and every datasource series, with optional name joins.
+
+    ``include_non_dated=False`` (the reference's plot default,
+    plot_timeseries.py:773-794) drops every datasource series with no
+    dated positive row — and the overall series when IT has none — via a
+    left-semi join against the dated-source set, so all-undated series
+    never reach the output.
 
     Point filters push down to the Parquet scan (partition pruning on
     sourceId-partitioned layouts); output is presentation-ordered."""
@@ -139,6 +146,20 @@ def point_query(
     ).select(
         "diseaseId", "targetId", "datasourceId", "year", "score", "novelty"
     )
+    if not include_non_dated:
+        dated = F.col("year").isNotNull() & (F.col("score") > 0)
+        o = o.join(
+            F.broadcast(
+                o.filter(dated).select("diseaseId", "targetId").distinct()
+            ),
+            ["diseaseId", "targetId"],
+            "semi",
+        )
+        d = d.join(
+            F.broadcast(d.filter(dated).select("datasourceId").distinct()),
+            "datasourceId",
+            "semi",
+        )
     out = o.unionByName(d)
     if disease is not None:
         names = disease.select(

@@ -75,6 +75,7 @@ def _import_all() -> None:
     # import side effects populate REGISTRY
     from timeseries_spark.queries import analytics  # noqa: F401
     from timeseries_spark.queries import core  # noqa: F401
+    from timeseries_spark.queries import domain  # noqa: F401
     from timeseries_spark.queries import tsq  # noqa: F401
     from timeseries_spark.queries import text  # noqa: F401
     from timeseries_spark.queries import dedup  # noqa: F401
