@@ -17,6 +17,143 @@ from pyspark.sql import functions as F
 from timeseries_spark.analytics.distribution import peak_novelty_rows
 
 
+def novel_drug_targets(drugs: DataFrame, chembl_evidence: DataFrame) -> DataFrame:
+    """Approved drug→target(→disease) links with first approval per target
+    (novelty_approval.py:354-385): drugs joined to phase-4 clinical
+    evidence links (distinct drugId/targetId/diseaseId), rows without a
+    target or approval year dropped, then the per-target min-approval
+    window with ties kept.
+
+    Output: (drugId, drug, targetId, diseaseId, approvalYear), distinct.
+    The links side is dimension-sized — broadcast."""
+    links = (
+        chembl_evidence.filter(F.col("clinicalPhase").cast("double") == 4.0)
+        .select("drugId", "targetId", "diseaseId")
+        .distinct()
+    )
+    w = Window.partitionBy("targetId")
+    return (
+        drugs.join(F.broadcast(links), "drugId", "left")
+        .filter(
+            F.col("targetId").isNotNull() & F.col("firstApprovalYear").isNotNull()
+        )
+        .withColumn("minApprovalYear", F.min("firstApprovalYear").over(w))
+        .filter(F.col("minApprovalYear") == F.col("firstApprovalYear"))
+        .select(
+            "drugId",
+            "drug",
+            "targetId",
+            "diseaseId",
+            F.col("firstApprovalYear").alias("approvalYear"),
+        )
+        .distinct()
+    )
+
+
+def novel_drug_target_table(novel: DataFrame) -> DataFrame:
+    """The novel_drug_target publication table (novelty_approval.py:
+    387-390): distinct (targetId, diseaseId) pairs of approved drugs."""
+    return novel.select("targetId", "diseaseId").distinct()
+
+
+def phase_peaks(novel: DataFrame, chembl_dated: DataFrame) -> DataFrame:
+    """Clinical-phase peak rows (novelty_approval.py:432-452): phases
+    1.0/2.0 merged, first (min) dated year per (target, phase, drug),
+    inner-joined to the approved set on (targetId, drugId); each phase
+    becomes a pseudo-datasource with novelty pinned to 1.
+
+    ``chembl_dated``: dated clinical evidence rows with (targetId,
+    drugId, clinicalPhase, year) — callers pre-filter to the clinical
+    source, as the reference filters datasourceId == 'chembl'."""
+    merged = (
+        chembl_dated.withColumn(
+            "clinicalPhase",
+            F.when(
+                F.col("clinicalPhase").cast("string").isin("1.0", "2.0"),
+                F.lit("1.0/2.0"),
+            ).otherwise(F.col("clinicalPhase").cast("string")),
+        )
+        .groupBy("targetId", "clinicalPhase", "drugId")
+        .agg(F.min("year").alias("year"))
+    )
+    return (
+        novel.join(merged, ["targetId", "drugId"], "inner")
+        .withColumn("novelty", F.lit(1.0))
+        .withColumnRenamed("clinicalPhase", "datasourceId")
+    )
+
+
+def approval_timeline(
+    novel: DataFrame,
+    assoc: DataFrame,
+    chembl_dated: DataFrame,
+    datasources=(),
+) -> DataFrame:
+    """The reference's full approval `results` table
+    (novelty_approval.py:392-478): per-source novelty peaks of approved
+    (disease, target) pairs — filter novelty > 0 and dated BEFORE the
+    (targetId, datasourceId) argmax — unioned with the clinical-phase
+    peaks, then the offset window, the `discard` flag (early-phase peaks
+    AFTER approval are artifacts and are dropped), and the datatype
+    rollup id (registry sources map to their aggregation_id; phase
+    pseudo-sources pass through).
+
+    Output columns: drugId, drug, targetId, diseaseId, approvalYear,
+    datasourceId, year, novelty, window, discard, datatypeId."""
+    sp = (
+        novel.join(
+            assoc.select(
+                "targetId", "diseaseId", "year", "novelty", "datasourceId"
+            ),
+            ["diseaseId", "targetId"],
+            "left",
+        )
+        .filter((F.col("novelty") > 0.0) & F.col("year").isNotNull())
+        .withColumn(
+            "maxNovelty",
+            F.max("novelty").over(Window.partitionBy("targetId", "datasourceId")),
+        )
+        .filter(F.col("novelty") == F.col("maxNovelty"))
+        .drop("maxNovelty")
+    )
+    results = (
+        sp.unionByName(phase_peaks(novel, chembl_dated))
+        .withColumn("window", F.col("year") - F.col("approvalYear"))
+        .withColumn(
+            "discard",
+            F.when(
+                (F.col("approvalYear") < F.col("year"))
+                & F.col("datasourceId").isin("1.0/2.0", "3.0"),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        .filter(F.col("discard") == False)  # noqa: E712 — reference idiom
+    )
+    spark = novel.sparkSession
+    reg = spark.createDataFrame(
+        [(ds.id, ds.aggregation_id) for ds in datasources]
+        or [("__none__", "__none__")],
+        schema="datasourceId string, datatypeId string",
+    )
+    return (
+        results.join(F.broadcast(reg), "datasourceId", "left")
+        .withColumn("datatypeId", F.coalesce("datatypeId", F.col("datasourceId")))
+        .select(
+            "drugId",
+            "drug",
+            "targetId",
+            "diseaseId",
+            "approvalYear",
+            "datasourceId",
+            "year",
+            "novelty",
+            "window",
+            "discard",
+            "datatypeId",
+        )
+    )
+
+
 def first_approval_year(drugs: DataFrame) -> DataFrame:
     """Earliest approval per target, ties kept: group-min window + equality
     filter (novelty_approval.py:368-376, W5). Input columns:

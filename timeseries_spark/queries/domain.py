@@ -296,6 +296,191 @@ def assoc_domain_overall(spark, sf_dir):
     )
 
 
+def _domain_chembl(spark, sf_dir):
+    """Clinical-trial-shaped evidence on the '2-HIGH' source: drug ids,
+    clinical phases (phase from o_orderkey%4 — '1.0' rows are also the
+    undated ones, exercising the NULL-window path), dated like the main
+    evidence (publicationYear only; curation is urgent-only)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .select(
+            F.concat(
+                F.lit("CH"), F.pmod("o_orderkey", F.lit(50)).cast("string")
+            ).alias("drugId"),
+            F.concat(
+                F.lit("T"), F.pmod("o_orderkey", F.lit(40)).cast("string")
+            ).alias("targetId"),
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias(
+                "diseaseId"
+            ),
+            F.element_at(
+                F.array(F.lit("1.0"), F.lit("2.0"), F.lit("3.0"), F.lit("4.0")),
+                (F.pmod("o_orderkey", F.lit(4)) + 1).cast("int"),
+            ).alias("clinicalPhase"),
+            F.when(
+                F.pmod("o_orderkey", F.lit(4)) != 0,
+                F.lit(1995) + F.pmod("o_orderkey", F.lit(7)),
+            ).alias("year"),
+        )
+    )
+
+
+def _domain_drugs(spark):
+    """ChEMBL-style drugs table: 50 drugs, 20% never approved."""
+    return spark.range(50).select(
+        F.concat(F.lit("CH"), F.col("id").cast("string")).alias("drugId"),
+        F.concat(F.lit("drug-"), F.col("id").cast("string")).alias("drug"),
+        F.when(
+            F.pmod("id", F.lit(5)) != 0, F.lit(1995) + F.pmod("id", F.lit(8))
+        ).alias("firstApprovalYear"),
+    )
+
+
+# chembl-shaped evidence + drugs + approved-link CTE block (shared by the
+# approval timeline and the novel_drug_target table)
+_NDT_SQL = """
+    chembl_ev AS (
+      SELECT 'CH' || (o_orderkey % 50) AS drugId,
+             'T' || (o_orderkey % 40) AS targetId,
+             'N' || c_nationkey AS diseaseId,
+             CASE o_orderkey % 4 WHEN 0 THEN '1.0' WHEN 1 THEN '2.0'
+                  WHEN 2 THEN '3.0' ELSE '4.0' END AS clinicalPhase,
+             CASE WHEN o_orderkey % 4 != 0
+                  THEN 1995 + (o_orderkey % 7) END AS year
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderpriority = '2-HIGH'
+    ),
+    drugs AS (
+      SELECT 'CH' || i AS drugId, 'drug-' || i AS drug,
+             CASE WHEN i % 5 != 0 THEN 1995 + (i % 8) END AS firstApprovalYear
+      FROM (SELECT unnest(generate_series(0, 49)) AS i)
+    ),
+    links AS (
+      SELECT DISTINCT drugId, targetId, diseaseId FROM chembl_ev
+      WHERE clinicalPhase = '4.0'
+    ),
+    ndt AS (
+      SELECT DISTINCT drugId, drug, targetId, diseaseId,
+             firstApprovalYear AS approvalYear
+      FROM (
+        SELECT d.drugId, d.drug, l.targetId, l.diseaseId, d.firstApprovalYear,
+               min(d.firstApprovalYear) OVER (PARTITION BY l.targetId) AS mn
+        FROM drugs d JOIN links l USING (drugId)
+        WHERE d.firstApprovalYear IS NOT NULL
+      ) WHERE firstApprovalYear = mn
+    )
+"""
+
+
+@query(
+    "novel_drug_target",
+    oracle="WITH "
+    + _NDT_SQL
+    + """
+    SELECT DISTINCT targetId, diseaseId FROM ndt
+    """,
+)
+def novel_drug_target(spark, sf_dir):
+    """The novel_drug_target publication table (novelty_approval.py:
+    387-390): distinct (targetId, diseaseId) pairs carrying an approved
+    drug."""
+    from timeseries_spark.analytics.approval import (
+        novel_drug_target_table,
+        novel_drug_targets,
+    )
+
+    chembl = _domain_chembl(spark, sf_dir)
+    novel = novel_drug_targets(_domain_drugs(spark), chembl)
+    return novel_drug_target_table(novel)
+
+
+@query(
+    "approval_phase_peaks",
+    oracle=_DS_DENSE_SQL
+    + _DS_NOVELTY_SQL
+    + """
+    , assoc AS (
+      SELECT d.diseaseId, d.targetId, d.datasourceId,
+             CASE WHEN d.year = 2002 THEN NULL ELSE d.year END AS year,
+             coalesce(n.novelty, 0.0) AS novelty
+      FROM dense d
+      LEFT JOIN nov n USING (diseaseId, targetId, datasourceId, year)
+    ),
+    """
+    + _NDT_SQL
+    + """
+    , sp AS (
+      SELECT drugId, drug, targetId, diseaseId, approvalYear,
+             datasourceId, year, novelty
+      FROM (
+        SELECT t.drugId, t.drug, t.targetId, t.diseaseId, t.approvalYear,
+               a.datasourceId, a.year, a.novelty,
+               max(a.novelty) OVER (
+                 PARTITION BY t.targetId, a.datasourceId
+               ) AS mx
+        FROM ndt t
+        JOIN assoc a
+          ON a.diseaseId = t.diseaseId AND a.targetId = t.targetId
+        WHERE a.novelty > 0 AND a.year IS NOT NULL
+      ) WHERE novelty = mx
+    ),
+    pp AS (
+      SELECT t.drugId, t.drug, t.targetId, t.diseaseId, t.approvalYear,
+             m.clinicalPhase AS datasourceId, m.year, 1.0 AS novelty
+      FROM ndt t
+      JOIN (
+        SELECT targetId, drugId, clinicalPhase, min(year) AS year
+        FROM (
+          SELECT targetId, drugId,
+                 CASE WHEN clinicalPhase IN ('1.0', '2.0') THEN '1.0/2.0'
+                      ELSE clinicalPhase END AS clinicalPhase,
+                 year
+          FROM chembl_ev
+        )
+        GROUP BY targetId, drugId, clinicalPhase
+      ) m USING (targetId, drugId)
+    ),
+    un AS (
+      SELECT * FROM sp UNION ALL SELECT * FROM pp
+    ),
+    flagged AS (
+      SELECT *, year - approvalYear AS w_off,
+             CASE WHEN approvalYear < year
+                   AND datasourceId IN ('1.0/2.0', '3.0')
+                  THEN true ELSE false END AS discard
+      FROM un
+    )
+    SELECT drugId, drug, targetId, diseaseId, approvalYear, datasourceId,
+           year, novelty, w_off AS "window", discard,
+           CASE datasourceId
+             WHEN '1-URGENT' THEN 'fast' WHEN '2-HIGH' THEN 'fast'
+             WHEN '3-MEDIUM' THEN 'mid' WHEN '4-NOT SPECIFIED' THEN 'slow'
+             WHEN '5-LOW' THEN 'slow' ELSE datasourceId END AS datatypeId
+    FROM flagged WHERE discard = false
+    """,
+)
+def approval_phase_peaks(spark, sf_dir):
+    """The reference's full approval `results` table (novelty_approval.py:
+    354-478) over the domain tables: approved drug→target links with
+    first-approval ties, per-source novelty peaks (filter-then-argmax,
+    pooled over the target's diseases), clinical-phase peak union
+    (1.0/2.0 merged, min dated year per target/phase/drug, novelty=1),
+    offset window, discard of post-approval early-phase artifacts, and
+    the datatype rollup id."""
+    from timeseries_spark.analytics.approval import (
+        approval_timeline,
+        novel_drug_targets,
+    )
+
+    _, by_ds = _pipeline_tables(spark, sf_dir)
+    chembl = _domain_chembl(spark, sf_dir)
+    novel = novel_drug_targets(_domain_drugs(spark), chembl)
+    return approval_timeline(novel, by_ds, chembl, datasources=DOMAIN_SOURCES)
+
+
 @query(
     "point_target_disease",
     oracle=_DS_DENSE_SQL
