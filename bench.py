@@ -18,12 +18,16 @@ sys.path.insert(0, "/root/repo")
 HEADLINE = [
     "assoc_score_yearly",
     "assoc_novelty_yearly",
+    "assoc_custkey_novelty",  # 15k key groups: stresses the cumulative
+    #                           window + novelty shuffle at real cardinality
     "assoc_weighted_overall",
     "harmonic_topk_per_order",
     "pricing_summary",
     "revenue_by_nation",
     "dense_daily_events",
     "union_missing_columns",
+    "dedup_minhash_lsh",  # guard the extension surface in the bench
+    "ann_ivf_topk",
 ]
 
 

@@ -70,6 +70,18 @@ def test_novelty_adds_no_shuffle(plan):
     )
 
 
+def test_high_cardinality_flagship_budget(plan):
+    """The 15k-group flagship (one series per customer) must keep the same
+    2-shuffle shape as the coarse grain — partial aggregation before the
+    exchange, window reusing the groupBy partitioning — or the plan has
+    regressed in exactly the way that only bites at high cardinality."""
+    p = plan("assoc_custkey_novelty")
+    assert p.count("CartesianProduct") == 0
+    assert p.count("SortMergeJoin") == 0
+    assert shuffles(p) <= 2
+    assert "partial_" in p  # map-side partial agg before the exchange
+
+
 def test_no_cartesian_products_anywhere(plan):
     """Nothing in the registry may plan an unbounded cartesian product;
     scaffold cross joins must broadcast their small side."""

@@ -135,3 +135,77 @@ def ann_ivf_nprobe2(spark, sf_dir):
     through cluster-key equi joins."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _queries_df(spark, sf_dir), k=5, nprobe=2)
+
+
+def _kmeans_oracle_sql(k: int = 4, dims: int = 64, rounds: int = 3) -> str:
+    """DuckDB replay of the deterministic Lloyd loop (extensions/kmeans.py):
+    init = k lowest-id vectors; per round argmin assignment (ties to the
+    lowest cid) then per-dimension means, empty clusters keeping their old
+    centroid via left join + coalesce. Distances fold dimensions in array
+    order in BOTH engines, so assignments match exactly."""
+    d = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vid, v, cid AS cluster, sq_dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY sq_dist, cid) AS rn
+        FROM (
+          SELECT p.vid, p.v, c.cid,
+                 list_sum(list_transform(
+                   generate_series(1, {dims}), i -> {d})) AS sq_dist
+          FROM pts p CROSS JOIN {cents} c
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(a: str, prev: str, mname: str, cname: str) -> str:
+        return f"""
+    {mname} AS (
+      SELECT cluster AS cid, list(m ORDER BY dim) AS c FROM (
+        SELECT a.cluster, i AS dim, avg(a.v[i]) AS m
+        FROM {a} a, unnest(generate_series(1, {dims})) AS g(i)
+        GROUP BY a.cluster, i
+      ) GROUP BY cluster
+    ),
+    {cname} AS (
+      SELECT p.cid, coalesce(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN {mname} m ON m.cid = p.cid
+    )"""
+
+    parts = [
+        f"""WITH pts AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vid)) - 1 AS cid, v AS c
+      FROM pts ORDER BY vid LIMIT {k}
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(assign(f"a{r}", f"c{r}"))
+        if r < rounds - 1:
+            parts.append(update(f"a{r}", f"c{r}", f"m{r + 1}", f"c{r + 1}"))
+    last = f"a{rounds - 1}"
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT vid AS vec_id, cluster, round(sq_dist, 6) AS sq_dist FROM {last}
+    """
+    )
+
+
+@query("kmeans_assignments", oracle=_kmeans_oracle_sql(k=4, dims=64, rounds=3))
+def kmeans_assignments(spark, sf_dir):
+    """Deterministic Lloyd k-means (k=4, 3 rounds) over the embeddings
+    table: init from the k lowest-id vectors, tie-broken argmin, empty
+    clusters keep their centroid. The DuckDB oracle replays the identical
+    rounds in pure SQL — the quantizer that feeds IVF routing and
+    embedding-dedup blocking is itself correctness-gated."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, max_iter=3)

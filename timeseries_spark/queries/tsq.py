@@ -446,6 +446,75 @@ def assoc_weighted_overall(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+_CUST_ASSOC_ORACLE = """
+    WITH ev AS (
+      SELECT o_custkey, year(o_orderdate) AS year,
+             o_totalprice / 600000 AS score
+      FROM orders
+    ),
+    keys AS (SELECT DISTINCT o_custkey FROM ev),
+    years AS (SELECT unnest(generate_series(1995, 2002)) AS year),
+    grid AS (SELECT * FROM keys CROSS JOIN years),
+    pool AS (
+      SELECT g.o_custkey, g.year, e.score,
+             row_number() OVER (
+               PARTITION BY g.o_custkey, g.year ORDER BY e.score DESC
+             ) AS rn
+      FROM grid g
+      JOIN ev e ON e.o_custkey = g.o_custkey AND e.year <= g.year
+    ),
+    hs AS (
+      SELECT o_custkey, year, sum(score / (rn * rn)) / 1.64 AS score
+      FROM pool WHERE rn <= 50 GROUP BY o_custkey, year
+    ),
+    dense AS (
+      SELECT g.o_custkey, g.year, hs.score
+      FROM grid g LEFT JOIN hs USING (o_custkey, year)
+    ),
+    peaks AS (
+      SELECT o_custkey, year AS peakYear,
+             coalesce(score, 0) - lag(coalesce(score, 0)) OVER (
+               PARTITION BY o_custkey ORDER BY year
+             ) AS peak
+      FROM dense
+    ),
+    decays AS (
+      SELECT o_custkey, peak, peakYear,
+             unnest(generate_series(0, 10)) AS pos
+      FROM peaks WHERE peak > 0
+    ),
+    nov AS (
+      SELECT o_custkey, peakYear + pos AS year,
+             round(max(peak / (1 + exp(2.0 * (pos - 2.0)))), 3) AS novelty
+      FROM decays GROUP BY o_custkey, peakYear + pos
+    )
+    SELECT d.o_custkey,
+           CASE WHEN d.year = 2002 THEN NULL ELSE d.year END AS year,
+           round(d.score, 4) AS score,
+           coalesce(n.novelty, 0.0) AS novelty
+    FROM dense d LEFT JOIN nov n USING (o_custkey, year)
+"""
+
+
+@query("assoc_custkey_novelty", oracle=_CUST_ASSOC_ORACLE)
+def assoc_custkey_novelty(spark, sf_dir):
+    """The flagship pipeline at HIGH key cardinality: one series per
+    customer (15k groups at sf0.1 — three orders of magnitude more than
+    the priority×status grain), so the cumulative window and the novelty
+    kernel are actually stressed at the shuffle level the real
+    (disease, target, datasource) workload exhibits. A regression that
+    only bites at high key cardinality (e.g. losing the partial aggregate
+    before the exchange) moves THIS query's bench number."""
+    ev = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("year"),
+        (F.col("o_totalprice") / 600000).alias("score"),
+    )
+    scores = association_score(ev, ORDERS_CFG, ("o_custkey",))
+    out = add_novelty(scores, ORDERS_CFG, ("o_custkey",))
+    return out.withColumn("score", F.round("score", 4))
+
+
 @query(
     "novelty_null_correlation",
     oracle="""
