@@ -170,3 +170,105 @@ def test_dating_coverage_single_pass(spark, evidence_dated):
     # src_a: 5 evidence rows, 4 dated (e6 undated); src_b: 2 rows, 2 dated
     assert cov["src_a"] == (5, 4, 0.8)
     assert cov["src_b"] == (2, 2, 1.0)
+
+
+def test_dating_driver_registry_sequencing(spark):
+    """DatingDriver (timestamp_evidence.py:360-375): per-source daters run
+    over their registry slice, the untouched remainder is re-merged, the
+    pubmed pass runs LAST over everything, and the priority coalesce picks
+    studyYear > curationYear > publicationYear > pubmedYear."""
+    import pyspark.sql.functions as F
+
+    from timeseries_spark.operators.dating import (
+        DatingDriver,
+        reference_daters,
+        year_from_iso,
+    )
+    from timeseries_spark.sources.fixtures import (
+        gen_credible_set,
+        gen_evidence,
+        gen_study,
+    )
+
+    ev = gen_evidence(spark, n=2000)
+    study = gen_study(spark)
+    cs = gen_credible_set(spark)
+    # deterministic pmid→year lookup covering every pmid in the corpus
+    pmid2year = (
+        ev.select(F.explode("literature").alias("pmid"))
+        .distinct()
+        .withColumn(
+            "year", (F.lit(1990) + F.pmod(F.hash("pmid"), F.lit(30))).cast("int")
+        )
+    )
+    # curation lookup for the csv-style daters: every (target, disease) of
+    # the slapenrich slice dated 1997
+    cur = (
+        ev.filter(F.col("datasourceId") == "slapenrich")
+        .select("targetId", "diseaseId")
+        .distinct()
+        .withColumn("year", F.lit(1997))
+    )
+    daters = [
+        d
+        for d in reference_daters()
+        if d[0][0] in ("slapenrich", "gwas_credible_sets", "chembl")
+    ]
+    driver = DatingDriver(daters, pmid2year=pmid2year)
+    out = driver.run(
+        ev,
+        {"study": study, "credible_set": cs, "curation": cur},
+        group_cols=("id", "targetId", "diseaseId", "datasourceId", "score"),
+    ).cache()
+
+    # regrouped back to evidence grain
+    assert out.count() == ev.count()
+
+    # chembl: curationYear (ISO parse) wins over publication/pubmed
+    chembl_expect = {
+        r["id"]: r["y"]
+        for r in ev.filter("datasourceId = 'chembl'")
+        .select("id", year_from_iso("studyStartDate").alias("y"))
+        .collect()
+    }
+    chembl_got = {
+        r["id"]: r["year"]
+        for r in out.filter("datasourceId = 'chembl'").collect()
+    }
+    assert chembl_got == chembl_expect
+
+    # gwas: two-hop studyYear wins (every studyLocusId resolves)
+    gwas_undated = out.filter(
+        "datasourceId = 'gwas_credible_sets' AND year IS NULL"
+    ).count()
+    assert gwas_undated == 0
+
+    # slapenrich: curation lookup (1997) wins over later candidates for
+    # rows where pubmed/publication would give a different year
+    slap = out.filter("datasourceId = 'slapenrich'").select("year").distinct()
+    assert [r["year"] for r in slap.collect()] == [1997]
+
+    # pubmed runs last and catches sources with no dater of their own:
+    # an undatable europepmc row with literature gets its min pmid year
+    one = (
+        ev.filter(
+            "datasourceId = 'europepmc' AND publicationYear IS NULL"
+            " AND literature IS NOT NULL"
+        )
+        .select("id", F.explode("literature").alias("pmid"))
+        .join(pmid2year, "pmid")
+        .groupBy("id")
+        .agg(F.min("year").alias("expected"))
+        .limit(5)
+        .collect()
+    )
+    assert one, "fixture must contain pubmed-only europepmc rows"
+    got = {
+        r["id"]: r["year"]
+        for r in out.filter(
+            F.col("id").isin([r["id"] for r in one])
+        ).collect()
+    }
+    for r in one:
+        assert got[r["id"]] == r["expected"]
+    out.unpersist()

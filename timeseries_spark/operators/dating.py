@@ -130,6 +130,103 @@ def with_url_year(evidence: DataFrame, url2year: DataFrame) -> DataFrame:
     )
 
 
+class DatingDriver:
+    """Registry-driven stage-1 dating — the reference's main sequence
+    (timestamp_evidence.py:360-375) as one composable run.
+
+    ``daters`` is an ordered registry of ``(source_ids, fn)`` pairs; each
+    ``fn(evidence_part, lookups)`` returns its sources' rows with candidate
+    year columns attached (the composable operators in this module). The
+    driver then:
+
+    1. runs every dater over ITS sources' slice of the evidence (a
+       ``datasourceId`` filter — partition-pruned when the layout is
+       sourceId-partitioned, S2);
+    2. stacks the dated frames and the untouched remainder
+       (anti-join on id + unionByName(allowMissingColumns), the
+       reference's tmp1 merge — timestamp_evidence.py:259-266);
+    3. ALWAYS runs the pubmed pass last over the full union — every
+       source's rows get a pubmedYear candidate from the exploded
+       literature (timestamp_evidence.py:249-283, 'always process this
+       source the last one');
+    4. applies ``select_best_date``: the studyYear > curationYear >
+       publicationYear > pubmedYear coalesce + per-evidence regroup.
+
+    Unlike the reference — which writes tmp1 parquet per dater, re-reads
+    the whole directory for the pubmed pass, writes tmp2, re-reads again
+    for the coalesce, then gsutil-deletes both (timestamp_evidence.py:
+    255-331) — no stage here touches storage: the per-source frames stay
+    DataFrames and union once, removing the 3× scan amplification
+    (SURVEY.md §4)."""
+
+    def __init__(self, daters, pmid2year: DataFrame | None = None):
+        self.daters = list(daters)
+        self.pmid2year = pmid2year
+
+    def run(
+        self,
+        evidence: DataFrame,
+        lookups: dict[str, DataFrame] | None = None,
+        group_cols: tuple[str, ...] | None = None,
+    ) -> DataFrame:
+        lookups = lookups or {}
+        dated: DataFrame | None = None
+        for sources, fn in self.daters:
+            part = evidence.filter(F.col("datasourceId").isin(*sources))
+            out = fn(part, lookups)
+            dated = (
+                out
+                if dated is None
+                else dated.unionByName(out, allowMissingColumns=True)
+            )
+        full = merge_dated(dated, evidence) if dated is not None else evidence
+        if self.pmid2year is not None:
+            full = with_pubmed_year(full, self.pmid2year)  # always last
+        elif "pmid" not in full.columns:
+            full = full.withColumn("pmid", F.lit(None).cast("string"))
+        if group_cols is not None:
+            return select_best_date(full, group_cols)
+        return select_best_date(full)
+
+
+def reference_daters() -> list:
+    """The reference's eight named daters (timestamp_evidence.py:68-246)
+    over this module's composable operators, in run order; pubmed is NOT
+    here — the driver sequences it last itself. Sources whose lookup is
+    absent pass through undated (their rows reach the pubmed pass, exactly
+    the reference's fallback for pmid-only sources)."""
+
+    def gwas(part, lookups):
+        return with_study_year(
+            part, lookups["study"], lookups.get("credible_set")
+        )
+
+    def chembl(part, lookups):
+        return with_curation_year(part)
+
+    def clinvar(part, lookups):
+        return with_curation_lookup_year(
+            part, lookups["clinvar"], keys=("studyId",)
+        )
+
+    def clingen(part, lookups):
+        return with_url_year(part, lookups["url2year"])
+
+    def curation_csv(part, lookups):
+        return with_curation_lookup_year(
+            part, lookups["curation"], keys=("targetId", "diseaseId")
+        )
+
+    return [
+        (("slapenrich", "expression_atlas", "cancer_biomarkers",
+          "gene2phenotype"), curation_csv),
+        (("clingen",), clingen),
+        (("eva", "eva_somatic"), clinvar),
+        (("gwas_credible_sets",), gwas),
+        (("chembl",), chembl),
+    ]
+
+
 def merge_dated(dated: DataFrame, evidence: DataFrame) -> DataFrame:
     """Stack per-source dated frames with the not-yet-dated remainder:
     left-anti join on ``id`` finds untouched evidence, unionByName with
