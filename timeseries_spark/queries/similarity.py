@@ -190,15 +190,20 @@ def _kmeans_oracle_sql(k: int = 4, dims: int = 64, rounds: int = 3) -> str:
         if r < rounds - 1:
             parts.append(update(f"a{r}", f"c{r}", f"m{r + 1}", f"c{r + 1}"))
     last = f"a{rounds - 1}"
+    return ",".join(parts), last
+
+
+def _kmeans_oracle_final(k: int = 4, dims: int = 64, rounds: int = 3) -> str:
+    body, last = _kmeans_oracle_sql(k, dims, rounds)
     return (
-        ",".join(parts)
+        body
         + f"""
     SELECT vid AS vec_id, cluster, round(sq_dist, 6) AS sq_dist FROM {last}
     """
     )
 
 
-@query("kmeans_assignments", oracle=_kmeans_oracle_sql(k=4, dims=64, rounds=3))
+@query("kmeans_assignments", oracle=_kmeans_oracle_final(k=4, dims=64, rounds=3))
 def kmeans_assignments(spark, sf_dir):
     """Deterministic Lloyd k-means (k=4, 3 rounds) over the embeddings
     table: init from the k lowest-id vectors, tie-broken argmin, empty
@@ -209,3 +214,66 @@ def kmeans_assignments(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=4, max_iter=3)
+
+
+_KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
+
+
+@query(
+    "ann_ivf_kmeans",
+    oracle=_KM_BODY
+    + f""",
+    vcl AS (
+      SELECT vid AS vec_id, v AS embedding, cluster FROM {_KM_LAST}
+    ),
+    reps AS (
+      SELECT cluster, embedding AS rep_vec FROM (
+        SELECT cluster, vec_id, embedding,
+               row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+        FROM vcl
+      ) WHERE rn = 1
+    ),
+    qs AS (SELECT vid AS query_id, v AS q FROM pts WHERE vid < 8),
+    routed AS (
+      SELECT query_id, q, cluster FROM (
+        SELECT qs.query_id, qs.q, r.cluster,
+               row_number() OVER (
+                 PARTITION BY qs.query_id
+                 ORDER BY {_COS.format(a="qs.q", b="r.rep_vec")} DESC, r.cluster
+               ) AS rr
+        FROM qs CROSS JOIN reps r
+      ) WHERE rr <= 2
+    ),
+    scored AS (
+      SELECT rt.query_id, v.cluster, v.vec_id AS neighbor_id,
+             {_COS.format(a="rt.q", b="v.embedding")} AS cos_sim
+      FROM routed rt JOIN vcl v USING (cluster)
+      WHERE v.vec_id != rt.query_id
+    )
+    SELECT query_id, cluster, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN routed by the TRAINED k-means quantizer instead of the
+    dataset label: kmeans_assign clusters the corpus (k=4, 3 deterministic
+    Lloyd rounds), ivf_topk routes each query to its nprobe=2 nearest
+    cluster representatives and brute-forces only inside them — the full
+    production composition (quantizer → inverted file → probe), every
+    stage replayed exactly by the DuckDB oracle."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(emb, k=4, max_iter=3)
+    vecs = emb.join(clusters.select("vec_id", "cluster"), "vec_id")
+    return ivf_topk(
+        vecs,
+        _queries_df(spark, sf_dir),
+        k=5,
+        cluster_col="cluster",
+        nprobe=2,
+    )
