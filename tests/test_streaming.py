@@ -134,3 +134,31 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     ).agg(F.sum("total_value")).first()[0]
     assert batch_total == pytest.approx(107.0)
     assert stream_total == pytest.approx(7.0)  # the 100.0 late row dropped
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    """At-least-once input (the same event file delivered twice across
+    micro-batches) collapses to exactly-once rows on event_id; the
+    streaming result equals the batch dropDuplicates key set."""
+    from timeseries_spark.streaming.incremental import (
+        dedup_events,
+        read_event_stream,
+    )
+
+    events = load(spark, SF, "events").limit(200)
+    d = str(tmp_path_factory.mktemp("dup_events"))
+    # two identical deliveries: maxFilesPerTrigger=1 makes them separate
+    # micro-batches, so dedup must happen across batch boundaries (state)
+    events.coalesce(1).write.mode("overwrite").parquet(d + "/part=a")
+    events.coalesce(1).write.mode("append").parquet(d + "/part=b")
+
+    stream = dedup_events(
+        read_event_stream(spark, d), streaming=True, watermark="24 hours"
+    )
+    got = run_available_now(stream, "dedup_test", spark, output_mode="append")
+    batch = dedup_events(spark.read.parquet(d))
+    assert got.count() == events.count()
+    assert got.count() == batch.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in events.select("event_id").collect()
+    }

@@ -10,6 +10,7 @@ every streaming op is also exercisable by the batch oracle gate.
 
 from timeseries_spark.streaming.incremental import (
     IncrementalAssociationSink,
+    dedup_events,
     read_event_stream,
     run_incremental,
     run_available_now,
@@ -20,6 +21,7 @@ from timeseries_spark.streaming.incremental import (
 
 __all__ = [
     "IncrementalAssociationSink",
+    "dedup_events",
     "read_event_stream",
     "run_incremental",
     "run_available_now",

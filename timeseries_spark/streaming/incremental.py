@@ -143,6 +143,29 @@ def running_peaks(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    streaming: bool = False,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Exact dedup for at-least-once event streams — the streaming face of
+    the dedup extension family: replays/retries collapse to exactly-once
+    rows on the key.
+
+    Streaming mode uses ``dropDuplicatesWithinWatermark``: the state store
+    holds keys only within the watermark horizon (old keys are evicted
+    once no duplicate can still arrive), so state is bounded by arrival
+    rate × watermark — not by stream lifetime, which is what lets this
+    run forever. Batch mode is a plain ``dropDuplicates`` and returns the
+    same surviving key set."""
+    if streaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
