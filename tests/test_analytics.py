@@ -30,6 +30,9 @@ def assoc(spark):
         # dated peak (2003), not drop the group
         ("D2", "T4", "s2", None, 0.9, 0.9),
         ("D2", "T4", "s2", 2003, 0.5, 0.3),
+        # same (D1,T1) pair peaking in BOTH sources: at datatype grain the
+        # distinct pair count must not double
+        ("D1", "T1", "s2", 2002, 0.5, 0.3),
     ]
     return spark.createDataFrame(
         rows,
@@ -111,27 +114,43 @@ def test_bell_matrix_offsets(spark, assoc):
 
 
 def test_datatype_rollup(spark, assoc, cfg):
-    """Sources collapse onto their registry aggregation_id; unregistered
-    sources pass through; counts sum."""
+    """Datatype grain recounts the SAME peak rows per datatype — distinct
+    pairs, not summed per-source counts (novelty_distribution.py:775-809):
+    a pair peaking in two sources of one datatype counts ONCE."""
     from timeseries_spark.analytics.distribution import by_datatype
+    from timeseries_spark.config import DataSource, EngineConfig
 
     disease_ta = spark.createDataFrame(
         [("D1", "TA1"), ("D2", "TA1")],
         schema="diseaseId string, therapeuticArea string",
     )
-    dist = novelty_distribution(
-        assoc, disease_ta, cutoff=0.1, year_min=2000, year_max=2003
-    )
-    rolled = by_datatype(dist, cfg)
+    # identity mapping (fixture sources unregistered): counts equal the
+    # per-source distribution
+    rolled = by_datatype(assoc, disease_ta, cfg, cutoff=0.1, year_min=2000, year_max=2003)
     got = {
         (r["year"], r["datatypeId"]): (r["association"], r["target"])
         for r in rolled.collect()
     }
-    # fixture sources s1/s2 are not in the registry -> identity mapping
     assert got[(2002, "s1")] == (2, 2)
     assert got[(2001, "s2")] == (1, 1)
-    # registered source would collapse: sanity-check the mapping table
-    assert any(ds.aggregation_id == "literature" for ds in cfg.datasources)
+    # s1 and s2 collapsed into ONE datatype: (D1,T1) peaks 2002 in s1 AND
+    # s2 — distinct pair count at 2002 is 2 (D1T1, D1T2), NOT the
+    # per-source sum 3; targets: T1+T2 first-peak 2002 -> 2 (T4: 2003)
+    merged = EngineConfig(
+        datasources=(
+            DataSource("s1", "s1", "dt", 1.0),
+            DataSource("s2", "s2", "dt", 1.0),
+        )
+    )
+    rolled2 = by_datatype(assoc, disease_ta, merged, cutoff=0.1, year_min=2000, year_max=2003)
+    got2 = {
+        (r["year"], r["datatypeId"]): (r["association"], r["target"])
+        for r in rolled2.collect()
+    }
+    # 2002 pairs {D1T1, D1T2} = 2, not the per-source sum 3; T1's FIRST
+    # dt-grain peak year is 2001 (s2), so 2002 counts only T2
+    assert got2[(2002, "dt")] == (2, 1)
+    assert got2[(2001, "dt")] == (1, 1)  # pair (D2,T1); target T1
 
 
 def test_cascade_slices_per_approval_year(spark, assoc):

@@ -92,6 +92,22 @@ def novelty_distribution(
 
     ``disease_ta`` is (diseaseId, therapeuticArea) — typically
     ``top_therapeutic_area`` output — and is broadcast."""
+    peaks = distribution_peaks(
+        assoc, disease_ta, cutoff, year_min, year_max, key_cols
+    )
+    return _dense_counts(peaks, "datasourceId", year_min, year_max)
+
+
+def distribution_peaks(
+    assoc: DataFrame,
+    disease_ta: DataFrame,
+    cutoff: float = 0.1,
+    year_min: int = 2000,
+    year_max: int = 2025,
+    key_cols: Sequence[str] = ("diseaseId", "targetId", "datasourceId"),
+) -> DataFrame:
+    """Filter-then-argmax peak rows shared by the per-datasource and
+    per-datatype distribution variants (novelty_distribution.py:647-735)."""
     filtered = (
         assoc.filter(
             (F.col("year") >= year_min)
@@ -100,59 +116,71 @@ def novelty_distribution(
         )
         .join(F.broadcast(disease_ta), "diseaseId")
     )
-    peaks = peak_novelty_rows(filtered, key_cols)
-    assoc_counts = peaks.groupBy("year", "datasourceId", "therapeuticArea").agg(
+    return peak_novelty_rows(filtered, key_cols)
+
+
+def _dense_counts(
+    peaks: DataFrame, grain: str, year_min: int, year_max: int
+) -> DataFrame:
+    """Distinct association counts per (year, grain, TA) + first-peak-year
+    target counts per (year, grain), densified and zero-filled — the
+    counting block the reference runs once per grain
+    (novelty_distribution.py:737-809)."""
+    assoc_counts = peaks.groupBy("year", grain, "therapeuticArea").agg(
         F.countDistinct(
             F.concat(F.col("targetId"), F.col("diseaseId"))
         ).alias("association")
     )
-    # first peak year per (datasource, target) — then count per (year, ds)
+    # first peak year per (grain, target) — then count per (year, grain)
     # (novelty_distribution.py:755-760)
     target_counts = (
-        peaks.groupBy("datasourceId", "targetId")
+        peaks.groupBy(grain, "targetId")
         .agg(F.min("year").alias("year"))
-        .groupBy("year", "datasourceId")
+        .groupBy("year", grain)
         .agg(F.countDistinct("targetId").alias("target"))
     )
-    # dense scaffold: every (year, source, TA) cell exists, zero-filled
+    # dense scaffold: every (year, grain, TA) cell exists, zero-filled
     # (J7 — each distinct side is tiny, the cross join is broadcast)
-    spark = assoc.sparkSession
+    spark = peaks.sparkSession
     years = spark.range(1).select(
         F.explode(F.sequence(F.lit(year_min), F.lit(year_max))).alias("year")
     )
     spine = (
-        years.crossJoin(peaks.select("datasourceId").distinct())
+        years.crossJoin(peaks.select(grain).distinct())
         .crossJoin(peaks.select("therapeuticArea").distinct())
     )
     return (
-        spine.join(
-            assoc_counts, ["year", "datasourceId", "therapeuticArea"], "left"
-        )
-        .join(target_counts, ["year", "datasourceId"], "left")
+        spine.join(assoc_counts, ["year", grain, "therapeuticArea"], "left")
+        .join(target_counts, ["year", grain], "left")
         .na.fill(0, ["association", "target"])
     )
 
 
 def by_datatype(
-    distribution: DataFrame, cfg, source_col: str = "datasourceId"
+    assoc: DataFrame,
+    disease_ta: DataFrame,
+    cfg,
+    cutoff: float = 0.1,
+    year_min: int = 2000,
+    year_max: int = 2025,
 ) -> DataFrame:
-    """Roll the per-datasource distribution up to data-type grain
-    (novelty_distribution.py writes both datasourceId and datatypeId
-    variants): map each source to its ``aggregation_id`` via the broadcast
-    registry and re-aggregate. Unregistered sources keep their own id."""
-    reg = distribution.sparkSession.createDataFrame(
+    """The datatype-grain distribution (novelty_distribution.py:775-809):
+    the SAME peak rows re-counted at datatypeId grain — distinct pairs and
+    first-peak-year targets computed per datatype, NOT by summing the
+    per-source counts (a pair peaking in two sources of one datatype
+    counts once, as the reference's collect_set does). Sources map to
+    their registry ``aggregation_id`` (broadcast); unregistered sources
+    keep their own id."""
+    reg = assoc.sparkSession.createDataFrame(
         [(ds.id, ds.aggregation_id) for ds in cfg.datasources],
-        schema=f"{source_col} string, datatypeId string",
+        schema="datasourceId string, datatypeId string",
     )
-    return (
-        distribution.join(F.broadcast(reg), source_col, "left")
-        .withColumn("datatypeId", F.coalesce("datatypeId", F.col(source_col)))
-        .groupBy("year", "datatypeId", "therapeuticArea")
-        .agg(
-            F.sum("association").alias("association"),
-            F.sum("target").alias("target"),
-        )
+    peaks = (
+        distribution_peaks(assoc, disease_ta, cutoff, year_min, year_max)
+        .join(F.broadcast(reg), "datasourceId", "left")
+        .withColumn("datatypeId", F.coalesce("datatypeId", F.col("datasourceId")))
     )
+    return _dense_counts(peaks, "datatypeId", year_min, year_max)
 
 
 def target_facet_counts(
