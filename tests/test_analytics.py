@@ -186,3 +186,34 @@ def test_target_facet_counts(spark, assoc):
     }
     assert got[(2002, "s1")] == (2, 1, 1)  # T1 (ligand) + T2 (safety)
     assert got[(2001, "s2")] == (1, 1, 0)  # T1 only
+
+
+def test_bell_from_timeline_includes_phase_rows(spark):
+    """The timeline-driven bell counts clinical-phase rows alongside
+    source peaks — a target whose ONLY pre-approval signal is a phase-1/2
+    trial still lands in the matrix (the reference's actual bell input)."""
+    from timeseries_spark.analytics.approval import (
+        approval_bell_from_timeline,
+        approval_cascade_from_timeline,
+    )
+
+    timeline = spark.createDataFrame(
+        [
+            # (targetId, year, approvalYear) — TX has only a phase row
+            ("T1", 2001, 2002),
+            ("T1", 2002, 2002),
+            ("TX", 1999, 2002),
+        ],
+        "targetId string, year int, approvalYear int",
+    )
+    bell = {
+        r["offset"]: r["n_targets"]
+        for r in approval_bell_from_timeline(timeline, window=3).collect()
+    }
+    assert bell[-1] == 1 and bell[0] == 1  # T1
+    assert bell[-3] == 1  # TX clamped at -3
+    casc = {
+        (r["approvalYear"], r["offset"]): r["n_targets"]
+        for r in approval_cascade_from_timeline(timeline, window=3).collect()
+    }
+    assert casc[(2002, -3)] == 1 and casc[(2002, 0)] == 1

@@ -3,21 +3,43 @@ distribution and approval analyses (reference novelty_distribution.py /
 novelty_approval.py), rebuilt as pure DataFrame operators."""
 
 from timeseries_spark.analytics.approval import (
+    approval_bell_from_timeline,
     approval_bell_matrix,
     approval_cascade,
+    approval_cascade_from_timeline,
+    approval_peaks,
+    approval_timeline,
     first_approval_year,
+    novel_drug_target_table,
+    novel_drug_targets,
+    offset_matrix,
+    phase_peaks,
 )
 from timeseries_spark.analytics.distribution import (
+    by_datatype,
+    distribution_peaks,
     novelty_distribution,
     peak_novelty_rows,
+    target_facet_counts,
     top_therapeutic_area,
 )
 
 __all__ = [
+    "approval_bell_from_timeline",
     "approval_bell_matrix",
     "approval_cascade",
+    "approval_cascade_from_timeline",
+    "approval_peaks",
+    "approval_timeline",
+    "by_datatype",
+    "distribution_peaks",
     "first_approval_year",
+    "novel_drug_target_table",
+    "novel_drug_targets",
     "novelty_distribution",
+    "offset_matrix",
     "peak_novelty_rows",
+    "phase_peaks",
+    "target_facet_counts",
     "top_therapeutic_area",
 ]

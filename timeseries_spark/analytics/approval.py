@@ -203,28 +203,41 @@ def approval_bell_matrix(
     (targetId, firstApprovalYear). Output: one row per offset in
     [-window, window] with ``n_targets`` — how many targets peaked at
     that offset."""
-    joined = (
-        approval_peaks(assoc, cutoff)
-        .join(
-            F.broadcast(
-                approvals.select("targetId", "firstApprovalYear").distinct()
-            ),
-            "targetId",
-        )
-        .withColumn(
-            "offset",
-            F.greatest(
-                F.lit(-window),
-                F.least(
-                    F.lit(window),
-                    F.col("year") - F.col("firstApprovalYear"),
-                ),
-            ),
-        )
+    joined = approval_peaks(assoc, cutoff).join(
+        F.broadcast(
+            approvals.select(
+                "targetId",
+                F.col("firstApprovalYear").alias("approvalYear"),
+            ).distinct()
+        ),
+        "targetId",
     )
-    # per-target flag matrix: max(flag) per offset in ONE agg
-    # (novelty_approval.py:676-694), then column-wise sum
-    flags = joined.groupBy("targetId").agg(
+    return offset_matrix(joined, window)
+
+
+def offset_matrix(
+    rows: DataFrame, window: int = 5, slice_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Shared offset-flag kernel (novelty_approval.py:576-694): per row
+    compute offset = clamp(year − approvalYear, ±window); per
+    (*slice_cols, target) keep a max-flag row per offset in ONE
+    aggregation (A5 flag matrix — the expensive side reduces to one row
+    per target before any wide operation); sum flags per slice; unpivot
+    to long (offset, n_targets) form.
+
+    ``rows`` needs (targetId, year, approvalYear) — either the
+    peaks⋈approvals join or the full approval_timeline (which already
+    carries phase-union rows), so the same kernel serves the bell, the
+    per-approval-year cascade, and the timeline-driven variants."""
+    joined = rows.withColumn(
+        "offset",
+        F.greatest(
+            F.lit(-window),
+            F.least(F.lit(window), F.col("year") - F.col("approvalYear")),
+        ),
+    )
+    slices = list(slice_cols)
+    flags = joined.groupBy(*slices, "targetId").agg(
         *[
             F.max(
                 F.when(F.col("offset") == o, 1).otherwise(0)
@@ -232,7 +245,7 @@ def approval_bell_matrix(
             for o in range(-window, window + 1)
         ]
     )
-    summed = flags.agg(
+    summed = flags.groupBy(*slices).agg(
         *[
             F.sum(f"off_{o + window}").alias(f"off_{o + window}")
             for o in range(-window, window + 1)
@@ -249,9 +262,33 @@ def approval_bell_matrix(
         ]
     )
     return (
-        summed.select(F.explode(pairs).alias("e"))
-        .select("e.offset", "e.n_targets")
-        .orderBy("offset")
+        summed.select(*slices, F.explode(pairs).alias("e"))
+        .select(*slices, "e.offset", "e.n_targets")
+        .orderBy(*slices, "offset")
+    )
+
+
+def approval_bell_from_timeline(
+    timeline: DataFrame, window: int = 5
+) -> DataFrame:
+    """The bell over the FULL approval `results` table — source peaks AND
+    clinical-phase rows, discard already applied (the reference's actual
+    bell input, novelty_approval.py:552-694). No extra novelty filter:
+    the timeline rows already carry their own."""
+    return offset_matrix(
+        timeline.select("targetId", "year", "approvalYear"), window
+    )
+
+
+def approval_cascade_from_timeline(
+    timeline: DataFrame, window: int = 5
+) -> DataFrame:
+    """The cascade over the full `results` table, sliced per approval year
+    (novelty_approval.py:897-949)."""
+    return offset_matrix(
+        timeline.select("targetId", "year", "approvalYear"),
+        window,
+        slice_cols=("approvalYear",),
     )
 
 
@@ -271,52 +308,13 @@ def approval_cascade(
     Filtering + argmax run inside, filter-first (``approval_peaks``).
     Shares the per-target flag aggregation with the bell: flags first
     (one row per target × approval year — tiny), sums after."""
-    joined = (
-        approval_peaks(assoc, cutoff)
-        .join(
-            F.broadcast(
-                approvals.select(
-                    "targetId",
-                    F.col("firstApprovalYear").alias("approvalYear"),
-                ).distinct()
-            ),
-            "targetId",
-        )
-        .withColumn(
-            "offset",
-            F.greatest(
-                F.lit(-window),
-                F.least(
-                    F.lit(window), F.col("year") - F.col("approvalYear")
-                ),
-            ),
-        )
+    joined = approval_peaks(assoc, cutoff).join(
+        F.broadcast(
+            approvals.select(
+                "targetId",
+                F.col("firstApprovalYear").alias("approvalYear"),
+            ).distinct()
+        ),
+        "targetId",
     )
-    flags = joined.groupBy("targetId", "approvalYear").agg(
-        *[
-            F.max(F.when(F.col("offset") == o, 1).otherwise(0)).alias(
-                f"off_{o + window}"
-            )
-            for o in range(-window, window + 1)
-        ]
-    )
-    summed = flags.groupBy("approvalYear").agg(
-        *[
-            F.sum(f"off_{o + window}").alias(f"off_{o + window}")
-            for o in range(-window, window + 1)
-        ]
-    )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(o).alias("offset"),
-                F.col(f"off_{o + window}").alias("n_targets"),
-            )
-            for o in range(-window, window + 1)
-        ]
-    )
-    return (
-        summed.select("approvalYear", F.explode(pairs).alias("e"))
-        .select("approvalYear", "e.offset", "e.n_targets")
-        .orderBy("approvalYear", "offset")
-    )
+    return offset_matrix(joined, window, slice_cols=("approvalYear",))
