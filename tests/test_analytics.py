@@ -217,3 +217,53 @@ def test_bell_from_timeline_includes_phase_rows(spark):
         for r in approval_cascade_from_timeline(timeline, window=3).collect()
     }
     assert casc[(2002, -3)] == 1 and casc[(2002, 0)] == 1
+
+
+def test_approval_bucket_bell_percentages(spark):
+    """Irregular-bin bell (novelty_approval.py:518-715): per-datatype % of
+    approved targets with a peak per bucket; exact-0 bucket separate from
+    [-4,0); datatype remap collapses groups; denominator = distinct
+    approved targets in the approval window."""
+    from timeseries_spark.analytics.approval import approval_bucket_bell
+
+    timeline = spark.createDataFrame(
+        [
+            # targetId, datasourceId, datatypeId, year, approvalYear
+            ("T1", "s1", "genetic_association", 2000, 2002),  # off -2: [-4,0)
+            ("T1", "s1", "genetic_association", 2002, 2002),  # off 0: "0"
+            ("T2", "s2", "somatic_mutation", 1980, 2004),     # off -24: <-20
+            ("T2", "s2", "somatic_mutation", 2006, 2004),     # off 2: (0,4]
+            ("T3", "s3", "literature", 2010, 1990),           # approval outside window
+        ],
+        "targetId string, datasourceId string, datatypeId string,"
+        " year int, approvalYear int",
+    )
+    novel = spark.createDataFrame(
+        [("T1", 2002), ("T2", 2004), ("TZ", 2003), ("T3", 1990)],
+        "targetId string, approvalYear int",
+    )
+    out = approval_bucket_bell(
+        timeline,
+        novel,
+        year_min=2000,
+        year_max=2025,
+        datatype_groups={
+            "somatic_genetic": ("somatic_mutation", "genetic_association")
+        },
+    )
+    got = {
+        (r["datatypeId"], r["years"]): r["pct_with_peak"]
+        for r in out.collect()
+    }
+    # denominator: T1, T2, TZ approved in-window = 3 targets
+    third = round(100.0 / 3, 4)
+    assert got[("somatic_genetic", "[-4,0)")] == third  # T1
+    assert got[("somatic_genetic", "0")] == third       # T1 exact
+    assert got[("somatic_genetic", "<-20")] == third    # T2
+    assert got[("somatic_genetic", "(0,4]")] == third   # T2
+    assert got[("somatic_genetic", "(4,8]")] == 0.0
+    # T3's approval (1990) is outside the window -> literature absent
+    assert not any(dt == "literature" for dt, _ in got)
+    # both targets peak somewhere -> two flags in two bins each, never
+    # double-counted within a bin
+    assert len(got) == 13  # one datatype x 13 bins

@@ -4,6 +4,7 @@ novelty_approval.py), rebuilt as pure DataFrame operators."""
 
 from timeseries_spark.analytics.approval import (
     approval_bell_from_timeline,
+    approval_bucket_bell,
     approval_bell_matrix,
     approval_cascade,
     approval_cascade_from_timeline,
@@ -27,6 +28,7 @@ from timeseries_spark.analytics.distribution import (
 __all__ = [
     "approval_bell_from_timeline",
     "approval_bell_matrix",
+    "approval_bucket_bell",
     "approval_cascade",
     "approval_cascade_from_timeline",
     "approval_peaks",

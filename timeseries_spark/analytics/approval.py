@@ -268,6 +268,117 @@ def offset_matrix(
     )
 
 
+BELL_BINS: tuple[tuple[str, int | None, int | None], ...] = (
+    # (label, lo, hi): lo <= offset < hi for negatives, lo < offset <= hi
+    # for positives, exact 0 its own bucket — the reference's irregular
+    # 4-year binning (novelty_approval.py:576-674)
+    ("<-20", None, -20),
+    ("[-20,-16)", -20, -16),
+    ("[-16,-12)", -16, -12),
+    ("[-12,-8)", -12, -8),
+    ("[-8,-4)", -8, -4),
+    ("[-4,0)", -4, 0),
+    ("0", 0, 0),
+    ("(0,4]", 0, 4),
+    ("(4,8]", 4, 8),
+    ("(8,12]", 8, 12),
+    ("(12,16]", 12, 16),
+    ("(16,20]", 16, 20),
+    (">20", 20, None),
+)
+
+
+def _bin_condition(off, label: str, lo, hi):
+    if label == "0":
+        return off == 0
+    if lo is None:
+        return off < hi
+    if hi is None:
+        return off > lo
+    if label.startswith("["):
+        return (off >= lo) & (off < hi)
+    return (off > lo) & (off <= hi)
+
+
+def approval_bucket_bell(
+    timeline: DataFrame,
+    novel: DataFrame,
+    year_min: int = 2000,
+    year_max: int = 2025,
+    datatype_groups: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """The reference's full bell analysis (novelty_approval.py:518-715):
+    for approvals in [year_min, year_max], the percentage of approved
+    targets whose timeline has >= 1 peak in each irregular offset bucket
+    (4-year bins, exact-0 its own bucket, open tails), per datatype.
+
+    ``datatype_groups`` remaps datatypes before bucketing (the reference
+    collapses somatic_mutation+genetic_association -> somatic_genetic
+    etc.); unmapped rows fall back to their datasourceId, as the
+    reference's ``otherwise`` does. The denominator — distinct approved
+    targets in the window — joins in as a broadcast 1-row count, keeping
+    the whole computation distributed (the reference divides a pandas
+    frame by a driver-side count). Output: (datatypeId, years [bucket
+    label], pct_with_peak) in long form."""
+    rows = timeline.filter(
+        (F.col("approvalYear") >= year_min) & (F.col("approvalYear") <= year_max)
+    )
+    if datatype_groups:
+        expr = None
+        for new, olds in datatype_groups.items():
+            cond = F.col("datatypeId").isin(*olds)
+            expr = F.when(cond, F.lit(new)) if expr is None else expr.when(
+                cond, F.lit(new)
+            )
+        rows = rows.withColumn(
+            "datatypeId", expr.otherwise(F.col("datasourceId"))
+        )
+    off = F.col("year") - F.col("approvalYear")
+    flagged = rows.select(
+        "targetId",
+        "datatypeId",
+        *[
+            F.when(_bin_condition(off, label, lo, hi), 1)
+            .otherwise(0)
+            .alias(f"b{i}")
+            for i, (label, lo, hi) in enumerate(BELL_BINS)
+        ],
+    )
+    per_target = flagged.groupBy("targetId", "datatypeId").agg(
+        *[F.max(f"b{i}").alias(f"b{i}") for i in range(len(BELL_BINS))]
+    )
+    summed = per_target.groupBy("datatypeId").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(len(BELL_BINS))]
+    )
+    denom = (
+        novel.filter(
+            (F.col("approvalYear") >= year_min)
+            & (F.col("approvalYear") <= year_max)
+        )
+        .agg(F.countDistinct("targetId").alias("__n_targets"))
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("years"),
+                F.col(f"b{i}").alias("n"),
+            )
+            for i, (label, _, _) in enumerate(BELL_BINS)
+        ]
+    )
+    return (
+        summed.crossJoin(F.broadcast(denom))
+        .select("datatypeId", "__n_targets", F.explode(pairs).alias("e"))
+        .select(
+            "datatypeId",
+            F.col("e.years").alias("years"),
+            F.round(
+                F.col("e.n") * 100.0 / F.col("__n_targets"), 4
+            ).alias("pct_with_peak"),
+        )
+    )
+
+
 def approval_bell_from_timeline(
     timeline: DataFrame, window: int = 5
 ) -> DataFrame:
