@@ -267,3 +267,47 @@ def test_approval_bucket_bell_percentages(spark):
     # both targets peak somewhere -> two flags in two bins each, never
     # double-counted within a bin
     assert len(got) == 13  # one datatype x 13 bins
+
+
+def test_early_phase_anchor_timeline(spark):
+    """Early-clinical variant (novelty_approval.py:1513-1550): the anchor
+    is the target's FIRST phase<=2 trial year (ISO-parsed), bounded to
+    the window; the timeline then measures offsets from that anchor."""
+    from timeseries_spark.analytics.approval import (
+        approval_timeline,
+        early_phase_targets,
+    )
+
+    drugs = spark.createDataFrame(
+        [("d1", "drug one", 2010), ("d2", "drug two", 2012), ("d3", "x", None)],
+        "drugId string, drug string, firstApprovalYear int",
+    )
+    chembl = spark.createDataFrame(
+        [
+            # drugId, targetId, diseaseId, clinicalPhase, studyStartDate, year
+            ("d1", "T1", "D1", "1.0", "2003-05-01", 2003),
+            ("d1", "T1", "D1", "2.0", "2001-07-01", 2001),  # earliest <3
+            ("d1", "T1", "D1", "4.0", "1999-01-01", 1999),  # phase 4 ignored
+            ("d2", "T2", "D2", "2.0", "1995-01-01", 1995),  # outside window
+            ("d3", "T3", "D3", "1.0", "2005-01-01", 2005),  # never approved
+        ],
+        "drugId string, targetId string, diseaseId string,"
+        " clinicalPhase string, studyStartDate string, year int",
+    )
+    anchors = early_phase_targets(drugs, chembl, year_min=2000, year_max=2025)
+    got = {r["targetId"]: r["clinicalYear"] for r in anchors.collect()}
+    # T1 anchored at 2001 (earliest phase<=2); T2 excluded (anchor 1995
+    # outside window); T3 excluded (no approval)
+    assert got == {"T1": 2001}
+
+    assoc = spark.createDataFrame(
+        [("D1", "T1", "s1", 2004, 0.5, 0.6)],
+        "diseaseId string, targetId string, datasourceId string,"
+        " year int, score double, novelty double",
+    )
+    tl = approval_timeline(
+        anchors, assoc, chembl, anchor_col="clinicalYear"
+    ).collect()
+    by_src = {r["datasourceId"]: r for r in tl if r["datasourceId"] == "s1"}
+    assert by_src["s1"]["window"] == 3  # 2004 - anchor 2001
+    assert by_src["s1"]["clinicalYear"] == 2001

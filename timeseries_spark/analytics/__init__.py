@@ -9,6 +9,7 @@ from timeseries_spark.analytics.approval import (
     approval_cascade,
     approval_cascade_from_timeline,
     approval_peaks,
+    early_phase_targets,
     approval_timeline,
     first_approval_year,
     novel_drug_target_table,
@@ -32,6 +33,7 @@ __all__ = [
     "approval_cascade",
     "approval_cascade_from_timeline",
     "approval_peaks",
+    "early_phase_targets",
     "approval_timeline",
     "by_datatype",
     "distribution_peaks",

@@ -50,6 +50,55 @@ def novel_drug_targets(drugs: DataFrame, chembl_evidence: DataFrame) -> DataFram
     )
 
 
+def early_phase_targets(
+    drugs: DataFrame,
+    chembl_evidence: DataFrame,
+    year_min: int = 2000,
+    year_max: int = 2025,
+) -> DataFrame:
+    """The early-clinical-anchor variant (novelty_approval.py:1513-1550):
+    instead of the approval year, each target is anchored on its FIRST
+    early-phase (clinicalPhase <= 2) trial year, parsed from the ISO
+    studyStartDate; per-target min window with ties kept, anchor bounded
+    to [year_min, year_max].
+
+    Output: (drugId, drug, targetId, diseaseId, clinicalYear), distinct —
+    feed to ``approval_timeline(..., anchor_col='clinicalYear')``."""
+    from timeseries_spark.operators.dating import year_from_iso
+
+    links = (
+        chembl_evidence.filter(F.col("clinicalPhase").cast("double") <= 2.0)
+        .select(
+            "drugId",
+            "targetId",
+            "diseaseId",
+            year_from_iso("studyStartDate").alias("clinicalYear"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("targetId")
+    return (
+        drugs.join(F.broadcast(links), "drugId", "left")
+        .filter(
+            F.col("targetId").isNotNull() & F.col("firstApprovalYear").isNotNull()
+        )
+        .withColumn("minClinicalYear", F.min("clinicalYear").over(w))
+        .filter(F.col("minClinicalYear") == F.col("clinicalYear"))
+        .filter(
+            (F.col("clinicalYear") >= year_min)
+            & (F.col("clinicalYear") <= year_max)
+        )
+        .select(
+            "drugId",
+            "drug",
+            "targetId",
+            "diseaseId",
+            F.col("minClinicalYear").alias("clinicalYear"),
+        )
+        .distinct()
+    )
+
+
 def novel_drug_target_table(novel: DataFrame) -> DataFrame:
     """The novel_drug_target publication table (novelty_approval.py:
     387-390): distinct (targetId, diseaseId) pairs of approved drugs."""
@@ -88,6 +137,7 @@ def approval_timeline(
     assoc: DataFrame,
     chembl_dated: DataFrame,
     datasources=(),
+    anchor_col: str = "approvalYear",
 ) -> DataFrame:
     """The reference's full approval `results` table
     (novelty_approval.py:392-478): per-source novelty peaks of approved
@@ -118,11 +168,11 @@ def approval_timeline(
     )
     results = (
         sp.unionByName(phase_peaks(novel, chembl_dated))
-        .withColumn("window", F.col("year") - F.col("approvalYear"))
+        .withColumn("window", F.col("year") - F.col(anchor_col))
         .withColumn(
             "discard",
             F.when(
-                (F.col("approvalYear") < F.col("year"))
+                (F.col(anchor_col) < F.col("year"))
                 & F.col("datasourceId").isin("1.0/2.0", "3.0"),
                 F.lit(True),
             ).otherwise(F.lit(False)),
@@ -143,7 +193,7 @@ def approval_timeline(
             "drug",
             "targetId",
             "diseaseId",
-            "approvalYear",
+            anchor_col,
             "datasourceId",
             "year",
             "novelty",
