@@ -173,3 +173,26 @@ def point_query(
         )
         out = out.join(F.broadcast(names), "targetId", "left")
     return out.orderBy("datasourceId", F.col("year").asc_nulls_last())
+
+
+def point_evidence(
+    evidence_dated: DataFrame,
+    disease_id: str,
+    target_id: str,
+    include_non_dated: bool = False,
+) -> DataFrame:
+    """The plot's third panel (plot_timeseries.py:762-794): the raw dated
+    evidence rows behind one (disease, target) pair — per-evidence scores
+    by year and datasource, with the same non-dated drop as the series
+    panels (sources with no dated positive row vanish entirely)."""
+    out = evidence_dated.filter(
+        (F.col("diseaseId") == disease_id) & (F.col("targetId") == target_id)
+    ).select("diseaseId", "targetId", "datasourceId", "year", "score")
+    if not include_non_dated:
+        dated = F.col("year").isNotNull() & (F.col("score") > 0)
+        out = out.join(
+            F.broadcast(out.filter(dated).select("datasourceId").distinct()),
+            "datasourceId",
+            "semi",
+        )
+    return out

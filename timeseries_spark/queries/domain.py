@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from timeseries_spark.config import DataSource, EngineConfig
 from timeseries_spark.operators.dating import select_best_date, with_curation_year
-from timeseries_spark.plans.pipeline import TimeseriesPipeline, point_query
+from timeseries_spark.operators.ontology import expand_ontology
+from timeseries_spark.plans.pipeline import (
+    TimeseriesPipeline,
+    point_evidence,
+    point_query,
+)
 from timeseries_spark.queries import load, query
 
 DOMAIN_SOURCES = (
@@ -539,3 +544,35 @@ def point_target_disease(spark, sf_dir):
     return out.select(
         "diseaseId", "targetId", "datasourceId", "year", "score", "novelty"
     )
+
+
+@query(
+    "point_evidence_series",
+    oracle="WITH "
+    + _EXPANDED_SQL.strip().lstrip()
+    + f"""
+    , pair AS (
+      SELECT diseaseId, targetId, datasourceId,
+             CASE WHEN year = 2002 THEN NULL ELSE year END AS year,
+             round(score, 4) AS score
+      FROM expanded
+      WHERE diseaseId = '{POINT_DISEASE}' AND targetId = '{POINT_TARGET}'
+    ),
+    dated_sources AS (
+      SELECT DISTINCT datasourceId FROM pair
+      WHERE year IS NOT NULL AND score > 0
+    )
+    SELECT * FROM pair
+    WHERE datasourceId IN (SELECT datasourceId FROM dated_sources)
+    """,
+)
+def point_evidence_series(spark, sf_dir):
+    """The plot's raw-evidence panel (plot_timeseries.py:762-794): every
+    dated evidence score behind one (disease, target) pair across its
+    expanded diseases, with the non-dated drop — '5-LOW' (never dated)
+    must be absent here exactly as in the series panels."""
+    ev = _domain_evidence(spark, sf_dir)
+    disease = _domain_disease(spark, sf_dir)
+    expanded = expand_ontology(ev, disease)
+    out = point_evidence(expanded, POINT_DISEASE, POINT_TARGET)
+    return out.withColumn("score", F.round("score", 4))
