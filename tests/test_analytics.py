@@ -311,3 +311,21 @@ def test_early_phase_anchor_timeline(spark):
     by_src = {r["datasourceId"]: r for r in tl if r["datasourceId"] == "s1"}
     assert by_src["s1"]["window"] == 3  # 2004 - anchor 2001
     assert by_src["s1"]["clinicalYear"] == 2001
+
+
+def test_biotype_breakdown(spark):
+    from timeseries_spark.analytics.distribution import biotype_breakdown
+    from timeseries_spark.sources.fixtures import gen_target
+
+    pairs = spark.createDataFrame(
+        [("ENSG00000000001", "D1"), ("ENSG00000000002", "D1"),
+         ("ENSG00000000001", "D2")],
+        "targetId string, diseaseId string",
+    )
+    out = {
+        r["biotype"]: r["n_targets"]
+        for r in biotype_breakdown(pairs, gen_target(spark, n=10)).collect()
+    }
+    # ids 1 and 2 are protein_coding in the deterministic fixture; the
+    # duplicate (T1, D2) pair must not double-count T1
+    assert out == {"protein_coding": 2}

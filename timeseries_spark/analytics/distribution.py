@@ -183,6 +183,69 @@ def by_datatype(
     return _dense_counts(peaks, "datatypeId", year_min, year_max)
 
 
+def novel_pairs_at(
+    assoc: DataFrame,
+    disease_ta: DataFrame,
+    year: int,
+    cutoff: float = 0.1,
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """'Novels in <year>' (novelty_distribution.py:404-509): distinct
+    (disease, target) pairs whose novelty is >= ``cutoff`` AT the given
+    year, inner-joined to their therapeutic area, with the reference's
+    exclusion list applied to BOTH the TA and the disease id (the
+    catch-all ontology roots). Pass ``year=None``-like usage via the
+    ``all_pairs_at`` helper for the denominator set."""
+    out = (
+        assoc.filter((F.col("novelty") >= cutoff) & (F.col("year") == year))
+        .select("targetId", "diseaseId")
+        .distinct()
+        .join(F.broadcast(disease_ta), "diseaseId")
+    )
+    if exclude:
+        out = out.filter(~F.col("therapeuticArea").isin(*exclude)).filter(
+            ~F.col("diseaseId").isin(*exclude)
+        )
+    return out
+
+
+def all_pairs_at(
+    assoc: DataFrame, disease_ta: DataFrame, exclude: Sequence[str] = ()
+) -> DataFrame:
+    """The denominator set: every distinct (disease, target) pair in the
+    association table, TA-joined with the same exclusions
+    (novelty_distribution.py:406-437)."""
+    out = (
+        assoc.select("targetId", "diseaseId")
+        .distinct()
+        .join(F.broadcast(disease_ta), "diseaseId")
+    )
+    if exclude:
+        out = out.filter(~F.col("therapeuticArea").isin(*exclude)).filter(
+            ~F.col("diseaseId").isin(*exclude)
+        )
+    return out
+
+
+def biotype_breakdown(pairs: DataFrame, target: DataFrame) -> DataFrame:
+    """Novel-target counts by biotype (novelty_distribution.py:488-509):
+    distinct targets of the pair set, left-joined to the broadcast target
+    dimension, counted per biotype."""
+    return (
+        pairs.select("targetId")
+        .distinct()
+        .join(
+            F.broadcast(
+                target.select(F.col("id").alias("targetId"), "biotype")
+            ),
+            "targetId",
+            "left",
+        )
+        .groupBy("biotype")
+        .agg(F.countDistinct("targetId").alias("n_targets"))
+    )
+
+
 def target_facet_counts(
     novel_targets: DataFrame, prioritisation: DataFrame
 ) -> DataFrame:

@@ -576,3 +576,97 @@ def point_evidence_series(spark, sf_dir):
     expanded = expand_ontology(ev, disease)
     out = point_evidence(expanded, POINT_DISEASE, POINT_TARGET)
     return out.withColumn("score", F.round("score", 4))
+
+
+@query(
+    "novels_in_year",
+    oracle=_DS_DENSE_SQL
+    + _DS_NOVELTY_SQL
+    + """
+    , assoc AS (
+      SELECT d.diseaseId, d.targetId,
+             CASE WHEN d.year = 2002 THEN NULL ELSE d.year END AS year,
+             coalesce(n.novelty, 0.0) AS novelty
+      FROM dense d
+      LEFT JOIN nov n USING (diseaseId, targetId, datasourceId, year)
+    ),
+    ta AS (
+      SELECT 'N' || n_nationkey AS diseaseId,
+             'R' || n_regionkey AS therapeuticArea FROM nation
+      UNION ALL
+      SELECT DISTINCT 'R' || n_regionkey, 'R' || n_regionkey FROM nation
+      UNION ALL SELECT 'ROOT', 'ROOT'
+    ),
+    all_pairs AS (
+      SELECT DISTINCT a.targetId, a.diseaseId, t.therapeuticArea
+      FROM assoc a JOIN ta t USING (diseaseId)
+      WHERE t.therapeuticArea != 'ROOT' AND a.diseaseId != 'ROOT'
+    ),
+    novel AS (
+      SELECT DISTINCT a.targetId, a.diseaseId, t.therapeuticArea
+      FROM assoc a JOIN ta t USING (diseaseId)
+      WHERE a.novelty >= 0.1 AND a.year = 1999
+        AND t.therapeuticArea != 'ROOT' AND a.diseaseId != 'ROOT'
+    )
+    SELECT
+      (SELECT CAST(count(DISTINCT diseaseId || '|' || targetId) AS BIGINT)
+       FROM all_pairs) AS n_associations,
+      (SELECT CAST(count(DISTINCT targetId) AS BIGINT)
+       FROM all_pairs) AS n_targets,
+      (SELECT CAST(count(DISTINCT diseaseId || '|' || targetId) AS BIGINT)
+       FROM novel) AS n_novel_associations,
+      (SELECT CAST(count(DISTINCT targetId) AS BIGINT)
+       FROM novel) AS n_novel_targets
+    """,
+)
+def novels_in_year(spark, sf_dir):
+    """The 'Novels in <year>' summary (novelty_distribution.py:404-509)
+    over the domain tables: distinct association pairs and targets whose
+    novelty clears the cutoff AT year 1999, against the full denominator
+    set — TA inner join with the catch-all exclusion ('ROOT' here plays
+    the reference's GO_0008150-style roots) applied to both columns."""
+    from timeseries_spark.analytics.distribution import (
+        all_pairs_at,
+        novel_pairs_at,
+    )
+
+    _, by_ds = _pipeline_tables(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    ta = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias(
+                "diseaseId"
+            ),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+                "therapeuticArea"
+            ),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+                    "diseaseId"
+                ),
+                F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+                    "therapeuticArea"
+                ),
+            ).distinct()
+        )
+        .unionByName(
+            nation.sparkSession.createDataFrame(
+                [("ROOT", "ROOT")],
+                "diseaseId string, therapeuticArea string",
+            )
+        )
+    )
+    denom = all_pairs_at(by_ds, ta, exclude=("ROOT",))
+    novel = novel_pairs_at(by_ds, ta, year=1999, cutoff=0.1, exclude=("ROOT",))
+    pair = F.concat(F.col("diseaseId"), F.lit("|"), F.col("targetId"))
+    a = denom.agg(
+        F.countDistinct(pair).alias("n_associations"),
+        F.countDistinct("targetId").alias("n_targets"),
+    )
+    b = novel.agg(
+        F.countDistinct(pair).alias("n_novel_associations"),
+        F.countDistinct("targetId").alias("n_novel_targets"),
+    )
+    return a.crossJoin(b)
