@@ -18,8 +18,11 @@ from timeseries_spark.analytics.approval import (
     phase_peaks,
 )
 from timeseries_spark.analytics.distribution import (
+    all_pairs_at,
+    biotype_breakdown,
     by_datatype,
     distribution_peaks,
+    novel_pairs_at,
     novelty_distribution,
     peak_novelty_rows,
     target_facet_counts,
@@ -35,8 +38,11 @@ __all__ = [
     "approval_peaks",
     "early_phase_targets",
     "approval_timeline",
+    "all_pairs_at",
+    "biotype_breakdown",
     "by_datatype",
     "distribution_peaks",
+    "novel_pairs_at",
     "first_approval_year",
     "novel_drug_target_table",
     "novel_drug_targets",
