@@ -150,6 +150,22 @@ def test_shuffled_null_model_is_bucket_parallel(spark):
     assert p.count("CartesianProduct") == 0
 
 
+def test_domain_pipeline_plan_budget(plan):
+    """The composed domain pipeline (dating → ontology → score+novelty
+    [→ overall]) must stay within a fixed shuffle budget with zero
+    cartesian products and zero Python. SortMergeJoin is ALLOWED here —
+    the dense-scaffold grid join is big-big at scale, and the grid side
+    reuses the aggregation's (keys, year) hash partitioning, so SMJ is
+    the plan we'd pick at 100 TB (unlike the dimension joins, which must
+    broadcast and are asserted elsewhere)."""
+    budget = {"assoc_domain_datasource": 7, "assoc_domain_overall": 9}
+    for name, bound in budget.items():
+        p = plan(name)
+        assert p.count("CartesianProduct") == 0, name
+        assert p.count("EvalPython") + p.count("InPandas") == 0, name
+        assert shuffles(p) <= bound, name
+
+
 def test_rollup_is_single_pass(plan):
     """ROLLUP must plan as one Expand + one aggregation — never a union of
     per-level aggregates (which would rescan the join output per level)."""
