@@ -277,3 +277,98 @@ def dedup_components(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     pairs = lsh_candidates(docs, n=3, num_hashes=32, bands=8)
     return connected_components(pairs, docs)
+
+
+def _corpus_clean_oracle() -> str:
+    """Composed cleaning-pipeline oracle: language gate -> quality gate ->
+    exact-dedup canonical -> capped-LSH near-dup drop (keep the smaller id
+    of each candidate pair)."""
+    from timeseries_spark.extensions.text import LANG_MARKERS
+
+    marker = ",\n      ".join(
+        "struct_pack(hits := CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({', '.join(repr(m) for m in ms)}))) AS BIGINT), "
+        f"lang := '{lang}')"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    shingles = _SHINGLES.replace("string_split(text, ' ')",
+                                 "string_split(s.text, ' ')")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, [
+      {marker}
+      ] AS scores FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, scores,
+             list_max(list_transform(scores, x -> x.hits)) AS mh
+      FROM scored
+    ),
+    lang AS (
+      SELECT doc_id, text FROM m
+      WHERE list_sort(list_transform(
+              list_filter(scores, x -> x.hits = mh), x -> x.lang))[1] = 'en'
+    ),
+    q AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM lang
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    keep_exact AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    s AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
+    base AS (SELECT s.doc_id AS id, {shingles} AS shs FROM s),
+    ex AS (SELECT id, unnest(shs) AS sh FROM base),
+    hot AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) > 5),
+    kept AS (SELECT id, sh FROM ex WHERE sh NOT IN (SELECT sh FROM hot)),
+    capped AS (
+      SELECT b.id, coalesce(list(k.sh) FILTER (k.sh IS NOT NULL), []) AS shs
+      FROM base b LEFT JOIN kept k ON k.id = b.id GROUP BY b.id
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM capped),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    )
+    SELECT s.doc_id, s.n_words FROM s
+    WHERE s.doc_id NOT IN (SELECT id FROM dropped)
+    """
+
+
+@query("corpus_clean", oracle=_corpus_clean_oracle())
+def corpus_clean(spark, sf_dir):
+    """The composed pretraining-corpus cleaning pipeline — the extension
+    operators chained the way a real 100 TB text pipeline runs them:
+    language gate (marker-vocabulary argmax == 'en') -> quality gate
+    (n_words >= 20) -> exact dedup (canonical = min doc id per digest) ->
+    MinHash-LSH near-dup drop with the df>5 shingle cap (greedy keep the
+    smaller id of each candidate pair). Every stage reduces the corpus
+    BEFORE the next, more expensive one — the filters are codegen'd
+    projections, the dedups are bucketed joins, nothing rescans dropped
+    docs. Both gates and both dedups provably bind at sf0.01."""
+    from timeseries_spark.extensions.text import language_scores, quality_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    lang = language_scores(docs).filter(F.col("pred_lang") == "en")
+    q = (
+        quality_metrics(lang)
+        .filter(F.col("n_words") >= 20)
+        .select("doc_id", "text", "n_words")
+    )
+    keep = exact_duplicates(q).select(F.col("keep_id").alias("doc_id"))
+    survivors = q.join(keep, "doc_id", "semi")
+    pairs = lsh_candidates(survivors, max_doc_freq=5)
+    out = survivors.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "anti",
+    )
+    return out.select("doc_id", "n_words")
