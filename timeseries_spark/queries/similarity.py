@@ -277,3 +277,32 @@ def ann_ivf_kmeans(spark, sf_dir):
         cluster_col="cluster",
         nprobe=2,
     )
+
+
+@query(
+    "dedup_embedding_kmeans",
+    oracle=_KM_BODY
+    + f""",
+    vcl AS (
+      SELECT vid AS vec_id, v AS embedding, cluster FROM {_KM_LAST}
+    )
+    SELECT a.cluster AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+    FROM vcl a
+    JOIN vcl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.30
+    """,
+)
+def dedup_embedding_kmeans(spark, sf_dir):
+    """Embedding near-dup pairs blocked by the TRAINED k-means quantizer
+    instead of the dataset label — the production blocker composition:
+    kmeans_assign buckets the corpus, the salted per-block self-join
+    generates candidates only within a bucket. Same quantizer the IVF
+    index uses, so one clustering serves both the ANN and dedup paths."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.similarity import embedding_near_dup
+
+    emb = load(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(emb, k=4, max_iter=3)
+    vecs = emb.join(clusters.select("vec_id", "cluster"), "vec_id")
+    return embedding_near_dup(vecs, threshold=0.30, block_col="cluster")
