@@ -28,6 +28,30 @@ def year_from_iso(col: str) -> F.Column:
     return F.split(F.col(col), "-").getItem(0).cast("int")
 
 
+def year_from_messy_date(col: F.Column) -> F.Column:
+    """Multi-format year extraction — the reference's curation-date
+    normalizer (parse_timestamp.py:267-287), which must accept
+    dot-separated dates ('12.05.2019' -> 2019), plain years ('2019'),
+    and slash dates with 2-digit years ('01/02/19' -> 2019), and reject
+    junk ('++', free text) as NULL.
+
+    Same try-order as the reference: the last dot-field when it is a
+    4-digit number (covers plain years — a string with no dot IS its own
+    last dot-field), else '20' + the last slash-field when that is
+    2-digit, else NULL. Pure Column expressions — engine-portable."""
+    s = F.trim(col)
+    last_dot = F.element_at(F.split(s, r"\."), -1)
+    last_slash = F.element_at(F.split(s, "/"), -1)
+    return (
+        F.when(last_dot.rlike("^[0-9]{4}$"), last_dot.cast("int"))
+        .when(
+            last_slash.rlike("^[0-9]{2}$"),
+            F.concat(F.lit("20"), last_slash).cast("int"),
+        )
+        .cast("int")
+    )
+
+
 def with_study_year(
     evidence: DataFrame,
     study: DataFrame,

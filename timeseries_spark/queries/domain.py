@@ -670,3 +670,60 @@ def novels_in_year(spark, sf_dir):
         F.countDistinct("targetId").alias("n_novel_targets"),
     )
     return a.crossJoin(b)
+
+
+@query(
+    "messy_date_years",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%d.%m.%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/') ||
+                           substring(CAST(year(o_orderdate) AS VARCHAR), 3, 2)
+               WHEN 2 THEN CAST(year(o_orderdate) AS VARCHAR)
+               ELSE '++'
+             END AS curation_date
+      FROM orders
+    )
+    SELECT o_orderkey, curation_date,
+           CASE
+             WHEN regexp_matches(string_split(trim(curation_date), '.')[-1],
+                                 '^[0-9]{4}$')
+               THEN CAST(string_split(trim(curation_date), '.')[-1] AS INT)
+             WHEN regexp_matches(string_split(trim(curation_date), '/')[-1],
+                                 '^[0-9]{2}$')
+               THEN CAST('20' || string_split(trim(curation_date), '/')[-1]
+                         AS INT)
+           END AS year
+    FROM raw
+    """,
+)
+def messy_date_years(spark, sf_dir):
+    """Stage-0 date normalization (parse_timestamp.py:267-287) as a
+    distributed operator: deterministic messy date strings in four
+    formats (dot date, slash date with 2-digit year, plain year, junk)
+    are built from o_orderdate and parsed with the reference's try-order;
+    junk rows yield NULL. The DuckDB oracle builds and parses the
+    identical strings."""
+    from timeseries_spark.operators.dating import year_from_messy_date
+
+    orders = load(spark, sf_dir, "orders")
+    fmt = F.pmod("o_orderkey", F.lit(4))
+    two_digit = F.substring(F.year("o_orderdate").cast("string"), 3, 2)
+    raw = orders.select(
+        "o_orderkey",
+        F.when(fmt == 0, F.date_format("o_orderdate", "dd.MM.yyyy"))
+        .when(
+            fmt == 1,
+            F.concat(F.date_format("o_orderdate", "MM/dd/"), two_digit),
+        )
+        .when(fmt == 2, F.year("o_orderdate").cast("string"))
+        .otherwise(F.lit("++"))
+        .alias("curation_date"),
+    )
+    return raw.select(
+        "o_orderkey",
+        "curation_date",
+        year_from_messy_date(F.col("curation_date")).alias("year"),
+    )
