@@ -658,18 +658,29 @@ def novels_in_year(spark, sf_dir):
             )
         )
     )
-    denom = all_pairs_at(by_ds, ta, exclude=("ROOT",))
-    novel = novel_pairs_at(by_ds, ta, year=1999, cutoff=0.1, exclude=("ROOT",))
+    # one pass over the association table: the novel set is a conditional
+    # subset of the denominator set, so all four distinct counts fuse into
+    # a single aggregation (the library novel_pairs_at / all_pairs_at
+    # builders compute the same sets when the row sets themselves are
+    # wanted) — one subtree evaluation instead of two, one shuffle
+    base = (
+        by_ds.select("diseaseId", "targetId", "year", "novelty")
+        .join(F.broadcast(ta), "diseaseId")
+        .filter(
+            (~F.col("therapeuticArea").isin("ROOT"))
+            & (~F.col("diseaseId").isin("ROOT"))
+        )
+    )
     pair = F.concat(F.col("diseaseId"), F.lit("|"), F.col("targetId"))
-    a = denom.agg(
+    novel = (F.col("novelty") >= 0.1) & (F.col("year") == 1999)
+    return base.agg(
         F.countDistinct(pair).alias("n_associations"),
         F.countDistinct("targetId").alias("n_targets"),
+        F.countDistinct(F.when(novel, pair)).alias("n_novel_associations"),
+        F.countDistinct(F.when(novel, F.col("targetId"))).alias(
+            "n_novel_targets"
+        ),
     )
-    b = novel.agg(
-        F.countDistinct(pair).alias("n_novel_associations"),
-        F.countDistinct("targetId").alias("n_novel_targets"),
-    )
-    return a.crossJoin(b)
 
 
 @query(
