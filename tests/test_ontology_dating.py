@@ -272,3 +272,31 @@ def test_dating_driver_registry_sequencing(spark):
     for r in one:
         assert got[r["id"]] == r["expected"]
     out.unpersist()
+
+
+def test_dating_driver_missing_lookups_pass_through(spark):
+    """Daters whose lookup is absent pass their slice through undated —
+    the documented contract: a caller supplying only pmid2year still gets
+    a full run (the pubmed pass catches everything)."""
+    import pyspark.sql.functions as F
+
+    from timeseries_spark.operators.dating import DatingDriver, reference_daters
+    from timeseries_spark.sources.fixtures import gen_evidence
+
+    ev = gen_evidence(spark, n=300)
+    pmid2year = (
+        ev.select(F.explode("literature").alias("pmid"))
+        .distinct()
+        .withColumn("year", F.lit(2001))
+    )
+    out = DatingDriver(reference_daters(), pmid2year=pmid2year).run(
+        ev,
+        {},  # no lookups at all
+        group_cols=("id", "targetId", "diseaseId", "datasourceId", "score"),
+    )
+    assert out.count() == ev.count()
+    # chembl still dates via its ISO column (no lookup needed); rows with
+    # literature get the pubmed year
+    assert (
+        out.filter("datasourceId = 'chembl' AND year IS NULL").count() == 0
+    )

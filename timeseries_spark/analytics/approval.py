@@ -364,8 +364,12 @@ def approval_bucket_bell(
 
     ``datatype_groups`` remaps datatypes before bucketing (the reference
     collapses somatic_mutation+genetic_association -> somatic_genetic
-    etc.); unmapped rows fall back to their datasourceId, as the
-    reference's ``otherwise`` does. The denominator — distinct approved
+    etc.); unmapped rows fall back to their datasourceId — NOT their
+    datatypeId — exactly as the reference's ``otherwise(datasourceId)``
+    does (novelty_approval.py:570), so passing ANY remap splits every
+    unmapped datatype back out per source. Include an identity group
+    (e.g. ``{"literature": ("literature",)}``) to keep a datatype
+    aggregated. With no groups, datatypeId is kept as-is. The denominator — distinct approved
     targets in the window — joins in as a broadcast 1-row count, keeping
     the whole computation distributed (the reference divides a pandas
     frame by a driver-side count). Output: (datatypeId, years [bucket

@@ -73,8 +73,11 @@ def novelty_distribution(
 ) -> DataFrame:
     """Counts of novel associations and novel targets per
     (year, datasourceId, therapeuticArea), densified over the full
-    ``year_min..year_max`` × source × TA scaffold with zero fill
-    (novelty_distribution.py:640-809).
+    ``year_min..year_max`` year spine × the sources and TAs PRESENT IN
+    THE PEAK ROWS, zero-filled (novelty_distribution.py:640-809). A
+    source or TA with zero surviving peaks does not appear at all — the
+    reference builds its scaffold from the post-filter data
+    (novelty_distribution.py:744-745), and this matches it exactly.
 
     Reference-order semantics (novelty_distribution.py:649-726): the year
     bounds and ``novelty >= cutoff`` filters and the TA join run BEFORE

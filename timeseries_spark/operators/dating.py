@@ -221,6 +221,8 @@ def reference_daters() -> list:
     the reference's fallback for pmid-only sources)."""
 
     def gwas(part, lookups):
+        if "study" not in lookups:
+            return part
         return with_study_year(
             part, lookups["study"], lookups.get("credible_set")
         )
@@ -229,14 +231,20 @@ def reference_daters() -> list:
         return with_curation_year(part)
 
     def clinvar(part, lookups):
+        if "clinvar" not in lookups:
+            return part
         return with_curation_lookup_year(
             part, lookups["clinvar"], keys=("studyId",)
         )
 
     def clingen(part, lookups):
+        if "url2year" not in lookups:
+            return part
         return with_url_year(part, lookups["url2year"])
 
     def curation_csv(part, lookups):
+        if "curation" not in lookups:
+            return part
         return with_curation_lookup_year(
             part, lookups["curation"], keys=("targetId", "diseaseId")
         )

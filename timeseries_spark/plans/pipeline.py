@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.config import EngineConfig
@@ -147,18 +147,26 @@ def point_query(
         "diseaseId", "targetId", "datasourceId", "year", "score", "novelty"
     )
     if not include_non_dated:
+        # window-max keep flag instead of a self-semi-join: the semi form
+        # re-evaluates the full upstream pipeline subtree for its build
+        # side, doubling the composed plan's work; the window reuses the
+        # rows already flowing through
         dated = F.col("year").isNotNull() & (F.col("score") > 0)
-        o = o.join(
-            F.broadcast(
-                o.filter(dated).select("diseaseId", "targetId").distinct()
-            ),
-            ["diseaseId", "targetId"],
-            "semi",
+        keep = F.max(F.when(dated, 1).otherwise(0))
+        o = (
+            o.withColumn(
+                "__keep",
+                keep.over(Window.partitionBy("diseaseId", "targetId")),
+            )
+            .filter(F.col("__keep") == 1)
+            .drop("__keep")
         )
-        d = d.join(
-            F.broadcast(d.filter(dated).select("datasourceId").distinct()),
-            "datasourceId",
-            "semi",
+        d = (
+            d.withColumn(
+                "__keep", keep.over(Window.partitionBy("datasourceId"))
+            )
+            .filter(F.col("__keep") == 1)
+            .drop("__keep")
         )
     out = o.unionByName(d)
     if disease is not None:
@@ -190,9 +198,14 @@ def point_evidence(
     ).select("diseaseId", "targetId", "datasourceId", "year", "score")
     if not include_non_dated:
         dated = F.col("year").isNotNull() & (F.col("score") > 0)
-        out = out.join(
-            F.broadcast(out.filter(dated).select("datasourceId").distinct()),
-            "datasourceId",
-            "semi",
+        out = (
+            out.withColumn(
+                "__keep",
+                F.max(F.when(dated, 1).otherwise(0)).over(
+                    Window.partitionBy("datasourceId")
+                ),
+            )
+            .filter(F.col("__keep") == 1)
+            .drop("__keep")
         )
-    return out
+    return out.select("diseaseId", "targetId", "datasourceId", "year", "score")

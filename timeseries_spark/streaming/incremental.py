@@ -148,6 +148,7 @@ def dedup_events(
     streaming: bool = False,
     watermark: str = "2 hours",
     key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Exact dedup for at-least-once event streams — the streaming face of
     the dedup extension family: replays/retries collapse to exactly-once
@@ -160,9 +161,9 @@ def dedup_events(
     run forever. Batch mode is a plain ``dropDuplicates`` and returns the
     same surviving key set."""
     if streaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            list(key_cols)
-        )
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(list(key_cols))
     return events.dropDuplicates(list(key_cols))
 
 
