@@ -738,3 +738,28 @@ def messy_date_years(spark, sf_dir):
         "curation_date",
         year_from_messy_date(F.col("curation_date")).alias("year"),
     )
+
+
+@query(
+    "dating_coverage_report",
+    oracle="WITH "
+    + _EXPANDED_SQL.strip().lstrip()
+    + """
+    SELECT datasourceId,
+           CAST(count(*) AS BIGINT) AS n_evidence,
+           CAST(count(year) AS BIGINT) AS n_dated,
+           round(count(year) / greatest(count(*), 1), 4) AS dated_fraction
+    FROM ev
+    GROUP BY datasourceId
+    """,
+)
+def dating_coverage_report(spark, sf_dir):
+    """The stage-1 coverage report (timestamp_evidence.py:333-357): total
+    vs dated evidence per source with the dated fraction, computed in ONE
+    union pass (J9 rewrite of the reference's join-of-two-aggregates).
+    '5-LOW' must report fraction 0.0 (never dated by construction);
+    '1-URGENT' reports 1.0 (curation always present)."""
+    from timeseries_spark.operators.dating import dating_coverage
+
+    ev = _domain_evidence(spark, sf_dir)
+    return dating_coverage(ev, ev)
