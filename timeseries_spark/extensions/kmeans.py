@@ -54,10 +54,17 @@ def kmeans_fit(
         )
     ).localCheckpoint()
 
-    w = Window.orderBy("vid")
+    # init = the k lowest-id vectors. orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — parallel per-partition top-k with a tiny
+    # driver-side merge — whereas a global Window.orderBy would funnel
+    # EVERY vector through one SinglePartition exchange (the round-2
+    # verdict's scale-killer #1). The cid is assigned after the take, on
+    # k rows only.
+    seed_w = Window.orderBy("vid")
     centroids = (
-        pts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        pts.orderBy("vid")
+        .limit(k)
+        .withColumn("__rn", F.row_number().over(seed_w))
         .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
         .localCheckpoint()
     )

@@ -39,11 +39,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    num_salts: int = 32,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-matches excluded).
 
     Output: (query_id, neighbor_id, cos_sim, rank); ties broken by
-    neighbor id so ranking is total and deterministic."""
+    neighbor id so ranking is total and deterministic.
+
+    Two-phase top-k: a per-(query, salt-of-neighbor) LOCAL top-k first,
+    then the global top-k over at most ``num_salts * k`` survivors per
+    query. A single ``Window.partitionBy(query_id)`` would put the ENTIRE
+    scored corpus for one query into one task — with few queries over a
+    100 TB corpus that is a handful of giant single-task sorts. The salt
+    phase bounds every window partition at |corpus|/num_salts rows and
+    the final phase at ``num_salts * k`` rows, with no recall loss: each
+    neighbor lives in exactly one salt bucket, so every global top-k row
+    survives its bucket's local top-k."""
     vectors = ensure_parallelism(vectors)
     scored = (
         vectors.select(
@@ -62,13 +73,22 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cos_sim"),
+            F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias("__salt"),
         )
+    )
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
