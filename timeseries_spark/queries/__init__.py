@@ -76,6 +76,7 @@ def _import_all() -> None:
     from timeseries_spark.queries import analytics  # noqa: F401
     from timeseries_spark.queries import core  # noqa: F401
     from timeseries_spark.queries import domain  # noqa: F401
+    from timeseries_spark.queries import stage3  # noqa: F401
     from timeseries_spark.queries import tsq  # noqa: F401
     from timeseries_spark.queries import text  # noqa: F401
     from timeseries_spark.queries import dedup  # noqa: F401

@@ -330,6 +330,12 @@ def _domain_chembl(spark, sf_dir):
                 F.lit(1995) + F.pmod("o_orderkey", F.lit(7)),
             ).alias("year"),
         )
+        # ISO trial-start date for the early-clinical-anchor analytics
+        # (NULL when undated — concat propagates the NULL)
+        .withColumn(
+            "studyStartDate",
+            F.concat(F.col("year").cast("string"), F.lit("-03-15")),
+        )
     )
 
 
