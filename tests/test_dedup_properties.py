@@ -150,9 +150,9 @@ def test_doc_freq_cap_kills_hot_shingle_pairs(spark):
 
 
 def test_doc_freq_cap_lsh_sentinel_for_all_hot_docs(spark):
-    """LSH with the cap: docs whose every shingle is hot degrade to the
-    sentinel signature and bucket with genuinely empty docs — and a
-    boilerplate run can no longer mint a corpus-wide band bucket."""
+    """LSH with the cap: docs whose every shingle is hot join genuinely
+    empty docs on the sentinel path — a STAR to the min sentinel id, not
+    an all-pairs band bucket. Same connected component, m-1 pairs."""
     from timeseries_spark.extensions.dedup import lsh_candidates
 
     boiler = "one two three"
@@ -166,8 +166,44 @@ def test_doc_freq_cap_lsh_sentinel_for_all_hot_docs(spark):
         (r["id_a"], r["id_b"])
         for r in lsh_candidates(docs, max_doc_freq=3).collect()
     }
-    # all-hot docs 0-4 and empty doc 5 share the sentinel -> pair together
-    sentinel_club = {(a, b) for a in range(6) for b in range(6) if a < b}
-    assert sentinel_club <= capped
+    # all-hot docs 0-4 and empty doc 5 star to the min sentinel id (0)
+    assert {(0, b) for b in range(1, 6)} <= capped
+    # ...and do NOT pair among themselves (no quadratic mega-bucket)
+    assert not any(1 <= a < b <= 5 for a, b in capped)
     # doc 7 shares nothing cool with anyone
     assert not any(7 in p for p in capped)
+
+
+def test_lsh_sentinel_star_scales_linearly(spark):
+    """The verdict's boilerplate fixture: >=100 all-hot docs produce
+    exactly m-1 sentinel pairs (the star), never m(m-1)/2 — and pairs
+    among REAL docs are unchanged by the presence of the boilerplate
+    block."""
+    from timeseries_spark.extensions.dedup import lsh_candidates
+
+    boiler = "copyright footer all rights reserved"
+    real = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1002, "completely unrelated set of content words here"),
+    ]
+    m = 120
+    rows = [(i, boiler) for i in range(m)] + real
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, max_doc_freq=5).collect()
+    }
+    sent_pairs = {p for p in got if p[0] < m}
+    real_pairs = got - sent_pairs
+    assert sent_pairs == {(0, b) for b in range(1, m)}  # star, m-1 pairs
+    assert real_pairs == {(1000, 1001)}
+    # the real-doc pair set must be what the boilerplate-free corpus gives
+    alone = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(
+            spark.createDataFrame(real, "doc_id long, text string"),
+            max_doc_freq=5,
+        ).collect()
+    }
+    assert real_pairs == alone

@@ -178,18 +178,22 @@ def lsh_candidates(
     hot shingles (df > cap — stopword runs, boilerplate) are nulled out
     via a broadcast join against the tiny hot set, so they contribute to
     no signature and can never form a band bucket shared by every doc
-    that carries them. Docs whose shingles are ALL hot degrade to the
-    sentinel signature — the same bucket as genuinely empty docs (their
-    content is pure boilerplate, which IS the empty document for dedup
-    purposes). The oracle applies the identical cap.
+    that carries them. Docs with NO surviving shingles (empty text, or
+    pure boilerplate — which IS the empty document for dedup purposes)
+    are SENTINEL docs: they all agree with each other by construction,
+    so they are routed OUT of the band join entirely and paired as a
+    star to their min id (the exact-digest canonical idiom). Banding
+    them instead would mint one mega-bucket that pairs all-with-all:
+    10^6 boilerplate docs -> ~5*10^11 candidate rows through 8 skewed
+    join tasks. The star carries the same connected component with m-1
+    pairs instead of m(m-1)/2. The oracle applies the identical routing.
 
     Signature plan: explode shingles, digest each ONCE into the two
     double-hashing halves (a projection materializes them as attributes —
     inside a HOF lambda the digest would re-run per hash index), then
     ``groupBy(id)`` computes all ``num_hashes`` mins in one aggregate.
-    ``explode_outer`` keeps shingle-less docs, which surface with the
-    sentinel signature (empty docs still pair with empty docs, as the
-    oracle specifies)."""
+    ``explode_outer`` keeps shingle-less docs (they surface with a zero
+    kept-shingle count and take the sentinel path)."""
     rows = num_hashes // bands
     df = ensure_parallelism(df)
     ex = df.select(
@@ -204,21 +208,26 @@ def lsh_candidates(
             "s", F.when(F.col("__hot").isNull(), F.col("s"))
         )
     hp = ex.select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
-    sig = hp.groupBy("id").agg(
+    # __n counts surviving shingles (NULL h1 rows — empty docs, capped-out
+    # shingles — don't count): __n == 0 <=> the doc is sentinel
+    agg = hp.groupBy("id").agg(
         *[
             F.min(F.col("h1") + i * F.col("h2")).alias(f"__m{i}")
             for i in range(num_hashes)
-        ]
-    ).select(
+        ],
+        F.count("h1").alias("__n"),
+    )
+    sig = agg.filter(F.col("__n") > 0).select(
         "id",
-        F.array(
-            *[
-                F.coalesce(
-                    F.col(f"__m{i}"), F.lit(EMPTY_SIG_SENTINEL).cast("bigint")
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    # sentinel docs: star to the min id — a 1-row broadcast, never a
+    # band bucket (m-1 pairs, same component, no quadratic blowup)
+    sent = agg.filter(F.col("__n") == 0).select("id")
+    sent_pairs = (
+        sent.crossJoin(F.broadcast(sent.agg(F.min("id").alias("id_a"))))
+        .filter(F.col("id") > F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
     )
     banded = sig.select(
         "id",
@@ -246,6 +255,7 @@ def lsh_candidates(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .unionByName(sent_pairs)
     )
 
 

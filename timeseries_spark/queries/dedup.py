@@ -133,25 +133,32 @@ def dedup_jaccard_capped(spark, sf_dir):
       FROM base b LEFT JOIN kept k ON k.id = b.id
       GROUP BY b.id
     ),
-    sig AS (SELECT id, {_SIG_SQL} AS sig FROM capped),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM capped WHERE len(shs) > 0),
     banded AS (
       SELECT id, band,
              md5(array_to_string(list_transform(
                list_slice(sig, band * 4 + 1, band * 4 + 4),
                v -> v::VARCHAR), ',')) AS digest
       FROM sig, unnest(generate_series(0, 7)) AS t(band)
-    )
+    ),
+    sent AS (SELECT id FROM capped WHERE len(shs) = 0)
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    UNION ALL
+    SELECT m.id_a, s.id AS id_b
+    FROM sent s CROSS JOIN (SELECT min(id) AS id_a FROM sent) m
+    WHERE s.id > m.id_a
     """,
 )
 def dedup_lsh_capped(spark, sf_dir):
     """MinHash-LSH with the df > 5 shingle cap applied BEFORE signatures:
     hot shingles contribute to no signature, so a boilerplate run shared
     by the whole corpus can no longer mint a band bucket containing every
-    doc. Docs whose shingles are all hot degrade to the sentinel (empty)
-    signature in both engines."""
+    doc. Docs whose shingles are ALL hot (pure boilerplate) are sentinel
+    docs: both engines route them out of the band join and pair them as
+    a star to their min id — m-1 pairs, same connected component, no
+    quadratic mega-bucket."""
     return lsh_candidates(
         load(spark, sf_dir, "documents"),
         n=3,
@@ -184,22 +191,29 @@ def dedup_embedding_cosine(spark, sf_dir):
     WITH sh AS (
       SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
     ),
-    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh WHERE len(shs) > 0),
     banded AS (
       SELECT id, band,
              md5(array_to_string(list_transform(
                list_slice(sig, band * 4 + 1, band * 4 + 4),
                v -> v::VARCHAR), ',')) AS digest
       FROM sig, unnest(generate_series(0, 7)) AS t(band)
-    )
+    ),
+    sent AS (SELECT id FROM sh WHERE len(shs) = 0)
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
+    UNION ALL
+    SELECT m.id_a, s.id AS id_b
+    FROM sent s CROSS JOIN (SELECT min(id) AS id_a FROM sent) m
+    WHERE s.id > m.id_a
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs — the web-scale
-    near-dup pipeline; bit-identical signatures in both engines."""
+    near-dup pipeline; bit-identical signatures in both engines. Shingle-
+    less (empty) docs are sentinel docs: routed out of the band join and
+    paired as a star to their min id in both engines."""
     return lsh_candidates(
         load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8
     )
