@@ -156,6 +156,47 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {2: 2, 5: 2, 7: 2, 9: 2, 11: 11, 20: 20, 30: 20}
 
 
+def test_connected_components_adversarial_huge_ids(spark):
+    """Convergence detection must survive doc ids near 2^62: a bigint
+    label sum over these rows exceeds 2^63 (ANSI overflow error, or a
+    silent wrap with ANSI off) — the decimal(38,0) sum keeps the check
+    exact and the chain still collapses to its min id."""
+    from timeseries_spark.extensions.dedup import connected_components
+
+    base = 2**62
+    ids = [base, base + 1, base + 2, base + 3, base + 4]
+    pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[2], ids[3])],
+        "id_a long, id_b long",
+    )
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, docs).collect()
+    }
+    assert got == {
+        ids[0]: base, ids[1]: base, ids[2]: base, ids[3]: base,
+        ids[4]: ids[4],
+    }
+
+
+def test_brute_force_topk_rejects_bad_salts(spark):
+    """num_salts <= 0 must fail loudly (pmod(hash, 0) is NULL and would
+    silently collapse the salt split into one bucket)."""
+    import pytest
+
+    from timeseries_spark.extensions.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="num_salts"):
+        brute_force_topk(df, q, k=1, num_salts=0)
+
+
 def test_kmeans_deterministic_and_converging(spark, sf_dir):
     """Lloyd iterations: same input -> identical assignments; total
     squared distance non-increasing vs the 1-iteration run; clusters in

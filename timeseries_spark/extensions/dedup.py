@@ -374,7 +374,10 @@ def connected_components(
     (the LSH worst case) collapse in a handful of rounds. Convergence is
     detected by the label SUM, which strictly decreases while any label
     can still shrink: one cheap aggregate action per round, no comparison
-    join. Each round ends in an eager ``localCheckpoint``: caching alone
+    join. The sum runs in decimal(38,0): a bigint sum over ~10^11
+    64-bit doc ids can exceed 2^63 (ANSI overflow error, or a silent
+    wrap that could mask a change with ANSI off) — decimal headroom
+    (10^38) makes the check safe at any realistic row count. Each round ends in an eager ``localCheckpoint``: caching alone
     is NOT enough for iterative self-joins — persist caches data but
     Catalyst still re-analyzes the whole accumulated lineage every round,
     and the double-referenced hop subtree doubles the tree per iteration
@@ -439,7 +442,9 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            cur_sum = updated.agg(F.sum("label")).first()[0]
+            cur_sum = updated.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
             labels = updated
             if cur_sum == prev_sum:
                 break

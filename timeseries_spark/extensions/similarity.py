@@ -51,10 +51,16 @@ def brute_force_topk(
     query. A single ``Window.partitionBy(query_id)`` would put the ENTIRE
     scored corpus for one query into one task — with few queries over a
     100 TB corpus that is a handful of giant single-task sorts. The salt
-    phase bounds every window partition at |corpus|/num_salts rows and
-    the final phase at ``num_salts * k`` rows, with no recall loss: each
+    phase keeps every window partition at roughly |corpus|/num_salts rows
+    in expectation (hash salting is an expected-case split, not a hard
+    bound) and the final phase at ``num_salts * k`` rows, with no recall
+    loss: each
     neighbor lives in exactly one salt bucket, so every global top-k row
     survives its bucket's local top-k."""
+    if num_salts < 1:
+        # pmod(hash, 0) is NULL — all neighbors would silently collapse
+        # into one null salt bucket, reviving the single-task sort
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     vectors = ensure_parallelism(vectors)
     scored = (
         vectors.select(
@@ -117,6 +123,8 @@ def embedding_near_dup(
     becomes blocks × salt tasks instead of one task per block, without
     changing the pair set (each (a,b) meets exactly once, under a's
     salt)."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     vectors = ensure_parallelism(vectors)
     lhs = vectors.select(
         F.col(block_col).alias("block"),
