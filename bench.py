@@ -2,14 +2,21 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Per-query wall time = plan build + execution to a count() action (results
-stay distributed; no driver collect). The metric is total seconds across
-the headline set — lower is better, compared per-round against BASELINE.
+stay distributed; no driver collect). Each query runs N times
+($SPARK_GRAFT_BENCH_N, default 3); "queries" reports the per-query
+MEDIAN and "spread" the (max - min) across reps — single-shot timings on
+a shared local[32] box swing up to ~70% on the heavy queries, and a
+median with a published spread separates real plan regressions from
+noise (the round-3 lesson: a 6.6 s outlier recorded as a 3.9 s query).
+The metric is the total of the medians — lower is better, compared
+per-round against BASELINE.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,6 +43,7 @@ def main() -> None:
     from timeseries_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
 
@@ -47,10 +55,15 @@ def main() -> None:
     registry["assoc_novelty_yearly"](spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -61,6 +74,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "n_reps": n_reps,
+                "spread": spread,
             }
         )
     )
