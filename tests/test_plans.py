@@ -113,14 +113,18 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
     executed count)."""
     budget = {
         "dedup_jaccard_pairs": 7,  # 3 aliases of the shingle subtree
-        "dedup_minhash_lsh": 4,
+        # sentinel routing references the signature aggregate twice
+        # (band path + star path), textually repeating the shingle
+        # subtree; verified: the executed adaptive plan carries a
+        # ReusedExchange and computes it once
+        "dedup_minhash_lsh": 9,
         "dedup_simhash": 3,
         "dedup_embedding_cosine": 2,
         # df-capped variants: + the hot-set aggregation, textually repeated
         # per shingle-subtree alias (ReusedExchange computes it once; the
         # hot side itself broadcasts — no extra join shuffle)
         "dedup_jaccard_capped": 15,
-        "dedup_lsh_capped": 8,
+        "dedup_lsh_capped": 17,
     }
     for name, bound in budget.items():
         p = plan(name)
@@ -148,6 +152,66 @@ def test_shuffled_null_model_is_bucket_parallel(spark):
     )
     assert "SinglePartition" not in p
     assert p.count("CartesianProduct") == 0
+
+
+def test_kmeans_init_no_single_partition(spark):
+    """The round-3 kmeans fix, plan-asserted: centroid seeding must
+    compile to TakeOrderedAndProject (parallel per-partition top-k), not
+    a global Window funneling every vector through one SinglePartition
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    pts = ensure_parallelism(
+        spark.range(1000).select(
+            F.col("id").alias("vid"),
+            F.array(F.rand(seed=7), F.rand(seed=11)).alias("v"),
+        )
+    )
+    seed = pts.orderBy("vid").limit(4)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        seed._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+
+
+def test_brute_force_topk_no_single_partition(spark):
+    """The round-3 two-phase salted top-k, plan-asserted: no per-query
+    global sort — both row_number windows partition by (query, salt) or
+    query over the bounded survivor set, and the plan carries no
+    SinglePartition exchange and no global Sort over the scored corpus."""
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.extensions.similarity import brute_force_topk
+    from timeseries_spark.queries import load
+
+    vecs = load(spark, SF, "embeddings")
+    # filter, not limit: a GlobalLimit on the query side would plan its
+    # own (legitimate, tiny) SinglePartition and mask the assertion
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = brute_force_topk(vecs, queries, k=5)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in p
+    assert p.count("CartesianProduct") == 0
+
+
+def test_lsh_sentinel_path_is_broadcast_star(plan):
+    """The sentinel routing must stay a 1-row broadcast star: the LSH
+    plan carries exactly ONE nested-loop join — the sentinel star over
+    the broadcast min-id row — never a CartesianProduct; the band join
+    stays an equi-join (hash or sort-merge, planner's choice by size)."""
+    for name in ("dedup_minhash_lsh", "dedup_lsh_capped"):
+        p = plan(name)
+        assert p.count("CartesianProduct") == 0, name
+        assert p.count("BroadcastNestedLoopJoin") // 2 == 1, name
+        assert "BuildRight" in p, name
 
 
 def test_domain_pipeline_plan_budget(plan):

@@ -148,9 +148,12 @@ def _dense_counts(
     years = spark.range(1).select(
         F.explode(F.sequence(F.lit(year_min), F.lit(year_max))).alias("year")
     )
+    # broadcast the distinct sides: each is O(10) rows, and without the
+    # hint the planner falls back to CartesianProduct — a full shuffle of
+    # both sides that would serialize the spine build at scale
     spine = (
-        years.crossJoin(peaks.select(grain).distinct())
-        .crossJoin(peaks.select("therapeuticArea").distinct())
+        years.crossJoin(F.broadcast(peaks.select(grain).distinct()))
+        .crossJoin(F.broadcast(peaks.select("therapeuticArea").distinct()))
     )
     return (
         spine.join(assoc_counts, ["year", grain, "therapeuticArea"], "left")
