@@ -1,0 +1,133 @@
+"""5x scale-up experiment for the extension surface (SCALING.md).
+
+Replicates the sf0.1 inputs 5x with shifted id/key spaces — so
+cardinality scales WITH the data, as it does in production — and times
+warm 1x vs 5x runs of the two heaviest extension operators:
+
+- dedup_minhash_lsh: documents replicated with per-replica token
+  prefixes, making shingle spaces disjoint across replicas. Within-
+  replica pair structure mirrors the original corpus, total pairs = 5x —
+  the honest analogue of a corpus that grew 5x without global near-dups.
+- ann_ivf_kmeans: embeddings replicated with shifted vec_ids (same
+  query set — the realistic scale path is corpus growth, not query
+  growth); k-means refit + IVF probe over the 5x corpus.
+
+Usage: python tools/scale_check.py [sf_dir]
+Prints one JSON line per operator: {name, t1, t5, ratio}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def replicate_docs(docs, n_rep: int):
+    """n_rep copies; replica r shifts doc_id and prefixes every token with
+    'r{r}_', so shingles never collide across replicas."""
+    rep = docs.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
+        )
+    )
+    offset = 10_000_000
+    return rep.select(
+        (F.col("doc_id") + F.col("__r") * offset).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    F.lit("r"), F.col("__r").cast("string"), F.lit("_"), t
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def replicate_vecs(vecs, n_rep: int):
+    rep = vecs.crossJoin(
+        F.broadcast(
+            vecs.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
+        )
+    )
+    offset = 10_000_000
+    return rep.select(
+        (F.col("vec_id") + F.col("__r") * offset).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+
+
+def time_warm(fn, reps: int = 3) -> float:
+    fn()  # warm codegen + shuffles off the clock
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2], 3)
+
+
+def main() -> None:
+    from timeseries_spark.extensions.dedup import lsh_candidates
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.similarity import ivf_topk
+    from timeseries_spark.queries import load
+    from timeseries_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_check")
+
+    docs1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs5 = replicate_docs(docs1, 5).localCheckpoint()
+    docs1 = docs1.localCheckpoint()
+
+    def lsh(d):
+        return lambda: d and lsh_candidates(d, n=3, num_hashes=32, bands=8).count()
+
+    t1 = time_warm(lsh(docs1))
+    t5 = time_warm(lsh(docs5))
+    print(json.dumps({
+        "name": "dedup_minhash_lsh", "sf": sf_dir, "t1": t1, "t5": t5,
+        "ratio": round(t5 / t1, 2),
+        "rows1": docs1.count(), "rows5": docs5.count(),
+    }))
+
+    vecs1 = load(spark, sf_dir, "embeddings").localCheckpoint()
+    vecs5 = replicate_vecs(vecs1, 5).localCheckpoint()
+    queries = (
+        vecs1.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint()
+    )
+
+    def ivf(v):
+        def run():
+            clusters = kmeans_assign(v, k=4, max_iter=3)
+            routed = v.join(clusters.select("vec_id", "cluster"), "vec_id")
+            ivf_topk(
+                routed, queries, k=5, cluster_col="cluster", nprobe=2
+            ).count()
+        return run
+
+    t1 = time_warm(ivf(vecs1))
+    t5 = time_warm(ivf(vecs5))
+    print(json.dumps({
+        "name": "ann_ivf_kmeans", "sf": sf_dir, "t1": t1, "t5": t5,
+        "ratio": round(t5 / t1, 2),
+        "rows1": vecs1.count(), "rows5": vecs5.count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
