@@ -239,3 +239,26 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert centroids.count() == 3
     got = {r["vid"]: r["cluster"] for r in assigned.collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
+def test_hyperplane_lsh_identical_vector_same_bucket(spark):
+    """An identical vector always shares its twin's bucket (same sign
+    pattern) and surfaces as the rank-1 neighbor at cosine 1.0; bucket
+    ids stay within [0, 2^n_planes)."""
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    rows.append((99, list(rows[0][1])))  # exact twin of vec 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = hyperplane_lsh_topk(vecs, qs, k=3, n_planes=3, dims=8).collect()
+    assert out, "twin must be found in the query's own bucket"
+    assert out[0]["neighbor_id"] == 99
+    assert out[0]["cos_sim"] == 1.0
+    assert all(0 <= r["bucket"] < 8 for r in out)

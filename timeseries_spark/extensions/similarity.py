@@ -221,3 +221,93 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def rademacher_planes(
+    n_planes: int, dims: int, seed: str = "hplsh"
+) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5(seed:plane:dim) —
+    plain data, so both engines embed the SAME planes as literals and the
+    bucket assignment is reproducible everywhere (the determinism
+    discipline that makes this oracle-checkable, like the md5 MinHash)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec_sql: str, planes: list[list[float]]) -> F.Column:
+    """LSH bucket id for a double-array column: bit ``p`` is set when
+    ``dot(v, plane_p) > 0``. One F.expr string (single py4j round trip);
+    the dot is a left fold in array order, so the sign decision — the
+    only thing the bucket depends on — is bit-identical across engines."""
+    terms = []
+    for p, row in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in row) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def hyperplane_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN — the bucketed alternative to IVF when
+    no quantizer has been trained: every vector hashes to a
+    ``n_planes``-bit sign bucket; queries brute-force only their own
+    bucket. Expected bucket width is |corpus| / 2^n_planes, the
+    recall/cost knob (more planes = narrower buckets = lower recall;
+    probing the ``n_planes`` hamming-1 neighbor buckets is the standard
+    multi-probe recall upgrade and keeps the same plan shape).
+
+    The 100 TB shape mirrors IVF: the corpus is touched ONCE, bucket ids
+    are a codegen'd projection (no training pass at all), the query side
+    broadcasts, and the only wide operation is the per-query top-k over
+    one bucket's candidates. Output: (query_id, bucket, neighbor_id,
+    cos_sim, rank)."""
+    planes = rademacher_planes(n_planes, dims)
+    vectors = ensure_parallelism(vectors)
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", hyperplane_bucket("v", planes))
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("q"),
+    ).withColumn("bucket", hyperplane_bucket("q", planes))
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -306,3 +306,65 @@ def dedup_embedding_kmeans(spark, sf_dir):
     clusters = kmeans_assign(emb, k=4, max_iter=3)
     vecs = emb.join(clusters.select("vec_id", "cluster"), "vec_id")
     return embedding_near_dup(vecs, threshold=0.30, block_col="cluster")
+
+
+def _hp_bucket_sql(vec: str, planes) -> str:
+    """DuckDB spelling of extensions.similarity.hyperplane_bucket: same
+    plane literals, same left-fold dot, same sign decision."""
+    terms = []
+    for p, row in enumerate(planes):
+        arr = "[" + ",".join(str(x) for x in row) + "]::DOUBLE[]"
+        dot = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, {len(row)}), "
+            f"i -> {vec}[i]::DOUBLE * ({arr})[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hp_oracle() -> str:
+    from timeseries_spark.extensions.similarity import rademacher_planes
+
+    planes = rademacher_planes(4, 64)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+             {_COS.format(a="q.qv", b="c.embedding")} AS cos_sim
+      FROM q JOIN c ON c.bucket = q.bucket
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, bucket, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_hyperplane_topk", oracle=_hp_oracle())
+def ann_hyperplane_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (4 planes → 16 sign buckets): the
+    training-free bucketed scale path beside IVF — bucket ids are a
+    codegen'd projection over deterministic md5-derived ±1 planes, the
+    corpus is touched once via a bucket equi-join against the broadcast
+    query side, and the per-query top-k is bounded by one bucket's
+    width. Both engines embed the SAME plane literals, so bucket
+    assignment and results are exact matches."""
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb, _queries_df(spark, sf_dir), k=5, n_planes=4, dims=64
+    )
