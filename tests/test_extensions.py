@@ -262,3 +262,52 @@ def test_hyperplane_lsh_identical_vector_same_bucket(spark):
     assert out[0]["neighbor_id"] == 99
     assert out[0]["cos_sim"] == 1.0
     assert all(0 <= r["bucket"] < 8 for r in out)
+
+
+def test_sampling_deterministic_and_exact_bounds(spark):
+    """Fraction 1.0 keeps everything, 0.0 drops everything, and the same
+    (key, salt) always makes the same decision — two runs agree row for
+    row (the property df.sample lacks)."""
+    from timeseries_spark.extensions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(100)],
+        "doc_id long, source string",
+    )
+    assert deterministic_sample(docs, 1.0).count() == 100
+    assert deterministic_sample(docs, 0.0).count() == 0
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    assert a == b and 0 < len(a) < 100
+    # widening a fraction only ADDS rows (hash thresholds are nested)
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.6).collect()}
+    assert a <= c
+    strat = stratified_sample(
+        docs, {"s0": 1.0, "s1": 0.0}, default_fraction=0.5
+    )
+    got = {r["source"] for r in strat.collect()}
+    assert "s0" in got and "s1" not in got
+
+
+def test_weighted_mix_integer_weights_exact(spark):
+    """Integer weights replicate exactly: weight 3 -> copies 0,1,2 per
+    row; weight 0 -> the stratum disappears; fractional weights stay
+    between floor and ceil per row."""
+    from timeseries_spark.extensions.sampling import weighted_mix
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = weighted_mix(docs, {"s0": 3.0, "s1": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        assert r["source"] == "s0"
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert len(by_doc) == 20
+    assert all(sorted(v) == [0, 1, 2] for v in by_doc.values())
+    frac = weighted_mix(docs, {"s0": 1.5, "s1": 1.5}).groupBy("doc_id").count()
+    assert all(r["count"] in (1, 2) for r in frac.collect())

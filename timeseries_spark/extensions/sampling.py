@@ -1,0 +1,109 @@
+"""Deterministic sampling and corpus mixing for training-data pipelines.
+
+A pretraining data pipeline reweights its sources: downsample the crawl,
+upsample curated corpora 2-3x, hold per-language fractions steady. Doing
+this with ``df.sample()`` is non-reproducible (seed × partitioning
+dependent) and un-auditable; these operators decide per ROW from
+``md5(salt || key)``, so the same row makes the same decision on any
+engine, any partitioning, any day — the property that makes the sampled
+corpus diffable and the pipeline oracle-checkable.
+
+Scale shape: every decision is a codegen'd projection/filter — zero
+shuffles, zero UDFs; upsampling replicates rows via ``explode(sequence)``
+(row count grows by the weight, never the task count). Fractions compare
+the 60-bit hash against an INTEGER threshold precomputed in Python
+(``int(fraction * 2**60)``) — no float division at row scope, so there is
+no cross-engine rounding edge at the keep/drop boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.hashing import md5_long
+
+_HASH_SPACE = 2**60  # md5_long range (first 15 hex digits)
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return min(int(fraction * _HASH_SPACE), _HASH_SPACE)
+
+
+def sample_hash(key: Column, salt: str) -> Column:
+    """The 60-bit decision hash: ``md5_long(salt || key)``."""
+    return md5_long(F.concat(F.lit(salt), key.cast("string")))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "smp",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by key hash — exact
+    reproducibility across engines and runs, unlike ``df.sample``."""
+    return df.filter(
+        sample_hash(F.col(key_col), salt) < F.lit(_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "smp",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep fractions (e.g. per source or language), one
+    codegen'd filter: the threshold is a when/otherwise chain over the
+    stratum, the decision hash is shared across strata so changing one
+    stratum's fraction never reshuffles another's sample."""
+    thr: Column = F.lit(_threshold(default_fraction))
+    for stratum, fraction in sorted(fractions.items(), reverse=True):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold(fraction))
+        ).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), salt) < thr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus mixing: each row is emitted ``floor(w)``
+    times plus one more with probability ``frac(w)`` (decided by the key
+    hash) — so a stratum with weight 2.5 is upsampled to exactly ~2.5x
+    and weight 0.3 downsamples to ~0.3x, with per-row reproducibility.
+    Output adds a ``copy`` index (0-based) so downstream shuffles can
+    distinguish replicas. Rows whose copy count is 0 disappear via the
+    empty-sequence explode — no filter pass needed."""
+
+    def per_stratum(value_of) -> Column:
+        col: Column = F.lit(value_of(default_weight))
+        for stratum, w in sorted(weights.items(), reverse=True):
+            col = F.when(
+                F.col(strata_col) == stratum, F.lit(value_of(w))
+            ).otherwise(col)
+        return col
+
+    n_full = per_stratum(lambda w: int(w))
+    frac_thr = per_stratum(lambda w: _threshold(w - int(w)))
+    copies = n_full + F.when(
+        sample_hash(F.col(key_col), salt) < frac_thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "copy",
+        F.explode(
+            F.when(copies >= 1, F.sequence(F.lit(0), copies - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    )
