@@ -311,3 +311,54 @@ def test_weighted_mix_integer_weights_exact(spark):
     assert all(sorted(v) == [0, 1, 2] for v in by_doc.values())
     frac = weighted_mix(docs, {"s0": 1.5, "s1": 1.5}).groupBy("doc_id").count()
     assert all(r["count"] in (1, 2) for r in frac.collect())
+
+
+def test_pack_contexts_bins_fill_in_order(spark):
+    """Offset binning: cumulative tokens before the doc, integer-divided
+    by the window — docs fill bins in id order per source partition."""
+    from timeseries_spark.extensions.text import pack_contexts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", " ".join(["w"] * 6)),   # cum_before 0  -> bin 0
+            (2, "a", " ".join(["w"] * 6)),   # cum_before 6  -> bin 0
+            (3, "a", " ".join(["w"] * 6)),   # cum_before 12 -> bin 1
+            (4, "a", " ".join(["w"] * 30)),  # cum_before 18 -> bin 1
+            (5, "a", "w"),                   # cum_before 48 -> bin 4
+            (6, "b", " ".join(["w"] * 9)),   # new partition -> bin 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["n_tokens"])
+        for r in pack_contexts(docs, window_tokens=10).collect()
+    }
+    assert got == {
+        1: (0, 6), 2: (0, 6), 3: (1, 6), 4: (1, 30), 5: (4, 1), 6: (0, 9)
+    }
+
+
+def test_hyperplane_multiprobe_widens_candidates(spark, sf_dir):
+    """Multi-probe explores n_planes extra buckets: per query it scores
+    at least as many candidates and its rank-1 similarity is >= the
+    single-bucket rank-1 (recall can only improve)."""
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+    from timeseries_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    single = {
+        r["query_id"]: r["cos_sim"]
+        for r in hyperplane_lsh_topk(emb, qs, k=1, n_planes=4).collect()
+    }
+    multi = {
+        r["query_id"]: r["cos_sim"]
+        for r in hyperplane_lsh_topk(
+            emb, qs, k=1, n_planes=4, multiprobe=True
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[q] >= single[q] for q in single)

@@ -269,20 +269,28 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN — the bucketed alternative to IVF when
     no quantizer has been trained: every vector hashes to a
     ``n_planes``-bit sign bucket; queries brute-force only their own
     bucket. Expected bucket width is |corpus| / 2^n_planes, the
-    recall/cost knob (more planes = narrower buckets = lower recall;
-    probing the ``n_planes`` hamming-1 neighbor buckets is the standard
-    multi-probe recall upgrade and keeps the same plan shape).
+    recall/cost knob (more planes = narrower buckets = lower recall).
+
+    ``multiprobe=True`` additionally probes the ``n_planes`` hamming-1
+    neighbor buckets (each sign bit flipped once) — the standard
+    multi-probe recall upgrade: the query side explodes its probe list
+    (still tiny, still broadcast) and the join stays the same bucket
+    equi-join, so probe cost scales with (n_planes+1) × bucket width,
+    never with the corpus. Buckets partition the corpus and probe
+    buckets are distinct, so no candidate is scored twice.
 
     The 100 TB shape mirrors IVF: the corpus is touched ONCE, bucket ids
     are a codegen'd projection (no training pass at all), the query side
     broadcasts, and the only wide operation is the per-query top-k over
-    one bucket's candidates. Output: (query_id, bucket, neighbor_id,
-    cos_sim, rank)."""
+    the probed buckets' candidates. Output: (query_id, bucket,
+    neighbor_id, cos_sim, rank); ``bucket`` is the probed bucket the
+    neighbor was found in."""
     planes = rademacher_planes(n_planes, dims)
     vectors = ensure_parallelism(vectors)
     corpus = vectors.select(
@@ -293,6 +301,19 @@ def hyperplane_lsh_topk(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("q"),
     ).withColumn("bucket", hyperplane_bucket("q", planes))
+    if multiprobe:
+        qs = qs.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ],
+                )
+            ),
+        )
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -9,7 +9,7 @@ the scoring functions swappable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.hashing import rolling_fingerprint
@@ -97,4 +97,42 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             "md5_fp": F.md5(norm),
             "rolling_fp": rolling_fingerprint(ws_tokens(norm)),
         }
+    )
+
+
+def pack_contexts(
+    df: DataFrame,
+    window_tokens: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training: assign each doc to a context bin of
+    ~``window_tokens`` whitespace tokens, filling bins in deterministic
+    ``id_col`` order within each ``part_col`` partition — the distributed
+    form of the packer that concatenates docs into fixed-length training
+    sequences. ``bin`` = the window the doc's first token lands in
+    (offset binning: a doc straddling a boundary belongs to the bin it
+    starts in, so bins average ``window_tokens`` without a sequential
+    per-bin capacity pass — the shape that parallelizes).
+
+    One shuffle (the per-partition window); the running sum is a
+    cumulative window over (part, id) order, deterministic and
+    SQL-replayable. Output: (id, part, n_tokens, bin)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(ws_tokens(F.col(text_col)))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / window_tokens
+            ).cast("int"),
+        )
+        .select(id_col, part_col, "n_tokens", "bin")
     )

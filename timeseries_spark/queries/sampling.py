@@ -90,3 +90,28 @@ def corpus_mix_weighted(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = weighted_mix(docs, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)
     return out.select("doc_id", "source", "copy")
+
+
+@query(
+    "context_packing",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(floor(
+             (sum(len(string_split(text, ' '))) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING
+              ) - len(string_split(text, ' '))) / 512.0
+           ) AS INT) AS bin
+    FROM documents
+    """,
+)
+def context_packing(spark, sf_dir):
+    """Sequence packing over the documents corpus: docs fill ~512-token
+    context bins in doc_id order within each source — one cumulative
+    window per source partition, deterministic, the distributed analogue
+    of concatenating docs into fixed-length training sequences."""
+    from timeseries_spark.extensions.text import pack_contexts
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_contexts(docs, window_tokens=512)

@@ -368,3 +368,58 @@ def ann_hyperplane_topk(spark, sf_dir):
     return hyperplane_lsh_topk(
         emb, _queries_df(spark, sf_dir), k=5, n_planes=4, dims=64
     )
+
+
+def _hp_multiprobe_oracle() -> str:
+    from timeseries_spark.extensions.similarity import rademacher_planes
+
+    planes = rademacher_planes(4, 64)
+    probes = "\n      UNION ALL ".join(
+        f"SELECT query_id, qv, xor(bucket, {1 << p}) AS bucket FROM q"
+        for p in range(4)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probes AS (
+      SELECT query_id, qv, bucket FROM q
+      UNION ALL {probes}
+    ),
+    scored AS (
+      SELECT p.query_id, p.bucket, c.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="c.embedding")} AS cos_sim
+      FROM probes p JOIN c ON c.bucket = p.bucket
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, CAST(bucket AS INT) AS bucket, neighbor_id, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_hyperplane_multiprobe", oracle=_hp_multiprobe_oracle())
+def ann_hyperplane_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane LSH: each query probes its own sign bucket
+    plus the 4 hamming-1 buckets (one flipped plane each) — the standard
+    recall upgrade over single-bucket LSH at (n_planes+1)x probe cost,
+    same broadcast + bucket-equi-join plan shape. Results remain exact
+    cross-engine matches."""
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb, _queries_df(spark, sf_dir), k=5, n_planes=4, dims=64,
+        multiprobe=True,
+    )
