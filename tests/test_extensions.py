@@ -362,3 +362,32 @@ def test_hyperplane_multiprobe_widens_candidates(spark, sf_dir):
     }
     assert set(single) <= set(multi)
     assert all(multi[q] >= single[q] for q in single)
+
+
+def test_repetition_and_pii_metrics(spark):
+    """Repetition ratio flags looping text (ratio > 0 only when n-grams
+    repeat); PII counts hit each pattern class exactly."""
+    from timeseries_spark.extensions.text import pii_counts, repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # 4 shingles, 1 distinct
+            (2, "all unique words in this doc"),
+            (3, "xy"),                              # too short: 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in repetition_metrics(docs, n=3).collect()}
+    assert rep[1]["n_shingles"] == 4 and rep[1]["n_distinct"] == 1
+    assert rep[1]["repetition_ratio"] == 0.75
+    assert rep[2]["repetition_ratio"] == 0.0
+    assert rep[3]["n_shingles"] == 0 and rep[3]["repetition_ratio"] == 0.0
+
+    pii = spark.createDataFrame(
+        [(1, "mail me at a@b.co or c.d@e-f.org see https://x.io 12345678")],
+        "doc_id long, text string",
+    )
+    row = pii_counts(pii).collect()[0]
+    assert row["n_emails"] == 2
+    assert row["n_urls"] == 1
+    assert row["n_long_digit_runs"] == 1

@@ -136,3 +136,46 @@ def pack_contexts(
         )
         .select(id_col, part_col, "n_tokens", "bin")
     )
+
+
+def repetition_metrics(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Within-doc repetition signal (the Gopher-style filter): total vs
+    distinct word n-grams and their ratio — high repetition flags
+    degenerate/boilerplate text before any cross-doc dedup runs. Pure
+    HOFs over the shared shingle kernel; zero shuffles."""
+    from timeseries_spark.extensions.dedup import shingles
+
+    sh = shingles(ws_tokens(F.col(text_col)), n)
+    n_sh = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    return df.withColumns(
+        {
+            "n_shingles": n_sh.cast("bigint"),
+            "n_distinct": n_distinct.cast("bigint"),
+            "repetition_ratio": F.when(
+                n_sh > 0, F.round(1.0 - n_distinct / n_sh, 4)
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+# simple cross-dialect patterns (identical semantics in Java regex & RE2)
+PII_PATTERNS: dict[str, str] = {
+    "n_emails": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "n_urls": "https?://[^ ]+",
+    "n_long_digit_runs": "[0-9]{6,}",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc counts of scrub-worthy patterns (emails, URLs, long digit
+    runs) — the audit pass before redaction; counts stay cheap codegen'd
+    regexp_count projections."""
+    return df.withColumns(
+        {
+            name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+            for name, pat in PII_PATTERNS.items()
+        }
+    )

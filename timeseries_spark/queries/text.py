@@ -16,6 +16,15 @@ from timeseries_spark.extensions.text import (
 )
 from timeseries_spark.queries import load, query
 
+# raw (NON-distinct) 3-gram list — queries.dedup._SHINGLES dedups, which
+# is right for signatures but wrong for the repetition ratio
+_RAW_SHINGLES = (
+    "(CASE WHEN len({t}) - 2 > 0 THEN "
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) "
+    "ELSE [] END)"
+).format(t="string_split(text, ' ')")
+
 
 @query(
     "word_frequencies",
@@ -146,3 +155,72 @@ def doc_fingerprints(spark, sf_dir):
     hash (distinguishes token permutations), engine-reproducible."""
     docs = load(spark, sf_dir, "documents")
     return fingerprints(docs, "text").select("doc_id", "md5_fp", "rolling_fp")
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_RAW_SHINGLES} AS shs FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(shs) > 0
+                THEN round(1.0 - len(list_distinct(shs)) / len(shs), 4)
+                ELSE 0.0 END AS repetition_ratio
+    FROM sh
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Within-doc 3-gram repetition ratio (Gopher-style degenerate-text
+    filter): 1 - distinct/total shingles, zero for short docs — flags
+    looping text before any cross-doc dedup."""
+    from timeseries_spark.extensions.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_metrics(docs, n=3).select(
+        "doc_id", "n_shingles", "n_distinct", "repetition_ratio"
+    )
+
+
+def _pii_oracle() -> str:
+    from timeseries_spark.extensions.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+                  THEN ' contact a.b@mail-x.com or http://x.io/p 1234567'
+                  ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, {counts} FROM aug
+    """
+
+
+@query("pii_audit_counts", oracle=_pii_oracle())
+def pii_audit_counts(spark, sf_dir):
+    """PII audit pass (pre-redaction): per-doc counts of emails, URLs,
+    and long digit runs as codegen'd regexp projections. Every 10th doc
+    gets a deterministic PII suffix in BOTH engines so all three
+    patterns provably bind (the synthetic corpus itself is clean)."""
+    from timeseries_spark.extensions.text import pii_counts
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(10)) == 0,
+                F.lit(" contact a.b@mail-x.com or http://x.io/p 1234567"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_counts(docs).select(
+        "doc_id", "n_emails", "n_urls", "n_long_digit_runs"
+    )
