@@ -35,6 +35,8 @@ HEADLINE = [
     "union_missing_columns",
     "dedup_minhash_lsh",  # guard the extension surface in the bench
     "ann_ivf_topk",
+    "ann_hyperplane_topk",  # round-4 additions: training-free LSH ANN
+    "corpus_mix_weighted",  # and deterministic corpus mixing
 ]
 
 
