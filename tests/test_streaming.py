@@ -162,3 +162,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory):
     assert {r["event_id"] for r in got.select("event_id").collect()} == {
         r["event_id"] for r in events.select("event_id").collect()
     }
+
+
+def test_stream_sampling_matches_batch(spark, tmp_path_factory):
+    """The sampling/mixing operators are stateless projections, so they
+    run unchanged on a stream and pick the SAME rows/replicas as batch —
+    hash-decided sampling is replay-safe (a re-delivered row makes the
+    same decision), which df.sample can never guarantee."""
+    from timeseries_spark.extensions.sampling import (
+        stratified_sample,
+        weighted_mix,
+    )
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), "text " + str(i)) for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    docs.write.mode("overwrite").parquet(out)
+
+    batch_df = spark.read.parquet(out)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(out)
+
+    frac = {"s0": 1.0, "s1": 0.25, "s2": 0.0}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(batch_df, frac).select("doc_id").collect()
+    }
+    s_out = run_available_now(
+        stratified_sample(stream_df, frac).select("doc_id"),
+        "sample_stream_test",
+        spark,
+        output_mode="append",
+    )
+    assert b == {r["doc_id"] for r in s_out.collect()}
+
+    w = {"s0": 2.5, "s1": 1.0, "s2": 0.5}
+    bm = {
+        (r["doc_id"], r["copy"])
+        for r in weighted_mix(batch_df, w).select("doc_id", "copy").collect()
+    }
+    sm_out = run_available_now(
+        weighted_mix(stream_df, w).select("doc_id", "copy"),
+        "mix_stream_test",
+        spark,
+        output_mode="append",
+    )
+    assert bm == {(r["doc_id"], r["copy"]) for r in sm_out.collect()}
