@@ -391,3 +391,46 @@ def test_repetition_and_pii_metrics(spark):
     assert row["n_emails"] == 2
     assert row["n_urls"] == 1
     assert row["n_long_digit_runs"] == 1
+
+
+def test_hyperplane_lsh_validates_params(spark):
+    """n_planes/dims misconfiguration fails loudly: bad params raise at
+    build time, a dims/vector-length mismatch raises at execution instead
+    of silently collapsing everything into bucket 0."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        hyperplane_lsh_topk(vecs, qs, n_planes=0, dims=2)
+    with pytest.raises(ValueError, match="n_planes"):
+        hyperplane_lsh_topk(vecs, qs, n_planes=31, dims=2)
+    with pytest.raises(Exception, match="expected 8-dim"):
+        hyperplane_lsh_topk(vecs, qs, n_planes=2, dims=8).collect()
+
+
+def test_pack_contexts_shards_split_partitions(spark):
+    """n_shards > 1: each (source, shard) packs independently — shard is
+    id mod n_shards and bins restart per shard."""
+    from timeseries_spark.extensions.text import pack_contexts
+
+    docs = spark.createDataFrame(
+        [(i, "a", " ".join(["w"] * 6)) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in pack_contexts(docs, window_tokens=10, n_shards=2).collect()
+    }
+    # shard 0: docs 0,2,4 (cum_before 0,6,12) -> bins 0,0,1; shard 1 same
+    assert got == {
+        0: (0, 0), 2: (0, 0), 4: (0, 1),
+        1: (1, 0), 3: (1, 0), 5: (1, 1),
+    }

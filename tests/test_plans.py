@@ -210,7 +210,9 @@ def test_lsh_sentinel_path_is_broadcast_star(plan):
     for name in ("dedup_minhash_lsh", "dedup_lsh_capped"):
         p = plan(name)
         assert p.count("CartesianProduct") == 0, name
-        assert p.count("BroadcastNestedLoopJoin") // 2 == 1, name
+        # formatted mode prints each node twice (tree + detail header):
+        # exactly one nested-loop node means exactly two occurrences
+        assert p.count("BroadcastNestedLoopJoin") == 2, name
         assert "BuildRight" in p, name
 
 

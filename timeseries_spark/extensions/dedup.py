@@ -139,12 +139,16 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: ``sig[i] = min over shingles of h1(s) + i*h2(s)``
     (double hashing — one md5 per shingle; see ``hashing.md5_h2``). Pure
     HOF — no shuffle, no UDF. Empty shingle sets yield a sentinel
-    signature so empty docs only collide with other empty docs.
+    signature.
 
     NOTE: lambda-nested expressions are re-evaluated per outer element, so
     this HOF form still digests each shingle ``num_hashes`` times; use the
     explode/aggregate plan in :func:`lsh_candidates` when the corpus is
-    large — same signature, one digest per shingle."""
+    large — same signature for non-empty docs, one digest per shingle.
+    Do NOT band this form's output directly: sentinel signatures agree on
+    every band, so banding them re-mints the quadratic all-boilerplate
+    mega-bucket that :func:`lsh_candidates` routes to a min-id star —
+    split out empty shingle sets first, as that function does."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(

@@ -33,8 +33,17 @@ def _threshold(fraction: float) -> int:
 
 
 def sample_hash(key: Column, salt: str) -> Column:
-    """The 60-bit decision hash: ``md5_long(salt || key)``."""
-    return md5_long(F.concat(F.lit(salt), key.cast("string")))
+    """The 60-bit decision hash: ``md5_long(salt || key)``. NULL keys map
+    to a fixed sentinel string first, so a NULL-keyed row makes a normal
+    (and consistent) keep/replicate decision in every operator here —
+    without the coalesce, ``NULL < threshold`` is NULL and a filter-based
+    sampler would silently drop NULL keys even at fraction 1.0 while the
+    mix's when/otherwise kept them."""
+    return md5_long(
+        F.concat(
+            F.lit(salt), F.coalesce(key.cast("string"), F.lit("__null__"))
+        )
+    )
 
 
 def deterministic_sample(

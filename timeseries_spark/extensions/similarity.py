@@ -291,16 +291,39 @@ def hyperplane_lsh_topk(
     the probed buckets' candidates. Output: (query_id, bucket,
     neighbor_id, cos_sim, rank); ``bucket`` is the probed bucket the
     neighbor was found in."""
+    if not 1 <= n_planes <= 30:
+        # 0 planes builds an empty expression; >30 overflows the int
+        # bucket (1 << p)
+        raise ValueError(f"n_planes must be in [1, 30], got {n_planes}")
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
     planes = rademacher_planes(n_planes, dims)
+
+    def checked_bucket(vec: str) -> F.Column:
+        # a dims/vector-length mismatch would NULL the zip_with dot and
+        # silently collapse EVERY vector into bucket 0 (one mega-bucket
+        # brute force) — fail the job loudly instead
+        return F.when(
+            F.size(F.col(vec)) == dims, hyperplane_bucket(vec, planes)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"hyperplane_lsh_topk: expected {dims}-dim "
+                          "vector, got "),
+                    F.size(F.col(vec)).cast("string"),
+                )
+            )
+        )
+
     vectors = ensure_parallelism(vectors)
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v", planes))
+    ).withColumn("bucket", checked_bucket("v"))
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("q"),
-    ).withColumn("bucket", hyperplane_bucket("q", planes))
+    ).withColumn("bucket", checked_bucket("q"))
     if multiprobe:
         qs = qs.withColumn(
             "bucket",

@@ -106,35 +106,48 @@ def pack_contexts(
     part_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Sequence packing for training: assign each doc to a context bin of
     ~``window_tokens`` whitespace tokens, filling bins in deterministic
-    ``id_col`` order within each ``part_col`` partition — the distributed
-    form of the packer that concatenates docs into fixed-length training
-    sequences. ``bin`` = the window the doc's first token lands in
-    (offset binning: a doc straddling a boundary belongs to the bin it
-    starts in, so bins average ``window_tokens`` without a sequential
-    per-bin capacity pass — the shape that parallelizes).
+    ``id_col`` order within each (``part_col``, shard) partition — the
+    distributed form of the packer that concatenates docs into
+    fixed-length training sequences. ``bin`` = the window the doc's
+    first token lands in (offset binning: a doc straddling a boundary
+    belongs to the bin it starts in, so bins average ``window_tokens``
+    without a sequential per-bin capacity pass).
 
-    One shuffle (the per-partition window); the running sum is a
-    cumulative window over (part, id) order, deterministic and
-    SQL-replayable. Output: (id, part, n_tokens, bin)."""
+    A cumulative window serializes each partition into ONE task, so a
+    corpus dominated by a single source (the crawl) must set
+    ``n_shards > 1``: docs split deterministically by ``id mod n_shards``
+    and each shard packs independently — training sequences never needed
+    a single global order, only deterministic grouping, and parallelism
+    becomes |parts| × n_shards. ``id_col`` must be unique within a
+    partition (the corpus contract): duplicate ids would make the
+    running sum order — and every later straddling doc's bin —
+    tie-dependent.
+
+    One shuffle (the per-partition window); output:
+    (id, part, shard, n_tokens, bin)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(part_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = F.size(ws_tokens(F.col(text_col)))
     return (
-        df.withColumn("n_tokens", n_tok)
+        df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
+        .withColumn("n_tokens", n_tok)
         .withColumn(
             "bin",
             F.floor(
                 (F.sum("n_tokens").over(w) - F.col("n_tokens"))
                 / window_tokens
-            ).cast("int"),
+            ).cast("bigint"),
         )
-        .select(id_col, part_col, "n_tokens", "bin")
+        .select(id_col, part_col, "shard", "n_tokens", "bin")
     )
 
 

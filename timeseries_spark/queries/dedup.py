@@ -22,14 +22,18 @@ from timeseries_spark.extensions.similarity import embedding_near_dup
 from timeseries_spark.queries import load, query
 from timeseries_spark.queries.similarity import _COS
 
-# DuckDB spellings of the shared shingle/token pipeline
+# DuckDB spellings of the shared shingle/token pipeline. _RAW_SHINGLES is
+# the non-distinct 3-gram list (the repetition oracle needs duplicates);
+# _SHINGLES wraps it for the signature/banding pipelines — one spelling,
+# no drift between the dedup and text oracles.
 _TOKS = "string_split(text, ' ')"
-_SHINGLES = (
-    "list_distinct(CASE WHEN len({t}) - 2 > 0 THEN "
+_RAW_SHINGLES = (
+    "(CASE WHEN len({t}) - 2 > 0 THEN "
     "list_transform(generate_series(1, len({t}) - 2), "
     "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) "
     "ELSE [] END)"
 ).format(t=_TOKS)
+_SHINGLES = f"list_distinct({_RAW_SHINGLES})"
 
 
 @query(

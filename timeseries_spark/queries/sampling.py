@@ -39,7 +39,7 @@ def _strat_oracle() -> str:
     )
     return f"""
     SELECT doc_id, lang, source FROM documents
-    WHERE {md5_long_sql("'smp' || doc_id")} < {thr}
+    WHERE {md5_long_sql("'smp' || coalesce(CAST(doc_id AS VARCHAR), '__null__')")} < {thr}
     """
 
 
@@ -71,7 +71,7 @@ def _mix_oracle() -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, source, {full} AS n_full,
-             CASE WHEN {md5_long_sql("'mix' || doc_id")} < {frac}
+             CASE WHEN {md5_long_sql("'mix' || coalesce(CAST(doc_id AS VARCHAR), '__null__')")} < {frac}
                   THEN 1 ELSE 0 END AS extra
       FROM documents
     )
@@ -95,23 +95,24 @@ def corpus_mix_weighted(spark, sf_dir):
 @query(
     "context_packing",
     oracle="""
-    SELECT doc_id, source,
+    SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            CAST(floor(
              (sum(len(string_split(text, ' '))) OVER (
-                PARTITION BY source ORDER BY doc_id
+                PARTITION BY source, doc_id % 4 ORDER BY doc_id
                 ROWS UNBOUNDED PRECEDING
               ) - len(string_split(text, ' '))) / 512.0
-           ) AS INT) AS bin
+           ) AS BIGINT) AS bin
     FROM documents
     """,
 )
 def context_packing(spark, sf_dir):
     """Sequence packing over the documents corpus: docs fill ~512-token
-    context bins in doc_id order within each source — one cumulative
-    window per source partition, deterministic, the distributed analogue
-    of concatenating docs into fixed-length training sequences."""
+    context bins in doc_id order within each (source, shard) partition —
+    4 deterministic shards per source so no source funnels through a
+    single window task, the distributed analogue of concatenating docs
+    into fixed-length training sequences."""
     from timeseries_spark.extensions.text import pack_contexts
 
     docs = load(spark, sf_dir, "documents")
-    return pack_contexts(docs, window_tokens=512)
+    return pack_contexts(docs, window_tokens=512, n_shards=4)

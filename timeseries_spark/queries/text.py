@@ -16,14 +16,9 @@ from timeseries_spark.extensions.text import (
 )
 from timeseries_spark.queries import load, query
 
-# raw (NON-distinct) 3-gram list — queries.dedup._SHINGLES dedups, which
-# is right for signatures but wrong for the repetition ratio
-_RAW_SHINGLES = (
-    "(CASE WHEN len({t}) - 2 > 0 THEN "
-    "list_transform(generate_series(1, len({t}) - 2), "
-    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')) "
-    "ELSE [] END)"
-).format(t="string_split(text, ' ')")
+# raw (NON-distinct) 3-gram list, shared with the dedup oracles —
+# _SHINGLES there is list_distinct(_RAW_SHINGLES)
+from timeseries_spark.queries.dedup import _RAW_SHINGLES  # noqa: E402
 
 
 @query(

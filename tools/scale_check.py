@@ -90,13 +90,13 @@ def main() -> None:
     docs1 = docs1.localCheckpoint()
 
     def lsh(d):
-        return lambda: d and lsh_candidates(d, n=3, num_hashes=32, bands=8).count()
+        return lambda: lsh_candidates(d, n=3, num_hashes=32, bands=8).count()
 
     t1 = time_warm(lsh(docs1))
     t5 = time_warm(lsh(docs5))
     print(json.dumps({
         "name": "dedup_minhash_lsh", "sf": sf_dir, "t1": t1, "t5": t5,
-        "ratio": round(t5 / t1, 2),
+        "ratio": round(t5 / max(t1, 1e-3), 2),
         "rows1": docs1.count(), "rows5": docs5.count(),
     }))
 
@@ -124,7 +124,7 @@ def main() -> None:
     t5 = time_warm(ivf(vecs5))
     print(json.dumps({
         "name": "ann_ivf_kmeans", "sf": sf_dir, "t1": t1, "t5": t5,
-        "ratio": round(t5 / t1, 2),
+        "ratio": round(t5 / max(t1, 1e-3), 2),
         "rows1": vecs1.count(), "rows5": vecs5.count(),
     }))
 
