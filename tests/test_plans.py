@@ -216,6 +216,42 @@ def test_lsh_sentinel_path_is_broadcast_star(plan):
         assert "BuildRight" in p, name
 
 
+def test_sampling_queries_are_shuffle_free(plan):
+    """The sampling/mixing/quality filters claim 'zero shuffles, zero
+    UDFs' — assert it: pure projection/filter/explode plans, no Exchange
+    other than the scan-side round-robin none of these use."""
+    for name in (
+        "sample_stratified",
+        "corpus_mix_weighted",
+        "doc_repetition",
+        "pii_audit_counts",
+    ):
+        p = plan(name)
+        assert shuffles(p) == 0, name
+        assert p.count("EvalPython") + p.count("InPandas") == 0, name
+
+
+def test_context_packing_single_sharded_shuffle(plan):
+    """Context packing is one window shuffle on (source, shard) — and no
+    SinglePartition funnel (the n_shards knob exists precisely so no
+    source serializes into one task)."""
+    p = plan("context_packing")
+    assert shuffles(p) == 1
+    assert "SinglePartition" not in p
+
+
+def test_hyperplane_bucket_is_projection(plan):
+    """Hyperplane LSH's bucket assignment must stay a codegen'd
+    projection: no shuffle before the bucket equi-join besides the
+    parallelism guard, query side broadcast, no SinglePartition."""
+    for name in ("ann_hyperplane_topk", "ann_hyperplane_multiprobe"):
+        p = plan(name)
+        assert "SinglePartition" not in p, name
+        assert p.count("BroadcastHashJoin") > 0 or p.count(
+            "BroadcastExchange"
+        ) > 0, name
+
+
 def test_domain_pipeline_plan_budget(plan):
     """The composed domain pipeline (dating → ontology → score+novelty
     [→ overall]) must stay within a fixed shuffle budget with zero

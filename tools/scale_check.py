@@ -78,7 +78,10 @@ def time_warm(fn, reps: int = 3) -> float:
 def main() -> None:
     from timeseries_spark.extensions.dedup import lsh_candidates
     from timeseries_spark.extensions.kmeans import kmeans_assign
-    from timeseries_spark.extensions.similarity import ivf_topk
+    from timeseries_spark.extensions.similarity import (
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
     from timeseries_spark.queries import load
     from timeseries_spark.session import get_spark
 
@@ -124,6 +127,19 @@ def main() -> None:
     t5 = time_warm(ivf(vecs5))
     print(json.dumps({
         "name": "ann_ivf_kmeans", "sf": sf_dir, "t1": t1, "t5": t5,
+        "ratio": round(t5 / max(t1, 1e-3), 2),
+        "rows1": vecs1.count(), "rows5": vecs5.count(),
+    }))
+
+    def hp(v):
+        return lambda: hyperplane_lsh_topk(
+            v, queries, k=5, n_planes=4, dims=64
+        ).count()
+
+    t1 = time_warm(hp(vecs1))
+    t5 = time_warm(hp(vecs5))
+    print(json.dumps({
+        "name": "ann_hyperplane_topk", "sf": sf_dir, "t1": t1, "t5": t5,
         "ratio": round(t5 / max(t1, 1e-3), 2),
         "rows1": vecs1.count(), "rows5": vecs5.count(),
     }))
