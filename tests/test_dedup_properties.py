@@ -207,3 +207,49 @@ def test_lsh_sentinel_star_scales_linearly(spark):
         ).collect()
     }
     assert real_pairs == alone
+
+
+@SLOW
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_sample_fractions_nest(spark, f1, f2):
+    """Hash-threshold sampling is monotone: the sample at the smaller
+    fraction is always a subset of the sample at the larger one (stable
+    A/B cohorts under fraction changes — the operational property)."""
+    from timeseries_spark.extensions.sampling import deterministic_sample
+
+    lo, hi = sorted((f1, f2))
+    docs = spark.createDataFrame(
+        [(i,) for i in range(80)], "doc_id long"
+    )
+    small = {r["doc_id"] for r in deterministic_sample(docs, lo).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, hi).collect()}
+    assert small <= big
+
+
+@SLOW
+@given(w=st.floats(min_value=0.0, max_value=4.0))
+def test_weighted_mix_copies_bracket_weight(spark, w):
+    """Every row gets floor(w) or ceil(w) copies — never anything else —
+    and integer weights replicate exactly."""
+    import math
+
+    from timeseries_spark.extensions.sampling import weighted_mix
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(50)], "doc_id long, source string"
+    )
+    counts = {
+        r["doc_id"]: r["count"]
+        for r in weighted_mix(docs, {"s": w}).groupBy("doc_id").count().collect()
+    }
+    lo, hi = math.floor(w), math.ceil(w)
+    assert all(c in (lo, hi) and c > 0 for c in counts.values())
+    missing = 50 - len(counts)  # rows with zero copies never surface
+    if lo >= 1:
+        assert missing == 0
+    if w == int(w):
+        assert missing == (50 if w == 0 else 0)
+        assert all(c == int(w) for c in counts.values())
