@@ -434,3 +434,35 @@ def test_pack_contexts_shards_split_partitions(spark):
         0: (0, 0), 2: (0, 0), 4: (0, 1),
         1: (1, 0), 3: (1, 0), 5: (1, 1),
     }
+
+
+def test_sq8_matches_brute_force_with_full_pool(spark, sf_dir):
+    """With a rerank pool covering the whole corpus, SQ8's exact re-rank
+    must reproduce brute-force top-k identically (quantization can then
+    never evict a true neighbor); with the normal pool the top-1 ids
+    still agree on this corpus (SQ8 recall sanity)."""
+    from timeseries_spark.extensions.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+    from timeseries_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(120).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, qs, k=3).collect()
+    }
+    full_pool = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sq8_topk(emb, qs, k=3, rerank_factor=50).collect()
+    }
+    assert full_pool == exact
+    normal = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sq8_topk(emb, qs, k=1, rerank_factor=4).collect()
+    }
+    assert normal == {q: v[0] for (q, rk), v in exact.items() if rk == 1}

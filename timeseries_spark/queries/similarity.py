@@ -423,3 +423,72 @@ def ann_hyperplane_multiprobe(spark, sf_dir):
         emb, _queries_df(spark, sf_dir), k=5, n_planes=4, dims=64,
         multiprobe=True,
     )
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, embedding[t.i]::DOUBLE AS x, t.i AS dim
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    stats AS (
+      SELECT dim, min(x::DOUBLE) AS mn,
+             max(x::DOUBLE) - min(x::DOUBLE) AS rng
+      FROM ex GROUP BY dim
+    ),
+    arrs AS (
+      SELECT list(mn ORDER BY dim) AS mins,
+             list(rng ORDER BY dim) AS rngs
+      FROM stats
+    ),
+    enc AS (
+      SELECT vec_id, embedding,
+             list_transform(generate_series(1, 64), i ->
+               mins[i] + (CASE WHEN rngs[i] > 0
+                    THEN floor(((embedding[i]::DOUBLE - mins[i]) * 255.0)
+                               / rngs[i])
+                    ELSE 0 END * rngs[i]) / 255.0) AS dq
+      FROM embeddings CROSS JOIN arrs
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    approx AS (
+      SELECT q.query_id, q.qv, e.vec_id AS neighbor_id, e.embedding,
+             {_COS.format(a="q.qv", b="e.dq")} AS approx_sim
+      FROM q CROSS JOIN enc e
+      WHERE e.vec_id != q.query_id
+    ),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id
+        ) AS ar FROM approx
+      ) WHERE ar <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             {_COS.format(a="qv", b="embedding")} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(a="qv", b="embedding")} DESC,
+                        neighbor_id
+             ) AS rank
+      FROM pool
+    ) WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN with exact re-ranking: per-dim affine
+    codes (floor — engine-identical), approximate cosine on dequantized
+    vectors picks a 20-candidate pool per query, exact full-precision
+    cosine re-ranks the pool to the final top-5. The oracle replays the
+    whole quantize -> probe -> re-rank pipeline — including the floor'd
+    codes — so results are exact matches, not approximations."""
+    from timeseries_spark.extensions.similarity import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sq8_topk(
+        emb, _queries_df(spark, sf_dir), k=5, dims=64, rerank_factor=4
+    )
