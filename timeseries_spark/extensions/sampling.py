@@ -33,17 +33,35 @@ def _threshold(fraction: float) -> int:
 
 
 def sample_hash(key: Column, salt: str) -> Column:
-    """The 60-bit decision hash: ``md5_long(salt || key)``. NULL keys map
-    to a fixed sentinel string first, so a NULL-keyed row makes a normal
-    (and consistent) keep/replicate decision in every operator here —
-    without the coalesce, ``NULL < threshold`` is NULL and a filter-based
-    sampler would silently drop NULL keys even at fraction 1.0 while the
-    mix's when/otherwise kept them."""
+    """The 60-bit decision hash: ``md5_long(salt || flag || key)``. The
+    one-character null flag ('0' for NULL, '1' otherwise) makes the
+    encoding injective — a NULL key can never collide with any real key
+    value (a bare ``coalesce(key, '<sentinel>')`` would share the NULL
+    decision with a row whose key casts to the sentinel string). NULL
+    keys therefore make a normal, consistent keep/replicate decision in
+    every operator here — without the flag+coalesce, ``NULL < threshold``
+    is NULL and a filter-based sampler would silently drop NULL keys even
+    at fraction 1.0 while the mix's when/otherwise kept them."""
     return md5_long(
         F.concat(
-            F.lit(salt), F.coalesce(key.cast("string"), F.lit("__null__"))
+            F.lit(salt),
+            F.when(key.isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(key.cast("string"), F.lit("")),
         )
     )
+
+
+def sample_hash_sql(key_expr: str, salt: str) -> str:
+    """DuckDB expression mirroring :func:`sample_hash` byte for byte —
+    oracle SQL must hash the identical encoded string or the sampled row
+    sets diverge at the keep/drop boundary."""
+    from timeseries_spark.extensions.hashing import md5_long_sql
+
+    encoded = (
+        f"'{salt}' || (CASE WHEN ({key_expr}) IS NULL THEN '0' ELSE '1' END)"
+        f" || coalesce(CAST(({key_expr}) AS VARCHAR), '')"
+    )
+    return md5_long_sql(encoded)
 
 
 def deterministic_sample(
@@ -94,6 +112,14 @@ def weighted_mix(
     Output adds a ``copy`` index (0-based) so downstream shuffles can
     distinguish replicas. Rows whose copy count is 0 disappear via the
     empty-sequence explode — no filter pass needed."""
+
+    for name, w in [("default_weight", default_weight), *weights.items()]:
+        if w < 0:
+            raise ValueError(
+                f"weights must be >= 0, got {w} for {name!r} — a negative"
+                " weight would silently emit zero copies, indistinguishable"
+                " from weight 0"
+            )
 
     def per_stratum(value_of) -> Column:
         col: Column = F.lit(value_of(default_weight))

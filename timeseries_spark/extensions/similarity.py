@@ -400,10 +400,29 @@ def sq8_topk(
         raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     if rerank_factor < 1:
         raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+
+    def checked_vec(col: F.Column) -> F.Column:
+        # a dims mismatch would NULL the element_at dequantization (ANSI
+        # off), making approx_sim NULL for every row and degenerating the
+        # re-rank pool to an arbitrary id-ordered set — silently wrong ANN
+        # results. Fail the job loudly instead (same contract as
+        # hyperplane_lsh_topk's checked_bucket).
+        v = _as_double(col)
+        return F.when(F.size(v) == dims, v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"sq8_topk: expected {dims}-dim vector, got "),
+                    F.size(v).cast("string"),
+                )
+            )
+        )
+
     vectors = ensure_parallelism(vectors)
     pts = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("v"),
+        checked_vec(F.col(vec_col)).alias("v"),
     )
     # per-dim min/range -> ONE broadcast row of aligned arrays
     stats = (
@@ -451,7 +470,7 @@ def sq8_topk(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
-                    _as_double(F.col(query_vec_col)).alias("q"),
+                    checked_vec(F.col(query_vec_col)).alias("q"),
                 )
             )
         )

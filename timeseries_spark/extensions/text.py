@@ -125,10 +125,26 @@ def pack_contexts(
     becomes |parts| × n_shards. ``id_col`` must be unique within a
     partition (the corpus contract): duplicate ids would make the
     running sum order — and every later straddling doc's bin —
-    tie-dependent.
+    tie-dependent. ``id_col`` must also be NON-NEGATIVE: sharding uses
+    Spark ``pmod`` (always >= 0) while an ANSI-SQL oracle's ``%`` is
+    negative for negative ids, so negative ids would silently land in
+    different shards across engines.
+
+    Packing-efficiency metrics (what an engineer tunes ``window_tokens``
+    and ``n_shards`` by) ride along per row at no extra exchange — the
+    bin-grain window's clustering keys are a superset of the pack
+    window's, so the existing hash partitioning is reused:
+
+    - ``bin_tokens``: total tokens landing in this doc's bin (bins
+      average ``window_tokens`` but straddling docs make them jitter);
+    - ``fill_ratio``: ``bin_tokens / window_tokens``, the per-bin fill;
+    - ``overflow_tokens``: tokens of THIS doc past its bin's
+      ``window_tokens`` boundary — what a hard-cut packer would truncate
+      (0 for docs fully inside their bin).
 
     One shuffle (the per-partition window); output:
-    (id, part, shard, n_tokens, bin)."""
+    (id, part, shard, n_tokens, bin, bin_tokens, fill_ratio,
+    overflow_tokens)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     w = (
@@ -136,18 +152,41 @@ def pack_contexts(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_bin = Window.partitionBy(part_col, "shard", "bin")
     n_tok = F.size(ws_tokens(F.col(text_col)))
+    cum = F.sum("n_tokens").over(w)
     return (
         df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
         .withColumn("n_tokens", n_tok)
+        .withColumn("__cum", cum)
         .withColumn(
             "bin",
             F.floor(
-                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / window_tokens
+                (F.col("__cum") - F.col("n_tokens")) / window_tokens
             ).cast("bigint"),
         )
-        .select(id_col, part_col, "shard", "n_tokens", "bin")
+        .withColumn("bin_tokens", F.sum("n_tokens").over(w_bin))
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("bin_tokens") / F.lit(float(window_tokens)), 4),
+        )
+        .withColumn(
+            "overflow_tokens",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("__cum") - (F.col("bin") + 1) * window_tokens,
+            ),
+        )
+        .select(
+            id_col,
+            part_col,
+            "shard",
+            "n_tokens",
+            "bin",
+            "bin_tokens",
+            "fill_ratio",
+            "overflow_tokens",
+        )
     )
 
 

@@ -8,10 +8,10 @@ row-set matches, not statistical approximations.
 
 from __future__ import annotations
 
-from timeseries_spark.extensions.hashing import md5_long_sql
 from timeseries_spark.extensions.sampling import (
     _threshold,
     deterministic_sample,
+    sample_hash_sql,
     stratified_sample,
     weighted_mix,
 )
@@ -26,7 +26,8 @@ _MIX_DEFAULT = 1.0
 
 def _case_sql(col: str, mapping: dict[str, int], default: int) -> str:
     whens = " ".join(
-        f"WHEN {col} = '{k}' THEN {v}" for k, v in sorted(mapping.items())
+        f"WHEN {col} = '{k.replace(chr(39), chr(39) * 2)}' THEN {v}"
+        for k, v in sorted(mapping.items())
     )
     return f"CASE {whens} ELSE {default} END"
 
@@ -39,7 +40,7 @@ def _strat_oracle() -> str:
     )
     return f"""
     SELECT doc_id, lang, source FROM documents
-    WHERE {md5_long_sql("'smp' || coalesce(CAST(doc_id AS VARCHAR), '__null__')")} < {thr}
+    WHERE {sample_hash_sql("doc_id", "smp")} < {thr}
     """
 
 
@@ -71,7 +72,7 @@ def _mix_oracle() -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, source, {full} AS n_full,
-             CASE WHEN {md5_long_sql("'mix' || coalesce(CAST(doc_id AS VARCHAR), '__null__')")} < {frac}
+             CASE WHEN {sample_hash_sql("doc_id", "mix")} < {frac}
                   THEN 1 ELSE 0 END AS extra
       FROM documents
     )
@@ -95,15 +96,29 @@ def corpus_mix_weighted(spark, sf_dir):
 @query(
     "context_packing",
     oracle="""
-    SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
-           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-           CAST(floor(
-             (sum(len(string_split(text, ' '))) OVER (
+    WITH binned AS (
+      SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' '))) OVER (
                 PARTITION BY source, doc_id % 4 ORDER BY doc_id
                 ROWS UNBOUNDED PRECEDING
-              ) - len(string_split(text, ' '))) / 512.0
-           ) AS BIGINT) AS bin
-    FROM documents
+              ) AS BIGINT) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+           CAST(sum(n_tokens) OVER (
+             PARTITION BY source, shard,
+                          CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+           ) AS BIGINT) AS bin_tokens,
+           round(CAST(sum(n_tokens) OVER (
+             PARTITION BY source, shard,
+                          CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+           ) AS BIGINT) / 512.0, 4) AS fill_ratio,
+           greatest(CAST(0 AS BIGINT),
+                    cum - (CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                           + 1) * 512) AS overflow_tokens
+    FROM binned
     """,
 )
 def context_packing(spark, sf_dir):
@@ -111,7 +126,9 @@ def context_packing(spark, sf_dir):
     context bins in doc_id order within each (source, shard) partition —
     4 deterministic shards per source so no source funnels through a
     single window task, the distributed analogue of concatenating docs
-    into fixed-length training sequences."""
+    into fixed-length training sequences. Emits the packing-efficiency
+    metrics (per-bin fill_ratio, per-doc overflow_tokens) an engineer
+    tunes window_tokens / n_shards by."""
     from timeseries_spark.extensions.text import pack_contexts
 
     docs = load(spark, sf_dir, "documents")
