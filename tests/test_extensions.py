@@ -393,6 +393,29 @@ def test_repetition_and_pii_metrics(spark):
     assert row["n_long_digit_runs"] == 1
 
 
+def test_redact_pii(spark):
+    """Redaction replaces every audit-registry match with its placeholder
+    token (emails before URLs before digit runs), leaves clean text
+    untouched, and the post-redaction audit counts drop to zero."""
+    from timeseries_spark.extensions.text import pii_counts, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or see https://x.io/q?id=9876543 ref 12345678"),
+            (2, "clean text with no scrub-worthy patterns at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert out[1] == "mail <EMAIL> or see <URL> ref <DIGITS>"
+    assert out[2] == "clean text with no scrub-worthy patterns at all"
+    audit = pii_counts(redact_pii(docs)).collect()
+    assert all(
+        r["n_emails"] == r["n_urls"] == r["n_long_digit_runs"] == 0
+        for r in audit
+    )
+
+
 def test_hyperplane_lsh_validates_params(spark):
     """n_planes/dims misconfiguration fails loudly: bad params raise at
     build time, a dims/vector-length mismatch raises at execution instead

@@ -231,3 +231,41 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             for name, pat in PII_PATTERNS.items()
         }
     )
+
+
+# per-pattern placeholder tokens, applied in PII_PATTERNS order: emails
+# first (so the URL pass can't swallow a mailto-ish tail), URLs second,
+# digit runs last (digits inside already-redacted URLs are gone)
+PII_PLACEHOLDERS: dict[str, str] = {
+    "n_emails": "<EMAIL>",
+    "n_urls": "<URL>",
+    "n_long_digit_runs": "<DIGITS>",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """The acting half of the PII pass: replace every match of the audit
+    registry (:data:`PII_PATTERNS`) with its per-pattern placeholder
+    token — a chain of codegen'd ``regexp_replace`` projections, zero
+    shuffles, so redaction costs one scan regardless of corpus size.
+    Pattern order is the registry order (see :data:`PII_PLACEHOLDERS`);
+    the chain is deterministic, so an oracle can replay the redacted
+    text byte for byte."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, PII_PLACEHOLDERS[name])
+    return df.withColumn(out_col or text_col, col)
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """DuckDB expression replaying :func:`redact_pii`'s replace chain in
+    the same pattern order ('g' = replace all, Spark's default)."""
+    expr = text_expr
+    for name, pat in PII_PATTERNS.items():
+        expr = (
+            f"regexp_replace({expr}, '{pat}', "
+            f"'{PII_PLACEHOLDERS[name]}', 'g')"
+        )
+    return expr

@@ -301,8 +301,13 @@ def _corpus_clean_oracle() -> str:
     """Composed cleaning-pipeline oracle: language gate -> quality gate ->
     exact-dedup canonical -> capped-LSH near-dup drop (keep the smaller id
     of each candidate pair)."""
-    from timeseries_spark.extensions.text import LANG_MARKERS
+    from timeseries_spark.extensions.text import LANG_MARKERS, redact_pii_sql
 
+    redacted = redact_pii_sql(
+        "s.text || CASE WHEN s.doc_id % 10 = 0"
+        " THEN ' contact a.b@mail-x.com or http://x.io/p 1234567'"
+        " ELSE '' END"
+    )
     marker = ",\n      ".join(
         "struct_pack(hits := CAST(len(list_filter(string_split(text, ' '), "
         f"t -> t IN ({', '.join(repr(m) for m in ms)}))) AS BIGINT), "
@@ -356,7 +361,9 @@ def _corpus_clean_oracle() -> str:
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.digest = b.digest AND a.id < b.id
     )
-    SELECT s.doc_id, s.n_words FROM s
+    SELECT s.doc_id, s.n_words,
+           md5({redacted}) AS redacted_md5
+    FROM s
     WHERE s.doc_id NOT IN (SELECT id FROM dropped)
     """
 
@@ -368,11 +375,19 @@ def corpus_clean(spark, sf_dir):
     language gate (marker-vocabulary argmax == 'en') -> quality gate
     (n_words >= 20) -> exact dedup (canonical = min doc id per digest) ->
     MinHash-LSH near-dup drop with the df>5 shingle cap (greedy keep the
-    smaller id of each candidate pair). Every stage reduces the corpus
-    BEFORE the next, more expensive one — the filters are codegen'd
-    projections, the dedups are bucketed joins, nothing rescans dropped
-    docs. Both gates and both dedups provably bind at sf0.01."""
-    from timeseries_spark.extensions.text import language_scores, quality_metrics
+    smaller id of each candidate pair) -> PII redaction of the surviving
+    text (regexp_replace chain, oracle-gated byte-for-byte via md5; every
+    10th survivor gets the deterministic PII suffix in both engines so
+    the redactor provably binds on the clean synthetic corpus). Every
+    stage reduces the corpus BEFORE the next, more expensive one — the
+    filters and the redactor are codegen'd projections, the dedups are
+    bucketed joins, nothing rescans dropped docs. Both gates, both
+    dedups, and the redactor provably bind at sf0.01."""
+    from timeseries_spark.extensions.text import (
+        language_scores,
+        quality_metrics,
+        redact_pii,
+    )
 
     docs = load(spark, sf_dir, "documents")
     lang = language_scores(docs).filter(F.col("pred_lang") == "en")
@@ -389,4 +404,22 @@ def corpus_clean(spark, sf_dir):
         "doc_id",
         "anti",
     )
-    return out.select("doc_id", "n_words")
+    red = redact_pii(
+        out.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.pmod("doc_id", F.lit(10)) == 0,
+                    F.lit(
+                        " contact a.b@mail-x.com or http://x.io/p 1234567"
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    return red.select(
+        "doc_id",
+        "n_words",
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
+    )

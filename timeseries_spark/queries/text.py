@@ -198,6 +198,57 @@ def _pii_oracle() -> str:
     """
 
 
+def _pii_redacted_oracle() -> str:
+    from timeseries_spark.extensions.text import redact_pii_sql
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+                  THEN ' contact a.b@mail-x.com or http://x.io/p 1234567'
+                  ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5({redact_pii_sql("text")}) AS redacted_md5,
+           CAST(len(regexp_extract_all({redact_pii_sql("text")},
+                '<EMAIL>|<URL>|<DIGITS>')) AS BIGINT) AS n_redactions
+    FROM aug
+    """
+
+
+@query("pii_redacted", oracle=_pii_redacted_oracle())
+def pii_redacted(spark, sf_dir):
+    """The acting half of the PII pass: every audit-registry match is
+    replaced by its per-pattern placeholder token, and the oracle gates
+    the redacted text BYTE FOR BYTE via md5 (plus a placeholder count so
+    the redaction provably binds — every 10th doc gets the deterministic
+    PII suffix in both engines, the clean-corpus convention from
+    pii_audit_counts). The whole pass is a chain of codegen'd
+    regexp_replace projections: one scan, zero shuffles, at any corpus
+    size."""
+    from timeseries_spark.extensions.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(10)) == 0,
+                F.lit(" contact a.b@mail-x.com or http://x.io/p 1234567"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(docs)
+    return red.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
+        F.regexp_count(
+            F.col("text"), F.lit("<EMAIL>|<URL>|<DIGITS>")
+        ).cast("bigint").alias("n_redactions"),
+    )
+
+
 @query("pii_audit_counts", oracle=_pii_oracle())
 def pii_audit_counts(spark, sf_dir):
     """PII audit pass (pre-redaction): per-doc counts of emails, URLs,
