@@ -56,47 +56,6 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 @query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH reps AS (
-      SELECT label, embedding AS rep_vec FROM embeddings
-      WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)
-    ),
-    q AS (SELECT vec_id AS query_id, embedding AS qv
-          FROM embeddings WHERE vec_id < 8),
-    routed AS (
-      SELECT query_id, qv, label,
-             row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY {_COS.format(a="qv", b="rep_vec")} DESC, label
-             ) AS rr
-      FROM q CROSS JOIN reps
-    ),
-    probe AS (SELECT query_id, qv, label FROM routed WHERE rr = 1),
-    scored AS (
-      SELECT p.query_id, p.label AS cluster, e.vec_id AS neighbor_id,
-             {_COS.format(a="p.qv", b="e.embedding")} AS cos_sim
-      FROM probe p JOIN embeddings e ON e.label = p.label
-      WHERE e.vec_id != p.query_id
-    )
-    SELECT query_id, cluster, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
-      ) AS rank FROM scored
-    ) WHERE rank <= 5
-    """,
-)
-def ann_ivf_topk(spark, sf_dir):
-    """IVF(nprobe=1) top-5: route each query to the nearest cluster
-    representative (min-id member — deterministic), probe only that
-    cluster. The 100TB plan shape: representative table broadcast, vector
-    table touched once via cluster-key equi join."""
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5)
-
-
-@query(
     "ann_ivf_nprobe2",
     oracle=f"""
     WITH reps AS (
@@ -129,12 +88,16 @@ def ann_ivf_topk(spark, sf_dir):
     """,
 )
 def ann_ivf_nprobe2(spark, sf_dir):
-    """IVF with nprobe=2 — the recall/cost knob: each query searches its
-    TWO nearest clusters; top-k ranked across both probes. Probe cost
-    scales linearly with nprobe while the corpus is still touched only
-    through cluster-key equi joins."""
+    """IVF with nprobe=2 on a PRECOMPUTED inverted file (the dataset's
+    label column) — the deterministic test hook for the nprobe knob,
+    isolating probe semantics from quantizer training: each query
+    searches its TWO nearest clusters; top-k ranked across both probes.
+    Probe cost scales linearly with nprobe while the corpus is still
+    touched only through cluster-key equi joins."""
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5, nprobe=2)
+    return ivf_topk(
+        emb, _queries_df(spark, sf_dir), k=5, cluster_col="label", nprobe=2
+    )
 
 
 def _kmeans_oracle_sql(k: int = 4, dims: int = 64, rounds: int = 3) -> str:
@@ -219,10 +182,13 @@ def kmeans_assignments(spark, sf_dir):
 _KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
 
 
-@query(
-    "ann_ivf_kmeans",
-    oracle=_KM_BODY
-    + f""",
+def _ivf_kmeans_oracle(nprobe: int) -> str:
+    """Full IVF-over-kmeans replay: Lloyd rounds -> min-id cluster
+    representatives -> route each query to its ``nprobe`` nearest reps ->
+    brute-force inside the probed clusters."""
+    return (
+        _KM_BODY
+        + f""",
     vcl AS (
       SELECT vid AS vec_id, v AS embedding, cluster FROM {_KM_LAST}
     ),
@@ -242,7 +208,7 @@ _KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
                  ORDER BY {_COS.format(a="qs.q", b="r.rep_vec")} DESC, r.cluster
                ) AS rr
         FROM qs CROSS JOIN reps r
-      ) WHERE rr <= 2
+      ) WHERE rr <= {nprobe}
     ),
     scored AS (
       SELECT rt.query_id, v.cluster, v.vec_id AS neighbor_id,
@@ -256,8 +222,24 @@ _KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
       ) AS rank FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+    )
+
+
+@query("ann_ivf_topk", oracle=_ivf_kmeans_oracle(nprobe=1))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF(nprobe=1) top-5 on the DEFAULT path — the trained k-means
+    quantizer (k=4, 3 deterministic Lloyd rounds) builds the inverted
+    file inside ivf_topk itself; each query routes to its nearest
+    cluster representative (min-id member) and probes only that cluster.
+    The 100TB plan shape: representative table broadcast, vector table
+    touched once via cluster-key equi join, quantizer fit reduces
+    through dim-keyed aggregates."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+
+@query("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle(nprobe=2))
 def ann_ivf_kmeans(spark, sf_dir):
     """IVF ANN routed by the TRAINED k-means quantizer instead of the
     dataset label: kmeans_assign clusters the corpus (k=4, 3 deterministic
