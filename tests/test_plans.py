@@ -132,6 +132,29 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
         assert shuffles(p) <= bound, name
 
 
+def test_semantic_dedup_pair_stage_no_all_pairs(spark):
+    """The composed semantic-dedup pipeline's candidate stage — the only
+    place two corpus rows meet — must be a block-keyed equi join, never
+    all-pairs: no CartesianProduct, no broadcast nested loop, no
+    SinglePartition funnel. Asserted on the pair-generation subplan
+    (the registry query's final plan is truncated by the connected-
+    components checkpoints, so the stage is audited directly)."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.similarity import embedding_near_dup
+    from timeseries_spark.queries import load
+
+    emb = load(spark, SF, "embeddings")
+    clusters = kmeans_assign(emb, k=4, max_iter=3)
+    blocked = emb.join(clusters.select("vec_id", "cluster"), "vec_id")
+    pairs = embedding_near_dup(blocked, threshold=0.30, block_col="cluster")
+    p = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("CartesianProduct") == 0
+    assert p.count("BroadcastNestedLoopJoin") == 0
+    assert "SinglePartition" not in p
+
+
 def test_shuffled_null_model_is_bucket_parallel(spark):
     """O5 scale fix: the permutation null model must not plan a global
     (partition-less) window — no Exchange SinglePartition anywhere; both

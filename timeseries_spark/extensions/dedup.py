@@ -458,3 +458,65 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def semantic_dedup(
+    documents: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.30,
+    n_clusters: int = 4,
+    kmeans_iter: int = 3,
+    doc_id_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The end-to-end semantic-dedup pipeline a 100 TB corpus actually
+    runs, composed from the proven pieces: train a coarse quantizer
+    (deterministic Lloyd k-means) -> block the corpus by cluster ->
+    per-block salted self-join for near-dup pairs (cosine >= threshold)
+    -> connected components over the pair graph (pointer-jumping min
+    label) -> keep ONE canonical doc per component (the min id).
+
+    Output: one row per KEPT document — (doc_id, n_members, source),
+    where ``n_members`` is the size of the duplicate set the canonical
+    doc represents (1 = no near-dups).
+
+    Scale shape: candidate generation never leaves a cluster block (no
+    all-pairs — the block self-join is the only place two corpus rows
+    meet), components converge in O(log diameter) bounded-plan rounds,
+    and the keep-one is a filter + two equi joins. Every stage is
+    individually oracle-gated elsewhere; the composed oracle replays
+    quantize -> block -> pair -> closure -> keep-one in one recursive
+    CTE."""
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.similarity import embedding_near_dup
+
+    clusters = kmeans_assign(
+        vectors,
+        k=n_clusters,
+        max_iter=kmeans_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    blocked = vectors.join(clusters.select(id_col, "cluster"), id_col)
+    pairs = embedding_near_dup(
+        blocked,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+    )
+    comps = connected_components(
+        pairs, vectors, id_col=id_col, max_iter=max_iter
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    canonical = comps.filter(F.col(id_col) == F.col("component"))
+    return (
+        canonical.join(sizes, "component")
+        .select(F.col(id_col).alias(doc_id_col), "n_members")
+        .join(documents.select(doc_id_col, "source"), doc_id_col)
+        .select(doc_id_col, "n_members", "source")
+    )

@@ -290,6 +290,62 @@ def dedup_embedding_kmeans(spark, sf_dir):
     return embedding_near_dup(vecs, threshold=0.30, block_col="cluster")
 
 
+@query(
+    "semantic_dedup",
+    oracle=_KM_BODY.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    vcl AS (
+      SELECT vid AS vec_id, v AS embedding, cluster FROM {_KM_LAST}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vcl a
+      JOIN vcl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.30
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT src, dst FROM undirected
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+    ),
+    comp AS (
+      SELECT e.vec_id,
+             least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS component
+      FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY component
+    )
+    SELECT c.vec_id AS doc_id, s.n_members, d.source
+    FROM comp c
+    JOIN sizes s USING (component)
+    JOIN documents d ON d.doc_id = c.vec_id
+    WHERE c.vec_id = c.component
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """End-to-end semantic dedup over documents+embeddings — the composed
+    pipeline a 100 TB corpus runs: k-means quantizer (k=4, 3 Lloyd
+    rounds) blocks the corpus, the salted per-block self-join emits
+    cosine>=0.30 near-dup pairs, pointer-jumping connected components
+    canonicalize the pair graph, and one doc per component (the min id)
+    survives with its duplicate-set size. Candidates never leave a
+    cluster block (no all-pairs); the oracle replays the whole
+    quantize->block->pair->closure->keep-one chain in one recursive
+    CTE."""
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return sd(docs, emb, threshold=0.30, n_clusters=4, kmeans_iter=3)
+
+
 def _hp_bucket_sql(vec: str, planes) -> str:
     """DuckDB spelling of extensions.similarity.hyperplane_bucket: same
     plane literals, same left-fold dot, same sign decision."""
