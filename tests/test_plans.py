@@ -91,13 +91,18 @@ def test_no_cartesian_products_anywhere(plan):
 
 def test_python_boundary_only_in_multimodal(plan):
     """UDF discipline (SURVEY.md §2.10): every query stays JVM-side except
-    the multimodal decode stub, which is Arrow-batched by design."""
+    the multimodal codec queries, which are Arrow-batched by design."""
+    multimodal = {
+        "media_decode_stats",
+        "media_feature_hist",
+        "media_resize_rollup",
+    }
     for name in all_queries():
         p = plan(name)
         py = p.count("EvalPython") + p.count("InPandas") + p.count("MapInArrow")
-        if name == "media_decode_stats":
-            assert py > 0  # Arrow-batched, not row-at-a-time
-            assert p.count("BatchEvalPython") == 0
+        if name in multimodal:
+            assert py > 0, name  # Arrow-batched, not row-at-a-time
+            assert p.count("BatchEvalPython") == 0, name
         else:
             assert py == 0, name
 

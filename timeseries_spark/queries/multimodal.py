@@ -1,10 +1,17 @@
-"""Multimodal plumbing queries (extension surface).
+"""Multimodal queries (extension surface) — REAL codecs, oracle-gated.
 
-``media_decode_stats`` exercises the full binary-column pipeline —
-synthesize payloads → Arrow-batched mapInPandas decode → resize planning →
-aggregate. The decode step itself is Python (mapInPandas), so there is no
-faithful ANSI-SQL oracle; the mean_byte/n_bytes math IS reproducible in
-SQL, so we oracle-check those through DuckDB string/byte functions.
+``media_decode_stats`` runs genuine pure-numpy decoders (PPM P6 / 24-bit
+BMP / RIFF PCM16 WAV) over binary payload columns via Arrow-batched
+``mapInPandas``. The fixture payloads are real bytes in those formats,
+generated deterministically from doc_id arithmetic (extensions/
+multimodal.py real_media), so a pure-SQL oracle can replay every decoded
+dimension, byte count, and mean pixel/sample value exactly — including
+the corrupt rows (valid header, half the body), which must survive as
+error rows with the decoder's message, never fail the job.
+
+The mean/histogram replays sum the generator's byte pattern
+``(seed + i) % m`` with ``generate_series`` — exact integer sums, so the
+double division matches bit for bit across engines.
 """
 
 from __future__ import annotations
@@ -13,41 +20,170 @@ from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.multimodal import (
     decode_media,
+    extract_features,
+    real_media,
     resize_plan,
-    synthetic_media,
 )
 from timeseries_spark.queries import load, query
 
+# shared arithmetic of the fixture generator, replayed in SQL
+_M = """
+    SELECT doc_id AS media_id, doc_id % 3 AS k, (doc_id % 97 = 0) AS corrupt,
+           doc_id % 64 + 16 AS pw, doc_id % 48 + 16 AS ph,
+           doc_id % 32 + 8 AS bw, doc_id % 24 + 8 AS bh,
+           doc_id % 400 + 100 AS ns,
+           doc_id % 251 AS ps, doc_id % 512 AS ws
+    FROM documents
+"""
 
-@query(
-    "media_decode_stats",
-    oracle="""
-    SELECT kind,
-           count(*) AS n_media,
-           CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
-           round(avg((doc_id % 64 + 16)), 4) AS avg_width,
-           round(avg(
-             greatest(round((doc_id % 48 + 16) * least(1.0,
-               32.0 / greatest(doc_id % 64 + 16, doc_id % 48 + 16))), 1)
-           ), 4) AS avg_target_height
-    FROM (SELECT doc_id, text, 'image' AS kind FROM documents)
-    GROUP BY kind
-    """,
-)
-def media_decode_stats(spark, sf_dir):
-    """Binary media columns end-to-end: synthetic payloads, mapInPandas
-    decode (fake codec), resize planning, rollup. The documents text is
-    ASCII, so payload byte length == char length, which the oracle checks."""
-    docs = load(spark, sf_dir, "documents")
-    media = synthetic_media(docs)
-    decoded = decode_media(media, fake=True)
-    planned = resize_plan(decoded, max_side=32)
+# exact mean of the pattern (seed + i) % modulus (shifted by `shift`)
+# over n values: integer list_sum, then one double division
+def _mean_sql(seed: str, n: str, modulus: int, shift: int = 0) -> str:
     return (
-        planned.groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("width"), 4).alias("avg_width"),
-            F.round(F.avg("target_height"), 4).alias("avg_target_height"),
-        )
+        f"CAST(list_sum(list_transform(generate_series(0, ({n}) - 1), "
+        f"i -> ({seed} + i) % {modulus} - {shift})) AS DOUBLE) / ({n})"
+    )
+
+
+def _decode_oracle() -> str:
+    ppm_n = "pw * ph * 3"
+    bmp_n = "bw * bh * 3"
+    bmp_body = "((bw * 3 + 3) // 4 * 4) * bh"
+    return f"""
+    WITH m AS ({_M})
+    SELECT media_id,
+           CASE WHEN k = 2 THEN 'audio' ELSE 'image' END AS kind,
+           CASE WHEN corrupt THEN NULL WHEN k = 0 THEN 'ppm'
+                WHEN k = 1 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN corrupt OR k = 2 THEN NULL
+                WHEN k = 0 THEN pw ELSE bw END AS INT) AS width,
+           CAST(CASE WHEN corrupt OR k = 2 THEN NULL
+                WHEN k = 0 THEN ph ELSE bh END AS INT) AS height,
+           CAST(CASE WHEN corrupt THEN NULL
+                WHEN k = 2 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN corrupt OR k < 2 THEN NULL
+                ELSE 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN corrupt THEN NULL WHEN k = 0 THEN pw * ph
+                WHEN k = 1 THEN bw * bh ELSE ns END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN corrupt THEN NULL WHEN k = 0 THEN {ppm_n}
+                WHEN k = 1 THEN {bmp_n} ELSE 2 * ns END AS BIGINT) AS n_bytes,
+           CASE WHEN corrupt THEN NULL
+                WHEN k = 0 THEN {_mean_sql("ps", ppm_n, 256)}
+                WHEN k = 1 THEN {_mean_sql("ps", bmp_n, 256)}
+                ELSE {_mean_sql("ws", "ns", 512, 256)} END AS mean_val,
+           CASE WHEN NOT corrupt THEN NULL
+                WHEN k = 0 THEN 'ppm: truncated body: expected '
+                  || CAST({ppm_n} AS VARCHAR) || ' bytes, got '
+                  || CAST(({ppm_n}) // 2 AS VARCHAR)
+                WHEN k = 1 THEN 'bmp: truncated body: expected '
+                  || CAST({bmp_body} AS VARCHAR) || ' bytes, got '
+                  || CAST(({bmp_body}) // 2 AS VARCHAR)
+                ELSE 'wav: truncated data: expected '
+                  || CAST(2 * ns AS VARCHAR) || ' bytes, got '
+                  || CAST(ns AS VARCHAR) END AS error
+    FROM m
+    """
+
+
+@query("media_decode_stats", oracle=_decode_oracle())
+def media_decode_stats(spark, sf_dir):
+    """REAL multimodal decode end-to-end: deterministic PPM/BMP/WAV
+    payloads (actual format bytes) -> Arrow-batched mapInPandas running
+    the pure-numpy codecs -> per-row decoded stats. Corrupt payloads
+    (every 97th doc: valid header, half the body) survive as error rows
+    carrying the decoder's message. The oracle replays every decoded
+    dimension, byte count, and exact mean pixel/sample value from the
+    generator arithmetic — the decode is checked against real bytes, not
+    a stub."""
+    docs = load(spark, sf_dir, "documents")
+    return decode_media(real_media(docs))
+
+
+def _hist_sql(seed: str, n: str, modulus: int, n_bins: int) -> str:
+    """Exact bin counts of the pattern (seed + i) % modulus over n
+    values, bin width modulus/n_bins: full cycles contribute equally,
+    the partial window [0, n % modulus) covers residue r iff
+    ((r - seed) mod modulus) < n % modulus."""
+    width = modulus // n_bins
+    return (
+        f"list_transform(generate_series(0, {n_bins - 1}), b -> "
+        f"CAST(({n}) // {modulus} * {width} + "
+        f"list_sum(list_transform(generate_series(b * {width}, "
+        f"b * {width} + {width - 1}), "
+        f"r -> CASE WHEN (r - ({seed}) + {modulus}) % {modulus} "
+        f"< ({n}) % {modulus} THEN 1 ELSE 0 END)) AS DOUBLE) / ({n}))"
+    )
+
+
+def _features_oracle() -> str:
+    return f"""
+    WITH m AS ({_M})
+    SELECT media_id,
+           CASE WHEN k = 2 THEN 'audio' ELSE 'image' END AS kind,
+           CASE WHEN corrupt THEN NULL
+                WHEN k = 0 THEN {_hist_sql("ps", "pw * ph * 3", 256, 16)}
+                WHEN k = 1 THEN {_hist_sql("ps", "bw * bh * 3", 256, 16)}
+                ELSE {_hist_sql("ws", "ns", 512, 16)} END AS feature
+    FROM m
+    """
+
+
+@query("media_feature_hist", oracle=_features_oracle())
+def media_feature_hist(spark, sf_dir):
+    """Content embeddings from REAL decoded media: 16-bin L1-normalized
+    histogram of the decoded pixel bytes (images) / int16 samples mapped
+    onto the byte scale (audio) — the array<double> shape the ANN and
+    embedding-dedup operators consume. Corrupt rows emit a NULL feature.
+    The oracle reconstructs every bin count exactly from the generator
+    pattern (full cycles + partial-window residue test)."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(real_media(docs), n_bins=16)
+
+
+def _resize_oracle() -> str:
+    tw = (
+        "CAST(greatest(round({w} * least(1.0, 32.0 / greatest({w}, {h}))), 1)"
+        " AS INT)"
+    )
+    return f"""
+    WITH m AS ({_M}),
+    decoded AS (
+      SELECT CASE WHEN k = 2 THEN 'audio' ELSE 'image' END AS kind,
+             CASE WHEN corrupt THEN NULL WHEN k = 0 THEN 'ppm'
+                  WHEN k = 1 THEN 'bmp' ELSE 'wav' END AS format,
+             CASE WHEN corrupt OR k = 2 THEN NULL
+                  WHEN k = 0 THEN pw ELSE bw END AS width,
+             CASE WHEN corrupt OR k = 2 THEN NULL
+                  WHEN k = 0 THEN ph ELSE bh END AS height,
+             corrupt
+      FROM m
+    )
+    SELECT kind, format,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           round(avg({tw.format(w="width", h="height")}), 4)
+             AS avg_target_width,
+           round(avg({tw.format(w="height", h="width")}), 4)
+             AS avg_target_height
+    FROM decoded
+    GROUP BY kind, format
+    """
+
+
+@query("media_resize_rollup", oracle=_resize_oracle())
+def media_resize_rollup(spark, sf_dir):
+    """Decode -> resize-plan -> rollup over real media: per (kind,
+    format) counts, error counts, and average aspect-preserving target
+    dims (max side 32). Error rows group under a NULL format — visible
+    in the rollup a pipeline operator monitors, not silently dropped."""
+    docs = load(spark, sf_dir, "documents")
+    planned = resize_plan(decode_media(real_media(docs)), max_side=32)
+    return planned.groupBy("kind", "format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.round(F.avg("target_width"), 4).alias("avg_target_width"),
+        F.round(F.avg("target_height"), 4).alias("avg_target_height"),
     )
