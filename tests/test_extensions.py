@@ -535,3 +535,106 @@ def test_sq8_matches_brute_force_with_full_pool(spark, sf_dir):
         for r in sq8_topk(emb, qs, k=1, rerank_factor=4).collect()
     }
     assert normal == {q: v[0] for (q, rk), v in exact.items() if rk == 1}
+
+
+def test_dataset_split_partitions_every_row_once(spark):
+    from timeseries_spark.extensions.sampling import dataset_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # every row assigned exactly once, proportions near fractions
+    assert sum(counts.values()) == 2000
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    # deterministic: re-running yields the identical assignment
+    again = dataset_split(df, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    assert out.exceptAll(again).count() == 0
+    # a fraction gap is a loud error, not silent row loss
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        dataset_split(df, [("train", 0.5), ("test", 0.4)])
+    # zero-shuffle plan: a pure projection over the scan
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_mix_rebalances_toward_uniform(spark):
+    from timeseries_spark.extensions.sampling import temperature_mix
+
+    # 1000 'big' rows vs 40 'small' rows
+    df = spark.range(0, 1040).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("small")).alias(
+            "source"
+        ),
+    )
+    out = temperature_mix(df, alpha=0.5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0.5: small strata upsampled, big downsampled, total ~N
+    assert counts["small"] > 40
+    assert counts["big"] < 1000
+    assert abs(sum(counts.values()) - 1040) < 60
+    # weight math: w_s = sqrt(n_s)/(sqrt(nb)+sqrt(ns)) * N / n_s
+    import math
+
+    denom = math.sqrt(1000) + math.sqrt(40)
+    w_small = round(math.sqrt(40) / denom * 1040 / 40, 6)
+    got = out.filter(F.col("source") == "small").select("mix_weight").first()[0]
+    assert got == pytest.approx(w_small, abs=1e-6)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, alpha=-1.0)
+
+
+def test_chunk_documents_overlap_walk(spark):
+    from timeseries_spark.extensions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, stride 48, bound 84 -> starts 1 and 49
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [1, 49]
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 52]
+    assert c1[0]["chunk_text"].split(" ")[-1] == "w63"
+    assert c1[1]["chunk_text"].split(" ") == [f"w{i}" for i in range(48, 100)]
+    # short and empty docs produce exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert len(by_doc[3]) == 1
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_decontaminate_drops_eval_copies(spark):
+    from timeseries_spark.extensions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris indeed"),  # eval copy
+            (2, "the capital of france is paris my friend"),  # near copy
+            (3, "completely unrelated training document text here"),
+            (4, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the capital of france is paris indeed")],
+        "doc_id bigint, text string",
+    )
+    kept = decontaminate(train, ev, n=3, min_hits=2)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [3, 4]  # 1 shares all shingles, 2 shares 4 of them
+    hits = {r["doc_id"]: r["n_eval_hits"] for r in kept.collect()}
+    assert hits == {3: 0, 4: 0}
+    # the corpus side must not shuffle for the join: eval side broadcasts
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -520,3 +520,68 @@ def semantic_dedup(
         .join(documents.select(doc_id_col, "source"), doc_id_col)
         .select(doc_id_col, "n_members", "source")
     )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Per-train-doc count of DISTINCT word n-grams shared with the eval
+    set — the decontamination signal: a train doc overlapping an eval
+    benchmark leaks test answers into the training corpus.
+
+    Plan shape for the realistic size asymmetry (train = the 100 TB
+    corpus, eval = a few benchmark suites): the eval side collapses to
+    its distinct shingle set and BROADCASTS into the train-side shingle
+    stream, so the corpus is touched once with a map-side hash join —
+    no shuffle of the corpus at all; the only exchange is the per-doc
+    hit-count groupBy, whose input is already filtered to matching
+    shingles (tiny). Output: (id, n_eval_hits > 0 docs only)."""
+    ev = eval_df.select(
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(eval_text_col)), n))
+        ).alias("sh")
+    ).distinct()
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("sh"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Remove train docs sharing >= ``min_hits`` distinct word n-grams
+    with the eval set (the standard n-gram decontamination rule; exact
+    eval copies inside train share ALL their shingles and always go).
+    Keeps every train column and adds ``n_eval_hits`` (0 for docs with
+    no overlap). The hit table is bounded by the contaminated-doc count,
+    so it broadcasts back into the corpus — one corpus scan end to
+    end."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    hits = contamination_hits(
+        train, eval_df, n, text_col, id_col, eval_text_col
+    ).withColumnRenamed("id", id_col)
+    return (
+        train.join(F.broadcast(hits), id_col, "left")
+        .withColumn("n_eval_hits", F.coalesce("n_eval_hits", F.lit(0)))
+        .filter(F.col("n_eval_hits") < min_hits)
+    )

@@ -97,6 +97,146 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
 
 
+def dataset_split(
+    df: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one split, decided by its key hash against cumulative integer
+    thresholds — the split is stable under repartitioning, re-runs, and
+    engine changes, so train/eval membership is auditable (the property
+    row-level ``randomSplit`` lacks: its assignment changes with
+    partitioning). Fractions must sum to 1.0 (within 1e-9); the LAST
+    split absorbs the hash-space remainder so no row is ever unassigned.
+
+    One codegen'd when/otherwise projection over the shared decision
+    hash — zero shuffles; adds a ``split`` column."""
+    splits = splits or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if len(splits) < 1:
+        raise ValueError("splits must be non-empty")
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1.0, got {total} — a gap would"
+            " silently leave rows unassigned, an overlap double-assigns"
+        )
+    h = sample_hash(F.col(key_col), salt)
+    cum = 0.0
+    col: Column | None = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = h < F.lit(_threshold(cum))
+        col = F.when(cond, F.lit(name)) if col is None else col.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(splits[-1][0])
+    return df.withColumn("split", last if col is None else col.otherwise(last))
+
+
+def dataset_split_sql(
+    splits: list[tuple[str, float]],
+    key_expr: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB CASE expression replaying :func:`dataset_split`'s cumulative
+    thresholds against the same decision hash."""
+    h = sample_hash_sql(key_expr, salt)
+    arms, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        arms.append(f"WHEN {h} < {_threshold(cum)} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{splits[-1][0]}' END"
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: per-stratum replication weights
+    are DERIVED FROM THE DATA as ``w_s = (n_s^alpha / sum_t n_t^alpha) *
+    N / n_s`` — the standard multilingual/multi-source rebalancing rule
+    (alpha=1 keeps natural proportions, alpha=0 equalizes strata, 0.5 is
+    the usual compromise) — then applied with the same floor(w)-copies +
+    hash-decided-extra replication as :func:`weighted_mix`. Total output
+    size stays ~N while small strata are upsampled and large ones
+    downsampled.
+
+    Determinism discipline: the stratum count table is tiny, so the
+    power-sum denominator folds a SORTED (by stratum) array in order —
+    aggregation order, the one float nondeterminism in a distributed
+    sum, is pinned — and the weight rounds to 6dp before the floor/frac
+    split so a last-ulp ``pow`` difference between engines cannot move
+    the replication boundary. Plan shape: one groupBy on the stratum
+    (tiny output), a broadcast join back, then the codegen'd explode —
+    the corpus itself is touched once and never reshuffled.
+
+    Output adds ``mix_weight`` (the 6dp per-stratum weight) and ``copy``
+    (0-based replica index)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # fold the per-stratum array in sorted order: total and power-sum are
+    # then order-deterministic, matching the oracle's list_reduce
+    stats = (
+        counts.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__stratum", "__n"))
+            ).alias("s")
+        )
+        .select(
+            F.aggregate(
+                "s", F.lit(0).cast("bigint"), lambda a, t: a + t["__n"]
+            ).alias("__total"),
+            F.aggregate(
+                "s",
+                F.lit(0.0),
+                lambda a, t: a + F.pow(t["__n"].cast("double"), F.lit(alpha)),
+            ).alias("__powsum"),
+        )
+    )
+    weights = counts.crossJoin(F.broadcast(stats)).select(
+        "__stratum",
+        F.round(
+            F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.col("__powsum")
+            * F.col("__total").cast("double")
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("mix_weight"),
+    )
+    n_full = F.floor(F.col("mix_weight")).cast("int")
+    frac_thr = F.floor(
+        (F.col("mix_weight") - F.floor(F.col("mix_weight")))
+        * F.lit(float(_HASH_SPACE))
+    ).cast("bigint")
+    copies = n_full + F.when(
+        sample_hash(F.col(key_col), salt) < frac_thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(
+            F.broadcast(weights),
+            df[strata_col] == weights["__stratum"],
+        )
+        .drop("__stratum")
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    copies >= 1, F.sequence(F.lit(0), copies - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],

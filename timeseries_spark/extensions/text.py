@@ -190,6 +190,60 @@ def pack_contexts(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the chunker feeding embedding/retrieval pipelines (chunk size = the
+    embedding model's context, overlap preserves cross-boundary
+    context). Start positions advance by ``chunk_tokens - overlap``;
+    the final window is emitted short rather than padded, and a start
+    is emitted only while it opens NEW tokens (start <= n - overlap),
+    so no chunk is a suffix-subset of its predecessor. Docs shorter
+    than one stride produce exactly one chunk.
+
+    Pure codegen'd sequence/slice HOFs — zero shuffles, rows fan out by
+    ~n_tokens/stride. Output: (id, chunk_idx 0-based, chunk_start
+    1-based, n_chunk_tokens, chunk_text)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        # overlap >= chunk_tokens makes the stride <= 0: an infinite /
+        # negative sequence step instead of a chunk walk
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("chunk_start") + 1
+            ).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -423,3 +423,75 @@ def corpus_clean(spark, sf_dir):
         "n_words",
         F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
     )
+
+
+def _eval_docs_sql() -> str:
+    return "SELECT * FROM documents WHERE doc_id % 41 = 0"
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS sh
+      FROM ({_eval_docs_sql()})
+    ),
+    tr AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    )
+    SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+    FROM tr JOIN ev USING (sh)
+    GROUP BY id
+    """,
+)
+def contamination_report(spark, sf_dir):
+    """Train/eval overlap audit: for every corpus doc sharing at least
+    one distinct 3-gram with the eval set (every 41st doc, standing in
+    for a benchmark suite), the count of shared distinct 3-grams. The
+    eval shingle set broadcasts, so the corpus is scanned once with a
+    map-side join — the plan shape for a 100 TB train corpus vs a
+    few-MB benchmark."""
+    from timeseries_spark.extensions.dedup import contamination_hits
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.pmod("doc_id", F.lit(41)) == 0)
+    return contamination_hits(docs, ev, n=3).select(
+        F.col("id").alias("doc_id"), "n_eval_hits"
+    )
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS sh
+      FROM ({_eval_docs_sql()})
+    ),
+    tr AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    ),
+    hits AS (
+      SELECT id, count(*) AS n_eval_hits
+      FROM tr JOIN ev USING (sh)
+      GROUP BY id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+    WHERE coalesce(h.n_eval_hits, 0) < 2
+    """,
+)
+def decontaminate_corpus(spark, sf_dir):
+    """N-gram decontamination: drop every corpus doc sharing >= 2
+    distinct 3-grams with the eval set (every 41st doc) — eval docs
+    themselves share ALL their shingles and always go, near-copies go
+    with them, clean docs keep an audited n_eval_hits of 0 or 1. One
+    corpus scan: eval shingles broadcast in, the bounded hit table
+    broadcasts back."""
+    from timeseries_spark.extensions.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.pmod("doc_id", F.lit(41)) == 0)
+    return decontaminate(docs, ev, n=3, min_hits=2).select(
+        "doc_id", "source", "n_eval_hits"
+    )

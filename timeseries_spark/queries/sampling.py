@@ -10,9 +10,12 @@ from __future__ import annotations
 
 from timeseries_spark.extensions.sampling import (
     _threshold,
+    dataset_split,
+    dataset_split_sql,
     deterministic_sample,
     sample_hash_sql,
     stratified_sample,
+    temperature_mix,
     weighted_mix,
 )
 from timeseries_spark.queries import load, query
@@ -91,6 +94,79 @@ def corpus_mix_weighted(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = weighted_mix(docs, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)
     return out.select("doc_id", "source", "copy")
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {dataset_split_sql(_SPLITS, "doc_id", "split")} AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment over the corpus:
+    each doc's split is decided by its id hash against cumulative integer
+    thresholds — stable under repartitioning and re-runs, so eval
+    membership is auditable (randomSplit's assignment is neither). One
+    codegen'd projection, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return dataset_split(docs, _SPLITS).select("doc_id", "lang", "split")
+
+
+_TMIX_HASH_SPACE = "1152921504606846976.0"  # 2^60, exact as a double
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    stats AS (
+      SELECT
+        list_reduce(list_prepend(0::BIGINT, list(n ORDER BY stratum)),
+                    (a, b) -> a + b) AS total,
+        list_reduce(list_prepend(0.0::DOUBLE,
+                                 list(power(n::DOUBLE, 0.5) ORDER BY stratum)),
+                    (a, b) -> a + b) AS powsum
+      FROM counts
+    ),
+    weights AS (
+      SELECT stratum,
+             round(power(n::DOUBLE, 0.5) / powsum * total::DOUBLE
+                   / n::DOUBLE, 6) AS mix_weight
+      FROM counts CROSS JOIN stats
+    ),
+    base AS (
+      SELECT d.doc_id, d.source, w.mix_weight,
+             CAST(floor(mix_weight) AS INT)
+             + CASE WHEN {sample_hash_sql("d.doc_id", "tmix")}
+                         < CAST(floor((mix_weight - floor(mix_weight))
+                                      * {_TMIX_HASH_SPACE}) AS BIGINT)
+                    THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN weights w ON w.stratum = d.source
+    )
+    SELECT doc_id, source, mix_weight, CAST(g.copy AS INT) AS copy
+    FROM base, unnest(generate_series(0, copies - 1)) AS g(copy)
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) corpus mixing with weights DERIVED
+    FROM THE DATA: per-source weights (n_s^0.5 / sum n^0.5) * N / n_s
+    upsample small sources and downsample large ones at constant ~N total
+    — the multilingual rebalancing rule — then the weighted_mix replication
+    applies them deterministically. The power-sum folds a sorted stratum
+    array so the one distributed-sum float nondeterminism is pinned; the
+    oracle replays weights and replica set exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=0.5).select(
+        "doc_id", "source", "mix_weight", "copy"
+    )
 
 
 @query(

@@ -270,3 +270,38 @@ def pii_audit_counts(spark, sf_dir):
     return pii_counts(docs).select(
         "doc_id", "n_emails", "n_urls", "n_long_digit_runs"
     )
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, n, g.s AS chunk_start
+      FROM t, unnest(generate_series(1, greatest(n - 16, 1), 48)) AS g(s)
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) / 48 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(least(64, n - chunk_start + 1) AS INT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_start, chunk_start + 63), ' '
+           ) AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) over the documents corpus — the retrieval/embedding chunker:
+    start positions stride by 48, the tail chunk is emitted short, and a
+    start opens only new tokens so no chunk is a suffix-subset of its
+    predecessor. Pure sequence/slice HOFs, zero shuffles; the oracle
+    replays the identical walk."""
+    from timeseries_spark.extensions.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
