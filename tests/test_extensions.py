@@ -638,3 +638,35 @@ def test_decontaminate_drops_eval_copies(spark):
     # the corpus side must not shuffle for the join: eval side broadcasts
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_matches_brute_force_with_full_pool(spark, sf_dir):
+    """With a rerank pool covering the whole corpus, PQ's exact re-rank
+    must reproduce brute-force top-k identically (the codebook can then
+    never evict a true neighbor); encoding must emit one code per
+    subspace; and a dims/m mismatch is a loud error."""
+    from timeseries_spark.extensions.pq import pq_encode, pq_topk
+    from timeseries_spark.extensions.similarity import brute_force_topk
+    from timeseries_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(120).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, qs, k=3).collect()
+    }
+    full_pool = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in pq_topk(emb, qs, k=3, rerank_factor=50).collect()
+    }
+    assert full_pool == exact
+    enc = pq_encode(emb, m=2, dims=64, n_clusters=4, kmeans_iter=2)
+    row = enc.first()
+    assert len(row["codes"]) == 2
+    assert all(0 <= c < 4 for c in row["codes"])
+    assert len(row["dq"]) == 64
+    with pytest.raises(ValueError, match="divide evenly"):
+        pq_encode(emb, m=3, dims=64)

@@ -1,0 +1,214 @@
+"""Product-quantization (PQ) ANN with exact re-ranking.
+
+The third compression tier beside SQ8 (extensions/similarity.py) and IVF
+(extensions/kmeans.py): the vector space is split into ``m`` contiguous
+subspaces; each subspace gets its own small k-means codebook; every
+corpus vector is represented by ``m`` code ids (one byte each at k<=256 —
+a 64-dim float vector compresses to m bytes) and approximated by the
+concatenation of its per-subspace codebook centroids. Queries rank the
+corpus on the approximate (reconstructed) cosine, then the top
+``k * rerank_factor`` pool per query is re-scored with exact
+full-precision cosine — the same recall contract as SQ8 but with a
+trained codebook, which adapts to the data distribution instead of a
+per-dim affine grid.
+
+Determinism discipline: the per-subspace quantizer is the deterministic
+Lloyd loop from extensions/kmeans.py (min-id init, tie-broken argmin);
+the CODEBOOK used for reconstruction is recomputed from the FINAL
+assignment as per-cluster per-dimension means — a pure function of the
+assignment, so a DuckDB oracle can replay assign rounds and codebook
+exactly without tracking which centroid table the early-exit loop
+stopped on. Similarities are left-fold doubles rounded to 6dp, ranks
+tie-break on neighbor id.
+
+Plan shape at 100 TB: each subspace's training reduces the corpus
+through dim-keyed aggregates (never collects it); codebooks are k rows,
+broadcast; encoding is m broadcast joins on the corpus id; the
+approximate phase reuses the salted two-phase top-k (no per-query
+single-task sort); the exact phase touches k * rerank_factor rows per
+query. Code ids ride along in the output of ``pq_encode`` so a sink can
+persist the m-byte codes instead of the raw vectors.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.kmeans import kmeans_fit
+from timeseries_spark.functions.parallelism import ensure_parallelism
+from timeseries_spark.functions.vectors import cosine_similarity
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _checked_vec(col, dims: int, who: str):
+    # a dims mismatch would slice short subvectors and silently train a
+    # garbage codebook — fail loudly (contract shared with sq8_topk /
+    # hyperplane_lsh_topk)
+    v = _as_double(col)
+    return F.when(F.size(v) == dims, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{who}: expected {dims}-dim vector, got "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    m: int = 2,
+    dims: int = 64,
+    n_clusters: int = 4,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train ``m`` per-subspace codebooks and encode the corpus.
+
+    Output: (id, v full-precision double vector, dq reconstructed
+    vector, codes array<int> of m codebook ids). Each subspace trains
+    the deterministic Lloyd quantizer on its slice; the codebook entry
+    is the per-cluster per-dimension mean of the FINAL assignment, and
+    ``dq`` concatenates the m entries back to a full-width vector."""
+    if dims % m != 0:
+        raise ValueError(
+            f"dims must divide evenly into m subspaces, got dims={dims}"
+            f" m={m}"
+        )
+    sub_dims = dims // m
+    pts = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            _checked_vec(F.col(vec_col), dims, "pq_encode").alias("v"),
+        )
+    )
+    parts = []
+    for s in range(m):
+        sub = pts.select(
+            "__id",
+            F.slice(F.col("v"), s * sub_dims + 1, sub_dims).alias("__sub"),
+        )
+        assigned, _ = kmeans_fit(
+            sub, k=n_clusters, max_iter=kmeans_iter,
+            id_col="__id", vec_col="__sub",
+        )
+        # codebook = per-cluster per-dim means of the final assignment
+        # (pure function of the assignment -> oracle-replayable)
+        book = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("dm"), lambda t: t["m"]).alias(f"__p{s}"),
+            )
+        )
+        parts.append(
+            assigned.select(F.col("vid").alias("__id"), "cluster")
+            .join(F.broadcast(book), "cluster")
+            .select(
+                "__id",
+                F.col("cluster").alias(f"__code{s}"),
+                f"__p{s}",
+            )
+        )
+    recon = reduce(lambda a, b: a.join(b, "__id"), parts)
+    return pts.join(recon, "__id").select(
+        F.col("__id").alias(id_col),
+        "v",
+        F.concat(*[F.col(f"__p{s}") for s in range(m)]).alias("dq"),
+        F.array(*[F.col(f"__code{s}").cast("int") for s in range(m)]).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 2,
+    dims: int = 64,
+    n_clusters: int = 4,
+    kmeans_iter: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    num_salts: int = 32,
+) -> DataFrame:
+    """PQ ANN: rank on reconstructed-vector cosine, re-rank the top
+    ``k * rerank_factor`` pool per query with exact cosine. Output:
+    (query_id, neighbor_id, cos_sim, rank) — exact cosine on the
+    re-ranked winners, rank tie-broken by neighbor id."""
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    enc = pq_encode(
+        vectors, m=m, dims=dims, n_clusters=n_clusters,
+        kmeans_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "v", "dq")
+    scored = (
+        enc.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    _checked_vec(
+                        F.col(query_vec_col), dims, "pq_topk"
+                    ).alias("q"),
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "v",
+            "q",
+            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
+                "approx_sim"
+            ),
+            F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias(
+                "__salt"
+            ),
+        )
+    )
+    pool_n = k * rerank_factor
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= pool_n)
+        .withColumn("__pr", F.row_number().over(w_pool))
+        .filter(F.col("__pr") <= pool_n)
+        .drop("__lr", "__pr", "__salt")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

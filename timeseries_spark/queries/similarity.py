@@ -530,3 +530,127 @@ def ann_sq8_topk(spark, sf_dir):
     return sq8_topk(
         emb, _queries_df(spark, sf_dir), k=5, dims=64, rerank_factor=4
     )
+
+
+def _pq_oracle(
+    m: int = 2, sub: int = 32, kk: int = 4, rounds: int = 2,
+    k: int = 5, pool: int = 20,
+) -> str:
+    """DuckDB replay of extensions/pq.py: per-subspace deterministic
+    Lloyd rounds on the vector slice, codebook = per-cluster per-dim
+    means of the FINAL assignment, reconstruction = concatenated
+    codebook entries, then approx-cosine pool -> exact re-rank. Same
+    fold orders, 6dp rounds, and id tie-breaks as the Spark side."""
+    d = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
+    ctes = [
+        "WITH fpts AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv "
+        "FROM embeddings)"
+    ]
+    for s in range(m):
+        p = f"s{s}"
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"{p}pts AS (SELECT vid, list_slice(fv, {lo}, {hi}) AS v "
+            f"FROM fpts)"
+        )
+        ctes.append(
+            f"{p}c0 AS (SELECT (row_number() OVER (ORDER BY vid)) - 1 "
+            f"AS cid, v AS c FROM {p}pts ORDER BY vid LIMIT {kk})"
+        )
+        for r in range(rounds):
+            ctes.append(f"""{p}a{r} AS (
+      SELECT vid, v, cid AS cluster, sq_dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY sq_dist, cid) AS rn
+        FROM (
+          SELECT p.vid, p.v, c.cid,
+                 list_sum(list_transform(
+                   generate_series(1, {sub}), i -> {d})) AS sq_dist
+          FROM {p}pts p CROSS JOIN {p}c{r} c
+        )
+      ) WHERE rn = 1
+    )""")
+            if r < rounds - 1:
+                ctes.append(f"""{p}m{r + 1} AS (
+      SELECT cluster AS cid, list(mv ORDER BY dim) AS c FROM (
+        SELECT a.cluster, i AS dim, avg(a.v[i]) AS mv
+        FROM {p}a{r} a, unnest(generate_series(1, {sub})) AS g(i)
+        GROUP BY a.cluster, i
+      ) GROUP BY cluster
+    )""")
+                ctes.append(
+                    f"{p}c{r + 1} AS (SELECT p.cid, coalesce(mm.c, p.c) "
+                    f"AS c FROM {p}c{r} p LEFT JOIN {p}m{r + 1} mm "
+                    f"ON mm.cid = p.cid)"
+                )
+        last = f"{p}a{rounds - 1}"
+        ctes.append(f"""{p}book AS (
+      SELECT cluster, list(mv ORDER BY dim) AS bc FROM (
+        SELECT a.cluster, i AS dim, avg(a.v[i]) AS mv
+        FROM {last} a, unnest(generate_series(1, {sub})) AS g(i)
+        GROUP BY a.cluster, i
+      ) GROUP BY cluster
+    )""")
+        ctes.append(
+            f"{p}rec AS (SELECT a.vid, b.bc AS p{s} FROM {last} a "
+            f"JOIN {p}book b USING (cluster))"
+        )
+    joins = "s0rec" + "".join(
+        f" JOIN s{s}rec USING (vid)" for s in range(1, m)
+    )
+    concat = "p0"
+    for s in range(1, m):
+        concat = f"list_concat({concat}, p{s})"
+    ctes.append(
+        f"rec AS (SELECT vid, {concat} AS dq FROM {joins})"
+    )
+    ctes.append(
+        "enc AS (SELECT f.vid, f.fv, r.dq FROM fpts f JOIN rec r "
+        "USING (vid))"
+    )
+    ctes.append("q AS (SELECT vid AS query_id, fv AS qv FROM fpts WHERE vid < 8)")
+    ctes.append(f"""approx AS (
+      SELECT q.query_id, q.qv, e.vid AS neighbor_id, e.fv AS emb,
+             {_COS.format(a="q.qv", b="e.dq")} AS approx_sim
+      FROM q CROSS JOIN enc e
+      WHERE e.vid != q.query_id
+    )""")
+    ctes.append(f"""pool AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id
+        ) AS ar FROM approx
+      ) WHERE ar <= {pool}
+    )""")
+    return ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             {_COS.format(a="qv", b="emb")} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(a="qv", b="emb")} DESC, neighbor_id
+             ) AS rank
+      FROM pool
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle(m=2, sub=32, kk=4, rounds=2))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: two 32-dim subspaces each train a
+    deterministic 4-centroid Lloyd codebook (2 rounds); corpus vectors
+    are approximated by their concatenated codebook entries (codes = 2
+    small ints per vector — the m-byte compression tier beyond SQ8's
+    one-byte-per-dim), ranked by approximate cosine, and the 20-wide
+    per-query pool is re-ranked with exact cosine. The oracle replays
+    subspace training, codebook means, reconstruction, pool, and
+    re-rank exactly."""
+    from timeseries_spark.extensions.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, m=2, dims=64,
+        n_clusters=4, kmeans_iter=2, rerank_factor=4,
+    )
