@@ -670,3 +670,32 @@ def test_pq_matches_brute_force_with_full_pool(spark, sf_dir):
     assert len(row["dq"]) == 64
     with pytest.raises(ValueError, match="divide evenly"):
         pq_encode(emb, m=3, dims=64)
+
+
+def test_take_n_per_stratum_exact_counts_and_nesting(spark):
+    from timeseries_spark.extensions.sampling import take_n_per_stratum
+
+    # 300 'big' rows, 5 'tiny' rows
+    df = spark.range(0, 305).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, F.lit("big")).otherwise(F.lit("tiny")).alias(
+            "source"
+        ),
+    )
+    out = take_n_per_stratum(df, n=20).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # exactly min(n, |stratum|) rows per stratum, ranks 1..n contiguous
+    assert len(by_src["big"]) == 20
+    assert len(by_src["tiny"]) == 5
+    assert sorted(r["take_rank"] for r in by_src["big"]) == list(range(1, 21))
+    # nesting: the n=10 sample is a strict subset of the n=20 sample
+    small = {
+        (r["source"], r["doc_id"])
+        for r in take_n_per_stratum(df, n=10).collect()
+    }
+    big = {(r["source"], r["doc_id"]) for r in out}
+    assert small < big
+    with pytest.raises(ValueError, match="n must be"):
+        take_n_per_stratum(df, n=0)

@@ -18,7 +18,7 @@ no cross-engine rounding edge at the keep/drop boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.hashing import md5_long
@@ -234,6 +234,51 @@ def temperature_mix(
                 ).otherwise(F.array().cast("array<int>"))
             ),
         )
+    )
+
+
+def take_n_per_stratum(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "take",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Deterministic fixed-COUNT subsample: exactly ``min(n, |stratum|)``
+    rows per stratum, chosen as the lowest decision-hash keys — the
+    "cap every source at N docs" primitive (fractions can't express a
+    hard cap when stratum sizes are unknown or skewed). The hash order
+    makes the selection a stable pseudo-random draw: reproducible across
+    engines/runs, and growing ``n`` only ever ADDS rows to the sample
+    (nested like the fraction samplers).
+
+    Scale shape: a bare ``row_number() OVER (PARTITION BY stratum)``
+    funnels the LARGEST stratum through one task — the crawl source at
+    100 TB. Instead the per-stratum top-n runs in two phases (same idiom
+    as brute_force_topk): a local top-n within (stratum, key-hash salt)
+    bounds every window partition at ~|stratum|/num_salts rows, then the
+    global top-n ranks at most ``num_salts * n`` survivors. Lossless:
+    each row lives in exactly one salt bucket, so every global winner
+    survives its bucket's local top-n. Output adds ``take_rank``
+    (1-based within the stratum)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    h = sample_hash(F.col(key_col), salt)
+    w_local = Window.partitionBy(
+        strata_col, F.pmod(F.hash(F.col(key_col)), F.lit(num_salts))
+    ).orderBy(h.asc(), F.col(key_col).asc())
+    w_global = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= n)
+        .withColumn("take_rank", F.row_number().over(w_global))
+        .filter(F.col("take_rank") <= n)
+        .drop("__lr")
     )
 
 

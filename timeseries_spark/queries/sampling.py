@@ -209,3 +209,31 @@ def context_packing(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return pack_contexts(docs, window_tokens=512, n_shards=4)
+
+
+@query(
+    "sample_take_n",
+    oracle=f"""
+    SELECT doc_id, source, CAST(take_rank AS INT) AS take_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sample_hash_sql("doc_id", "take")}, doc_id
+             ) AS take_rank
+      FROM documents
+    ) WHERE take_rank <= 30
+    """,
+)
+def sample_take_n(spark, sf_dir):
+    """Hard per-source cap: exactly min(30, |source|) docs per source,
+    selected as the lowest decision-hash ids — a stable pseudo-random
+    draw that fractions can't express when stratum sizes are unknown.
+    Runs as a salted two-phase top-n so the largest source never
+    funnels through one window task; the oracle's single-window
+    row_number is equivalent because salting is lossless for top-n."""
+    from timeseries_spark.extensions.sampling import take_n_per_stratum
+
+    docs = load(spark, sf_dir, "documents")
+    return take_n_per_stratum(docs, n=30).select(
+        "doc_id", "source", "take_rank"
+    )
