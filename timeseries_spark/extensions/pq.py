@@ -76,7 +76,14 @@ def pq_encode(
     vector, codes array<int> of m codebook ids). Each subspace trains
     the deterministic Lloyd quantizer on its slice; the codebook entry
     is the per-cluster per-dimension mean of the FINAL assignment, and
-    ``dq`` concatenates the m entries back to a full-width vector."""
+    ``dq`` concatenates the m entries back to a full-width vector.
+
+    Assembly avoids an m-way corpus self-join: the m per-subspace
+    assignment tables (each already joined to its broadcast k-row
+    codebook) UNION into one stream and fold back to one row per vector
+    with a single id-keyed groupBy — two corpus exchanges total
+    (union-fold + the join back to the full vectors) no matter how many
+    subspaces, where a join chain would pay m + 1."""
     if dims % m != 0:
         raise ValueError(
             f"dims must divide evenly into m subspaces, got dims={dims}"
@@ -119,18 +126,27 @@ def pq_encode(
             .join(F.broadcast(book), "cluster")
             .select(
                 "__id",
-                F.col("cluster").alias(f"__code{s}"),
-                f"__p{s}",
+                F.lit(s).alias("__sub"),
+                F.col("cluster").cast("int").alias("__code"),
+                F.col(f"__p{s}").alias("__p"),
             )
         )
-    recon = reduce(lambda a, b: a.join(b, "__id"), parts)
+    recon = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__sub", "__code", "__p"))
+            ).alias("__sp")
+        )
+        .select(
+            "__id",
+            F.flatten(F.transform("__sp", lambda t: t["__p"])).alias("dq"),
+            F.transform("__sp", lambda t: t["__code"]).alias("codes"),
+        )
+    )
     return pts.join(recon, "__id").select(
-        F.col("__id").alias(id_col),
-        "v",
-        F.concat(*[F.col(f"__p{s}") for s in range(m)]).alias("dq"),
-        F.array(*[F.col(f"__code{s}").cast("int") for s in range(m)]).alias(
-            "codes"
-        ),
+        F.col("__id").alias(id_col), "v", "dq", "codes"
     )
 
 

@@ -1,19 +1,24 @@
-"""5x scale-up experiment for the extension surface (SCALING.md).
+"""Nx scale-up experiment for the heaviest queries (SCALING.md).
 
-Replicates the sf0.1 inputs 5x with shifted id/key spaces — so
+Replicates the sf0.1 inputs Nx with shifted id/key spaces — so
 cardinality scales WITH the data, as it does in production — and times
-warm 1x vs 5x runs of the two heaviest extension operators:
+warm 1x vs Nx runs of the heaviest operators:
 
 - dedup_minhash_lsh: documents replicated with per-replica token
   prefixes, making shingle spaces disjoint across replicas. Within-
-  replica pair structure mirrors the original corpus, total pairs = 5x —
-  the honest analogue of a corpus that grew 5x without global near-dups.
+  replica pair structure mirrors the original corpus, total pairs = Nx —
+  the honest analogue of a corpus that grew Nx without global near-dups.
 - ann_ivf_kmeans: embeddings replicated with shifted vec_ids (same
   query set — the realistic scale path is corpus growth, not query
-  growth); k-means refit + IVF probe over the 5x corpus.
+  growth); k-means refit + IVF probe over the Nx corpus.
+- ann_hyperplane_topk: training-free LSH over the Nx corpus.
+- flagship score+novelty: orders replicated with per-replica
+  orderpriority suffixes so the KEY space scales with the data (the
+  regime a growing evidence corpus is actually in), then the full dense
+  harmonic-score + logistic-novelty pipeline.
 
-Usage: python tools/scale_check.py [sf_dir]
-Prints one JSON line per operator: {name, t1, t5, ratio}.
+Usage: python tools/scale_check.py [sf_dir] [n_rep]
+Prints one JSON line per operator: {name, t1, tN, ratio}.
 """
 
 from __future__ import annotations
@@ -86,25 +91,26 @@ def main() -> None:
     from timeseries_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     spark = get_spark("scale_check")
 
     docs1 = load(spark, sf_dir, "documents").select("doc_id", "text")
-    docs5 = replicate_docs(docs1, 5).localCheckpoint()
+    docsN = replicate_docs(docs1, n_rep).localCheckpoint()
     docs1 = docs1.localCheckpoint()
 
     def lsh(d):
         return lambda: lsh_candidates(d, n=3, num_hashes=32, bands=8).count()
 
     t1 = time_warm(lsh(docs1))
-    t5 = time_warm(lsh(docs5))
+    tN = time_warm(lsh(docsN))
     print(json.dumps({
-        "name": "dedup_minhash_lsh", "sf": sf_dir, "t1": t1, "t5": t5,
-        "ratio": round(t5 / max(t1, 1e-3), 2),
-        "rows1": docs1.count(), "rows5": docs5.count(),
+        "name": "dedup_minhash_lsh", "sf": sf_dir, "n_rep": n_rep, "t1": t1, "tN": tN,
+        "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": docs1.count(), "rowsN": docsN.count(),
     }))
 
     vecs1 = load(spark, sf_dir, "embeddings").localCheckpoint()
-    vecs5 = replicate_vecs(vecs1, 5).localCheckpoint()
+    vecsN = replicate_vecs(vecs1, n_rep).localCheckpoint()
     queries = (
         vecs1.filter(F.col("vec_id") % 97 == 0)
         .select(
@@ -124,11 +130,11 @@ def main() -> None:
         return run
 
     t1 = time_warm(ivf(vecs1))
-    t5 = time_warm(ivf(vecs5))
+    tN = time_warm(ivf(vecsN))
     print(json.dumps({
-        "name": "ann_ivf_kmeans", "sf": sf_dir, "t1": t1, "t5": t5,
-        "ratio": round(t5 / max(t1, 1e-3), 2),
-        "rows1": vecs1.count(), "rows5": vecs5.count(),
+        "name": "ann_ivf_kmeans", "sf": sf_dir, "n_rep": n_rep, "t1": t1, "tN": tN,
+        "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": vecs1.count(), "rowsN": vecsN.count(),
     }))
 
     def hp(v):
@@ -137,11 +143,54 @@ def main() -> None:
         ).count()
 
     t1 = time_warm(hp(vecs1))
-    t5 = time_warm(hp(vecs5))
+    tN = time_warm(hp(vecsN))
     print(json.dumps({
-        "name": "ann_hyperplane_topk", "sf": sf_dir, "t1": t1, "t5": t5,
-        "ratio": round(t5 / max(t1, 1e-3), 2),
-        "rows1": vecs1.count(), "rows5": vecs5.count(),
+        "name": "ann_hyperplane_topk", "sf": sf_dir, "n_rep": n_rep, "t1": t1, "tN": tN,
+        "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": vecs1.count(), "rowsN": vecsN.count(),
+    }))
+
+    # flagship: dense harmonic score + logistic novelty with the KEY
+    # space scaling alongside the evidence (replica-suffixed priorities)
+    from timeseries_spark.operators.novelty import add_novelty
+    from timeseries_spark.operators.scoring import association_score
+    from timeseries_spark.queries.tsq import KEYS, ORDERS_CFG
+
+    orders1 = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate",
+        "o_totalprice",
+    )
+    rep = orders1.crossJoin(
+        F.broadcast(spark.range(n_rep).select(F.col("id").alias("__r")))
+    )
+    ordersN = rep.select(
+        (F.col("o_orderkey") + F.col("__r") * 10_000_000).alias("o_orderkey"),
+        F.concat(
+            F.col("o_orderpriority"), F.lit("#"), F.col("__r").cast("string")
+        ).alias("o_orderpriority"),
+        "o_orderstatus", "o_orderdate", "o_totalprice",
+    ).localCheckpoint()
+    orders1 = orders1.localCheckpoint()
+
+    def flagship(o):
+        def run():
+            ev = o.select(
+                "o_orderpriority",
+                "o_orderstatus",
+                F.year("o_orderdate").cast("int").alias("year"),
+                (F.col("o_totalprice") / 600000).alias("score"),
+            )
+            add_novelty(
+                association_score(ev, ORDERS_CFG, KEYS), ORDERS_CFG, KEYS
+            ).count()
+        return run
+
+    t1 = time_warm(flagship(orders1))
+    tN = time_warm(flagship(ordersN))
+    print(json.dumps({
+        "name": "flagship_score_novelty", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": orders1.count(), "rowsN": ordersN.count(),
     }))
 
 
