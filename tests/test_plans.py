@@ -303,3 +303,45 @@ def test_rollup_is_single_pass(plan):
     assert "Expand" in p
     assert p.count("Union") == 0
     assert shuffles(p) <= 2  # rollup agg + nothing else; joins broadcast
+
+
+def test_round5_sampling_and_chunking_shuffle_free(plan):
+    """dataset_split and doc_chunks claim zero shuffles: both must stay
+    pure projection/explode plans over the scan."""
+    for name in ("dataset_split", "doc_chunks"):
+        p = plan(name)
+        assert shuffles(p) == 0, name
+        assert p.count("EvalPython") + p.count("InPandas") == 0, name
+
+
+def test_decontaminate_single_corpus_exchange(plan):
+    """Decontamination must scan the corpus once: eval shingles broadcast
+    in, the hit table broadcasts back — the corpus-grain exchanges are
+    the per-doc hit-count groupBy (already filtered to matching
+    shingles); the other allowed exchange is the EVAL side's tiny
+    distinct before its broadcast."""
+    for name in ("contamination_report", "decontaminate"):
+        p = plan(name)
+        assert p.count("SortMergeJoin") == 0, name
+        assert p.count("BroadcastHashJoin") > 0, name
+        assert shuffles(p) <= 2, name
+
+
+def test_temperature_mix_broadcasts_weights_back(plan):
+    """Temperature mixing: the corpus is touched once — stratum counts
+    reduce through a map-side partial agg, the k-row weight table
+    broadcasts back, replication is a codegen'd explode. The only
+    SinglePartition exchange carries the per-stratum stat rows."""
+    p = plan("corpus_mix_temperature")
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastHashJoin") > 0
+    assert shuffles(p) <= 2
+
+
+def test_take_n_two_phase_no_single_partition(plan):
+    """take_n_per_stratum: the per-stratum top-n must run salted (local
+    phase keyed by (stratum, salt)) so no stratum funnels into one task —
+    and never through a SinglePartition sort."""
+    p = plan("sample_take_n")
+    assert "SinglePartition" not in p
+    assert shuffles(p) <= 2

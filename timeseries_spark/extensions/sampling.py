@@ -183,8 +183,11 @@ def temperature_mix(
         F.count(F.lit(1)).alias("__n")
     )
     # fold the per-stratum array in sorted order: total and power-sum are
-    # then order-deterministic, matching the oracle's list_reduce
-    stats = (
+    # then order-deterministic, matching the oracle's list_reduce. The
+    # per-stratum weights explode back OUT of the same one-row stats
+    # aggregate, so the corpus is scanned once for counting (a second
+    # counts subtree would scan it again)
+    weights = (
         counts.groupBy()
         .agg(
             F.array_sort(
@@ -192,6 +195,7 @@ def temperature_mix(
             ).alias("s")
         )
         .select(
+            F.explode("s").alias("t"),
             F.aggregate(
                 "s", F.lit(0).cast("bigint"), lambda a, t: a + t["__n"]
             ).alias("__total"),
@@ -201,16 +205,16 @@ def temperature_mix(
                 lambda a, t: a + F.pow(t["__n"].cast("double"), F.lit(alpha)),
             ).alias("__powsum"),
         )
-    )
-    weights = counts.crossJoin(F.broadcast(stats)).select(
-        "__stratum",
-        F.round(
-            F.pow(F.col("__n").cast("double"), F.lit(alpha))
-            / F.col("__powsum")
-            * F.col("__total").cast("double")
-            / F.col("__n").cast("double"),
-            6,
-        ).alias("mix_weight"),
+        .select(
+            F.col("t.__stratum").alias("__stratum"),
+            F.round(
+                F.pow(F.col("t.__n").cast("double"), F.lit(alpha))
+                / F.col("__powsum")
+                * F.col("__total").cast("double")
+                / F.col("t.__n").cast("double"),
+                6,
+            ).alias("mix_weight"),
+        )
     )
     n_full = F.floor(F.col("mix_weight")).cast("int")
     frac_thr = F.floor(
