@@ -699,3 +699,25 @@ def test_take_n_per_stratum_exact_counts_and_nesting(spark):
     assert small < big
     with pytest.raises(ValueError, match="n must be"):
         take_n_per_stratum(df, n=0)
+
+
+def test_lsh_verified_pairs_estimates_jaccard(spark, docs):
+    from timeseries_spark.extensions.dedup import (
+        lsh_candidates,
+        lsh_verified_pairs,
+    )
+
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, n=3, bands=8).collect()
+    }
+    ver = lsh_verified_pairs(docs, n=3, bands=8, est_threshold=0.5).collect()
+    # verification only ever narrows the candidate set
+    assert {(r["id_a"], r["id_b"]) for r in ver} <= cands
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in ver}
+    # exact duplicates (docs 1 and 3) agree on every component
+    assert by_pair[(1, 3)] == 1.0
+    # near-dup (1 vs 2, one word differs) survives with high estimate
+    assert by_pair.get((1, 2), 0.0) >= 0.5
+    with pytest.raises(ValueError, match="est_threshold"):
+        lsh_verified_pairs(docs, est_threshold=1.5)

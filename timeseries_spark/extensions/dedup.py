@@ -199,6 +199,32 @@ def lsh_candidates(
     ``explode_outer`` keeps shingle-less docs (they surface with a zero
     kept-shingle count and take the sentinel path)."""
     rows = num_hashes // bands
+    sig, sent = _minhash_parts(
+        df, text_col, id_col, n, num_hashes, max_doc_freq
+    )
+    banded = _band_digests(sig, bands, rows)
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "digest"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .unionByName(_sentinel_star(sent))
+    )
+
+
+def _minhash_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Signature stage shared by :func:`lsh_candidates` and
+    :func:`lsh_verified_pairs`: returns ``(sig, sent)`` — (id, sig array)
+    for docs with surviving shingles, and the sentinel (shingle-less)
+    ids."""
     df = ensure_parallelism(df)
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -225,15 +251,23 @@ def lsh_candidates(
         "id",
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    # sentinel docs: star to the min id — a 1-row broadcast, never a
-    # band bucket (m-1 pairs, same component, no quadratic blowup)
     sent = agg.filter(F.col("__n") == 0).select("id")
-    sent_pairs = (
+    return sig, sent
+
+
+def _sentinel_star(sent: DataFrame) -> DataFrame:
+    """Sentinel docs: star to the min id — a 1-row broadcast, never a
+    band bucket (m-1 pairs, same component, no quadratic blowup)."""
+    return (
         sent.crossJoin(F.broadcast(sent.agg(F.min("id").alias("id_a"))))
         .filter(F.col("id") > F.col("id_a"))
         .select("id_a", F.col("id").alias("id_b"))
     )
-    banded = sig.select(
+
+
+def _band_digests(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, digest) — one md5 digest per signature band."""
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -253,14 +287,76 @@ def lsh_candidates(
             )
         ).alias("bd"),
     ).select("id", F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest"))
-    return (
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """LSH candidates VERIFIED by estimated Jaccard — the standard second
+    stage of the MinHash pipeline: banding over-generates (one agreeing
+    band ≈ similarity^rows probability), so production filters candidates
+    by the fraction of agreeing signature components (an unbiased
+    estimator of true Jaccard) BEFORE any expensive exact comparison —
+    crucially without re-reading the documents' text.
+
+    Plan shape: the candidate pair set is tiny relative to the corpus,
+    so the two signature lookups join pairs->sig on the id (signatures
+    are reused from the same aggregate subtree the banding consumed —
+    one signature computation feeds banding AND verification).
+    Sentinel (shingle-less) docs pair star-wise with est_jaccard 1.0:
+    empty-after-capping docs are exact duplicates of each other by
+    definition. Output: (id_a, id_b, est_jaccard >= est_threshold)."""
+    if not 0.0 <= est_threshold <= 1.0:
+        raise ValueError(
+            f"est_threshold must be in [0, 1], got {est_threshold}"
+        )
+    rows = num_hashes // bands
+    sig, sent = _minhash_parts(
+        df, text_col, id_col, n, num_hashes, max_doc_freq
+    )
+    banded = _band_digests(sig, bands, rows)
+    cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "digest"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .unionByName(sent_pairs)
     )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                ),
+                lambda b: b,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    verified = (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+    sent_pairs = _sentinel_star(sent).withColumn(
+        "est_jaccard", F.lit(1.0)
+    )
+    return verified.unionByName(sent_pairs)
 
 
 def simhash32(toks: Column) -> Column:

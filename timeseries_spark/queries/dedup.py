@@ -495,3 +495,54 @@ def decontaminate_corpus(spark, sf_dir):
     return decontaminate(docs, ev, n=3, min_hits=2).select(
         "doc_id", "source", "n_eval_hits"
     )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh WHERE len(shs) > 0),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest
+                   AND a.id < b.id
+    ),
+    sent AS (SELECT id FROM sh WHERE len(shs) = 0)
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(generate_series(1, 32),
+                                 i -> sa.sig[i] = sb.sig[i])) / 32.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.id = c.id_a
+    JOIN sig sb ON sb.id = c.id_b
+    WHERE len(list_filter(generate_series(1, 32),
+                          i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5
+    UNION ALL
+    SELECT m.id_a, s.id AS id_b, 1.0 AS est_jaccard
+    FROM sent s CROSS JOIN (SELECT min(id) AS id_a FROM sent) m
+    WHERE s.id > m.id_a
+    """,
+)
+def dedup_minhash_verified(spark, sf_dir):
+    """MinHash pipeline stage 2: LSH candidates filtered by estimated
+    Jaccard (fraction of agreeing signature components, an unbiased
+    estimator of the true n-gram Jaccard) at threshold 0.5 — the
+    verification pass a web-scale dedup runs WITHOUT re-reading text.
+    One signature aggregate feeds both banding and verification;
+    sentinel (shingle-less) docs star-pair at est 1.0."""
+    from timeseries_spark.extensions.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(
+        load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8,
+        est_threshold=0.5,
+    )
