@@ -681,3 +681,69 @@ def decontaminate(
         .withColumn("n_eval_hits", F.coalesce("n_eval_hits", F.lit(0)))
         .filter(F.col("n_eval_hits") < min_hits)
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """New-shard dedup against an EXISTING corpus — the ingestion-time
+    shape: every crawl/delivery is deduplicated against what the corpus
+    already holds, not just within itself. A new doc is dropped when
+
+    - its content digest matches any existing doc (exact tier), or
+    - any of its MinHash signature bands matches an existing doc's band
+      (near tier — same banding recall contract as lsh_candidates), or
+    - it is shingle-less (sentinel) and the existing corpus already has
+      a sentinel doc (empty matches empty by definition).
+
+    Plan shape at 100 TB: the existing side reduces to digests and band
+    digests — both FAR smaller than the corpus text — and both checks
+    are anti/semi joins on those keys, so the new shard (typically <<
+    the corpus) is scanned once and never all-pairs-compared. The
+    sentinel check is a 1-row broadcast. Output: the surviving new rows
+    (all columns)."""
+    new_digests = new_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__digest")
+    )
+    existing_digests = existing_df.select(
+        F.md5(F.col(text_col)).alias("__digest")
+    ).distinct()
+    exact_survivor_ids = new_digests.join(
+        existing_digests, "__digest", "left_anti"
+    ).select("id")
+
+    sig_new, sent_new = _minhash_parts(
+        new_df, text_col, id_col, n, num_hashes, max_doc_freq
+    )
+    sig_old, sent_old = _minhash_parts(
+        existing_df, text_col, id_col, n, num_hashes, max_doc_freq
+    )
+    rows = num_hashes // bands
+    near_hit_ids = (
+        _band_digests(sig_new, bands, rows)
+        .join(_band_digests(sig_old, bands, rows), ["band", "digest"],
+              "left_semi")
+        .select("id")
+        .distinct()
+    )
+    # sentinel new docs drop iff the existing corpus has >= 1 sentinel
+    sent_hit_ids = (
+        sent_new.crossJoin(
+            F.broadcast(sent_old.agg(F.count("*").alias("__ns")))
+        )
+        .filter(F.col("__ns") > 0)
+        .select("id")
+    )
+    keep = (
+        exact_survivor_ids.join(near_hit_ids, "id", "left_anti")
+        .join(sent_hit_ids, "id", "left_anti")
+        .withColumnRenamed("id", id_col)
+    )
+    return new_df.join(keep, id_col, "left_semi")
