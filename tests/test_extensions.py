@@ -721,3 +721,35 @@ def test_lsh_verified_pairs_estimates_jaccard(spark, docs):
     assert by_pair.get((1, 2), 0.0) >= 0.5
     with pytest.raises(ValueError, match="est_threshold"):
         lsh_verified_pairs(docs, est_threshold=1.5)
+
+
+def test_incremental_dedup_drops_known_and_near(spark):
+    from timeseries_spark.extensions.dedup import incremental_dedup
+
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an existing corpus document with its own words"),
+            (3, ""),  # existing sentinel
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat"),  # near
+            (12, "a genuinely novel incoming document nothing shares"),
+            (13, ""),  # sentinel vs existing sentinel
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(new, old, n=3).collect()
+    )
+    assert kept == [12]
+    # with no existing sentinel, an empty new doc survives
+    kept2 = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, old.filter("doc_id != 3"), n=3).collect()
+    )
+    assert kept2 == [12, 13]

@@ -546,3 +546,62 @@ def dedup_minhash_verified(spark, sf_dir):
         load(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8,
         est_threshold=0.5,
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    exact_surv AS (
+      SELECT doc_id FROM newd
+      WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM oldd)
+    ),
+    shN AS (SELECT doc_id AS id, {_SHINGLES} AS shs FROM newd),
+    shO AS (SELECT doc_id AS id, {_SHINGLES} AS shs FROM oldd),
+    sigN AS (SELECT id, {_SIG_SQL} AS sig FROM shN WHERE len(shs) > 0),
+    sigO AS (SELECT id, {_SIG_SQL} AS sig FROM shO WHERE len(shs) > 0),
+    bN AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sigN, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    bO AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sigO, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    near_hits AS (
+      SELECT DISTINCT a.id FROM bN a
+      JOIN bO b ON a.band = b.band AND a.digest = b.digest
+    ),
+    sentN AS (SELECT id FROM shN WHERE len(shs) = 0),
+    sent_hits AS (
+      SELECT id FROM sentN
+      WHERE (SELECT count(*) FROM shO WHERE len(shs) = 0) > 0
+    )
+    SELECT d.doc_id, d.source FROM newd d
+    JOIN exact_surv e ON e.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT id FROM near_hits)
+      AND d.doc_id NOT IN (SELECT id FROM sent_hits)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Ingestion-time dedup: the 'new shard' (every 5th doc) is
+    deduplicated AGAINST the existing corpus (the rest) — dropped on an
+    exact digest match, any shared MinHash band, or empty-vs-empty
+    sentinel match. The existing side reduces to digests + band digests
+    (far smaller than its text) and all checks are anti/semi joins on
+    those keys; the new shard is scanned once, never all-pairs."""
+    from timeseries_spark.extensions.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    old = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    return incremental_dedup(new, old, n=3, num_hashes=32, bands=8).select(
+        "doc_id", "source"
+    )
