@@ -753,3 +753,28 @@ def test_incremental_dedup_drops_known_and_near(spark):
         for r in incremental_dedup(new, old.filter("doc_id != 3"), n=3).collect()
     )
     assert kept2 == [12, 13]
+
+
+def test_relative_quality_filter_per_stratum_cutoff(spark):
+    from timeseries_spark.extensions.text import relative_quality_filter
+
+    rows = [(i, "w " * (i % 10 + 1), "a") for i in range(20)] + [
+        (100 + i, "w " * (i % 3 + 1), "b") for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id bigint, text string, source string",
+    )
+    out = relative_quality_filter(df, p=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # cutoffs are PER STRATUM: b's median (2.0) is below a's (5.5), so a
+    # 2-token doc survives in b but would fail a's cutoff
+    assert all(r["metric_value"] >= r["metric_cutoff"] for r in out)
+    cut_a = by_src["a"][0]["metric_cutoff"]
+    cut_b = by_src["b"][0]["metric_cutoff"]
+    assert cut_b < cut_a
+    assert any(r["metric_value"] == 2.0 for r in by_src["b"])
+    with pytest.raises(ValueError, match="p must be"):
+        relative_quality_filter(df, p=1.5)

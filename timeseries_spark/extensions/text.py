@@ -323,3 +323,39 @@ def redact_pii_sql(text_expr: str) -> str:
             f"'{PII_PLACEHOLDERS[name]}', 'g')"
         )
     return expr
+
+
+def relative_quality_filter(
+    df: DataFrame,
+    p: float = 0.25,
+    strata_col: str = "source",
+    text_col: str = "text",
+    metric: Column | None = None,
+) -> DataFrame:
+    """Keep docs at or above their stratum's ``p``-quantile of a quality
+    metric (default: whitespace token count) — the RELATIVE cutoff a
+    multi-source pipeline uses when absolute thresholds don't transfer
+    (50 tokens is long for tweets, degenerate for books). Exact
+    linear-interpolated percentile per stratum (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), rounded to 4dp in both engines so the
+    keep/drop boundary is engine-stable.
+
+    Plan shape: the metric is a codegen'd projection; the cutoff table
+    is one row per stratum (an agg whose output is tiny regardless of
+    corpus size) and broadcasts back — the corpus shuffles only the
+    per-stratum partial-agg rows, the filter itself is map-side. At
+    100 TB swap the exact percentile for ``approx_percentile`` (t-digest
+    partials merge without collecting values per group). Output adds
+    ``metric_value`` and ``metric_cutoff``."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    metric = metric if metric is not None else F.size(ws_tokens(F.col(text_col)))
+    scored = df.withColumn("metric_value", metric.cast("double"))
+    cuts = scored.groupBy(strata_col).agg(
+        F.round(F.expr(f"percentile(metric_value, {p})"), 4).alias(
+            "metric_cutoff"
+        )
+    )
+    return scored.join(F.broadcast(cuts), strata_col).filter(
+        F.col("metric_value") >= F.col("metric_cutoff")
+    )

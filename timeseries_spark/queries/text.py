@@ -305,3 +305,35 @@ def doc_chunks(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "quality_percentile_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS metric_value
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             round(quantile_cont(metric_value, 0.25), 4) AS metric_cutoff
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.metric_value, c.metric_cutoff
+    FROM scored s JOIN cuts c USING (source)
+    WHERE s.metric_value >= c.metric_cutoff
+    """,
+)
+def quality_percentile_filter(spark, sf_dir):
+    """Relative quality cutoff: keep docs at or above their SOURCE's
+    25th-percentile token count — the per-stratum threshold a
+    multi-source corpus needs because absolute length cutoffs don't
+    transfer between sources. Cutoff table is one broadcast row per
+    source; the filter is map-side."""
+    from timeseries_spark.extensions.text import relative_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return relative_quality_filter(docs, p=0.25).select(
+        "doc_id", "source", "metric_value", "metric_cutoff"
+    )
