@@ -210,3 +210,57 @@ def test_stream_sampling_matches_batch(spark, tmp_path_factory):
         output_mode="append",
     )
     assert bm == {(r["doc_id"], r["copy"]) for r in sm_out.collect()}
+
+
+def test_stream_text_pipeline_matches_batch(spark, tmp_path_factory):
+    """The round-5 text/corpus operators that are stateless projections
+    (dataset split, chunking, PII redaction, quality metrics) run
+    unchanged on a stream and produce exactly the batch rows — the
+    ingestion-time shape where each arriving shard is split, chunked,
+    and redacted on the way in."""
+    from timeseries_spark.extensions.sampling import dataset_split
+    from timeseries_spark.extensions.text import (
+        chunk_documents,
+        quality_metrics,
+        redact_pii,
+    )
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("docs_stream_r5"))
+    docs = spark.createDataFrame(
+        [
+            (i, "word " * (i % 7 + 1) + ("a.b@x.io" if i % 5 == 0 else "end"))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(out)
+    batch_df = spark.read.parquet(out)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(out)
+
+    def pipeline(df):
+        chunked = chunk_documents(
+            redact_pii(dataset_split(df, key_col="doc_id")),
+            chunk_tokens=4,
+            overlap=1,
+        )
+        return chunked.select("doc_id", "chunk_idx", "chunk_text")
+
+    b = {tuple(r) for r in pipeline(batch_df).collect()}
+    s = run_available_now(
+        pipeline(stream_df), "text_stream_r5", spark, output_mode="append"
+    )
+    assert b == {tuple(r) for r in s.collect()}
+    assert len(b) > 120  # chunking fans out
+    # quality metrics also stream (pure projection)
+    qb = {
+        (r["doc_id"], r["n_words"])
+        for r in quality_metrics(batch_df).select("doc_id", "n_words").collect()
+    }
+    qs = run_available_now(
+        quality_metrics(stream_df).select("doc_id", "n_words"),
+        "quality_stream_r5",
+        spark,
+        output_mode="append",
+    )
+    assert qb == {(r["doc_id"], r["n_words"]) for r in qs.collect()}
