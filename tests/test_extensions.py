@@ -778,3 +778,30 @@ def test_relative_quality_filter_per_stratum_cutoff(spark):
     assert any(r["metric_value"] == 2.0 for r in by_src["b"])
     with pytest.raises(ValueError, match="p must be"):
         relative_quality_filter(df, p=1.5)
+
+
+def test_ivf_pq_full_probe_full_pool_matches_brute_force(spark, sf_dir):
+    """Probing ALL clusters with a corpus-wide re-rank pool removes both
+    approximation tiers, so IVF-PQ must reproduce brute-force top-k —
+    the recall contract of the composed index."""
+    from timeseries_spark.extensions.pq import ivf_pq_topk
+    from timeseries_spark.extensions.similarity import brute_force_topk
+    from timeseries_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(120).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, qs, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_pq_topk(
+            emb, qs, k=3, nprobe=4, n_clusters=4, kmeans_iter=2,
+            rerank_factor=50,
+        ).collect()
+    }
+    assert got == exact

@@ -228,3 +228,121 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 4,
+    kmeans_iter: int = 3,
+    m: int = 2,
+    dims: int = 64,
+    pq_clusters: int = 4,
+    pq_iter: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    num_salts: int = 32,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — a coarse k-means
+    quantizer routes each query to its ``nprobe`` nearest clusters
+    (bounding WHICH vectors are touched), and inside the probed
+    clusters candidates rank on the PQ-reconstructed approximation
+    (bounding the BYTES each touch costs: m code bytes instead of the
+    full vector), with exact-cosine re-ranking of the top
+    ``k * rerank_factor`` pool. The two quantizers are independent —
+    coarse routing trains on full vectors, PQ codebooks on subspaces —
+    exactly the IVF-PQ layout of a disk-resident vector index.
+
+    Plan shape: representative table broadcast (routing), probe list
+    broadcast (tiny), corpus touched once via cluster-key equi join,
+    salted two-phase pool so no query funnels one task. Every stage is
+    the already-oracle-gated building block (kmeans_assign, pq_encode,
+    the SQ8 pool/re-rank idiom)."""
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+
+    clusters = kmeans_assign(
+        vectors, k=n_clusters, max_iter=kmeans_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    vecs_cl = vectors.join(clusters.select(id_col, "cluster"), id_col)
+    reps = (
+        vecs_cl.groupBy("cluster")
+        .agg(F.min(id_col).alias("rep_id"))
+        .join(
+            vecs_cl.select(
+                F.col(id_col).alias("rep_id"),
+                _as_double(F.col(vec_col)).alias("rep_vec"),
+            ),
+            "rep_id",
+        )
+        .select("cluster", "rep_vec")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _checked_vec(F.col(query_vec_col), dims, "ivf_pq_topk").alias("q"),
+    )
+    routed = qs.crossJoin(F.broadcast(reps)).withColumn(
+        "rep_sim", F.round(cosine_similarity(F.col("q"), F.col("rep_vec")), 6)
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("rep_sim").desc(), F.col("cluster")
+    )
+    probe = (
+        routed.withColumn("rr", F.row_number().over(w_route))
+        .filter(F.col("rr") <= nprobe)
+        .select("query_id", "q", "cluster")
+    )
+    enc = pq_encode(
+        vectors, m=m, dims=dims, n_clusters=pq_clusters,
+        kmeans_iter=pq_iter, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col), "v", "dq")
+    encc = enc.join(vecs_cl.select(id_col, "cluster"), id_col)
+    scored = (
+        encc.join(F.broadcast(probe), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "v",
+            "q",
+            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
+                "approx_sim"
+            ),
+            F.pmod(F.hash(F.col(id_col)), F.lit(num_salts)).alias("__salt"),
+        )
+    )
+    pool_n = k * rerank_factor
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= pool_n)
+        .withColumn("__pr", F.row_number().over(w_pool))
+        .filter(F.col("__pr") <= pool_n)
+        .drop("__lr", "__pr", "__salt")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

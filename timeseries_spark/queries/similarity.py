@@ -532,27 +532,23 @@ def ann_sq8_topk(spark, sf_dir):
     )
 
 
-def _pq_oracle(
+def _pq_enc_ctes(
     m: int = 2, sub: int = 32, kk: int = 4, rounds: int = 2,
-    k: int = 5, pool: int = 20,
-) -> str:
-    """DuckDB replay of extensions/pq.py: per-subspace deterministic
-    Lloyd rounds on the vector slice, codebook = per-cluster per-dim
-    means of the FINAL assignment, reconstruction = concatenated
-    codebook entries, then approx-cosine pool -> exact re-rank. Same
-    fold orders, 6dp rounds, and id tie-breaks as the Spark side."""
+    src: str = "fpts",
+) -> list[str]:
+    """CTE list (no WITH) replaying extensions/pq.pq_encode: per-subspace
+    deterministic Lloyd rounds on the vector slice, codebook =
+    per-cluster per-dim means of the FINAL assignment, reconstruction =
+    concatenated codebook entries -> ``enc`` (vid, fv, dq). ``src`` must
+    provide (vid, fv)."""
     d = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
-    ctes = [
-        "WITH fpts AS (SELECT vec_id AS vid, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv "
-        "FROM embeddings)"
-    ]
+    ctes = []
     for s in range(m):
         p = f"s{s}"
         lo, hi = s * sub + 1, (s + 1) * sub
         ctes.append(
             f"{p}pts AS (SELECT vid, list_slice(fv, {lo}, {hi}) AS v "
-            f"FROM fpts)"
+            f"FROM {src})"
         )
         ctes.append(
             f"{p}c0 AS (SELECT (row_number() OVER (ORDER BY vid)) - 1 "
@@ -606,9 +602,25 @@ def _pq_oracle(
         f"rec AS (SELECT vid, {concat} AS dq FROM {joins})"
     )
     ctes.append(
-        "enc AS (SELECT f.vid, f.fv, r.dq FROM fpts f JOIN rec r "
+        f"enc AS (SELECT f.vid, f.fv, r.dq FROM {src} f JOIN rec r "
         "USING (vid))"
     )
+    return ctes
+
+
+def _pq_oracle(
+    m: int = 2, sub: int = 32, kk: int = 4, rounds: int = 2,
+    k: int = 5, pool: int = 20,
+) -> str:
+    """DuckDB replay of extensions/pq.pq_topk: the shared encoding CTEs
+    plus approx-cosine pool -> exact re-rank. Same fold orders, 6dp
+    rounds, and id tie-breaks as the Spark side."""
+    ctes = [
+        "WITH fpts AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv "
+        "FROM embeddings)"
+    ]
+    ctes += _pq_enc_ctes(m, sub, kk, rounds)
     ctes.append("q AS (SELECT vid AS query_id, fv AS qv FROM fpts WHERE vid < 8)")
     ctes.append(f"""approx AS (
       SELECT q.query_id, q.qv, e.vid AS neighbor_id, e.fv AS emb,
@@ -653,4 +665,87 @@ def ann_pq_topk(spark, sf_dir):
     return pq_topk(
         emb, _queries_df(spark, sf_dir), k=5, m=2, dims=64,
         n_clusters=4, kmeans_iter=2, rerank_factor=4,
+    )
+
+
+def _ivf_pq_oracle(
+    nprobe: int = 2, m: int = 2, sub: int = 32, pq_kk: int = 4,
+    pq_rounds: int = 2, k: int = 5, pool: int = 20,
+) -> str:
+    """Full IVF-PQ replay: coarse full-dim k-means (the _KM_BODY rounds)
+    routes queries to nprobe clusters; inside probed clusters candidates
+    rank on the PQ reconstruction (the shared _pq_enc_ctes replay) and
+    the pool re-ranks with exact cosine."""
+    return (
+        _KM_BODY
+        + f""",
+    vcl AS (SELECT vid AS vec_id, cluster FROM {_KM_LAST}),
+    reps AS (
+      SELECT r.cluster, p.v AS rep_vec
+      FROM (SELECT cluster, min(vid) AS rid FROM {_KM_LAST}
+            GROUP BY cluster) r
+      JOIN pts p ON p.vid = r.rid
+    ),
+    qs AS (SELECT vid AS query_id, v AS q FROM pts WHERE vid < 8),
+    routed AS (
+      SELECT query_id, q, cluster FROM (
+        SELECT qs.query_id, qs.q, r.cluster,
+               row_number() OVER (
+                 PARTITION BY qs.query_id
+                 ORDER BY {_COS.format(a="qs.q", b="r.rep_vec")} DESC,
+                          r.cluster
+               ) AS rr
+        FROM qs CROSS JOIN reps r
+      ) WHERE rr <= {nprobe}
+    ),
+    fpts AS (SELECT vid, v AS fv FROM pts),
+    """
+        + ",\n    ".join(_pq_enc_ctes(m, sub, pq_kk, pq_rounds))
+        + f""",
+    approx AS (
+      SELECT rt.query_id, rt.q AS qv, e.vid AS neighbor_id, e.fv AS emb,
+             {_COS.format(a="rt.q", b="e.dq")} AS approx_sim
+      FROM routed rt
+      JOIN vcl c ON c.cluster = rt.cluster
+      JOIN enc e ON e.vid = c.vec_id
+      WHERE e.vid != rt.query_id
+    ),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id
+        ) AS ar FROM approx
+      ) WHERE ar <= {pool}
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             {_COS.format(a="qv", b="emb")} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS.format(a="qv", b="emb")} DESC, neighbor_id
+             ) AS rank
+      FROM pool
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@query("ann_ivf_pq", oracle=_ivf_pq_oracle(nprobe=2))
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ — the production ANN composition: the trained full-dim
+    k-means quantizer (k=4, 3 Lloyd rounds) routes each query to its 2
+    nearest cluster representatives, candidates inside the probed
+    clusters rank on the PQ reconstruction (two 32-dim subspace
+    codebooks, 2 rounds each — m code bytes per vector instead of the
+    full embedding), and the 20-wide pool re-ranks with exact cosine.
+    Both quantizers, routing, pooling, and re-rank replay exactly in
+    the oracle."""
+    from timeseries_spark.extensions.pq import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, nprobe=2, n_clusters=4,
+        kmeans_iter=3, m=2, dims=64, pq_clusters=4, pq_iter=2,
+        rerank_factor=4,
     )
