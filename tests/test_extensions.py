@@ -805,3 +805,21 @@ def test_ivf_pq_full_probe_full_pool_matches_brute_force(spark, sf_dir):
         ).collect()
     }
     assert got == exact
+
+
+def test_packed_sequences_concatenates_in_id_order(spark):
+    from timeseries_spark.extensions.text import packed_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w" + str(i), "a") for i in range(6)],
+        "doc_id bigint, text string, source string",
+    )
+    # 1 token per doc, window 3 -> bins of 3 docs each
+    out = sorted(
+        packed_sequences(df, window_tokens=3, n_shards=1).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["n_docs"] for r in out] == [3, 3]
+    assert out[0]["packed_text"] == "w0 <eod> w1 <eod> w2"
+    assert out[1]["packed_text"] == "w3 <eod> w4 <eod> w5"
+    assert all(r["bin_tokens"] == 3 for r in out)

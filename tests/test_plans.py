@@ -345,3 +345,12 @@ def test_take_n_two_phase_no_single_partition(plan):
     p = plan("sample_take_n")
     assert "SinglePartition" not in p
     assert shuffles(p) <= 2
+
+
+def test_packed_sequences_no_extra_exchange(plan):
+    """Materializing packed sequences must reuse the packer's
+    (source, shard) window partitioning for the bin-grain groupBy —
+    one shuffle total, no SinglePartition."""
+    p = plan("packed_sequences")
+    assert shuffles(p) == 1
+    assert "SinglePartition" not in p

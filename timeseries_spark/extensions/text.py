@@ -359,3 +359,57 @@ def relative_quality_filter(
     return scored.join(F.broadcast(cuts), strata_col).filter(
         F.col("metric_value") >= F.col("metric_cutoff")
     )
+
+
+def packed_sequences(
+    df: DataFrame,
+    window_tokens: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 1,
+    separator: str = "<eod>",
+) -> DataFrame:
+    """Materialize the packer's output: one row PER CONTEXT BIN with the
+    member docs' texts concatenated in ``id_col`` order around an
+    end-of-document separator — the actual training sequences, where
+    :func:`pack_contexts` only assigns bins. Output: (part, shard, bin,
+    n_docs, bin_tokens, packed_text).
+
+    Plan shape: bin assignment is the packer's single (part, shard)
+    window shuffle; the bin-grain groupBy then needs NO new exchange —
+    its grouping keys contain the window's partitioning keys, so rows of
+    a bin are already co-located. Texts sort inside the aggregate by
+    struct order (id first), so concatenation order is deterministic
+    without a sort step."""
+    w = (
+        Window.partitionBy(part_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    binned = (
+        df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
+        .withColumn("n_tokens", F.size(ws_tokens(F.col(text_col))))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("__cum") - F.col("n_tokens")) / window_tokens
+            ).cast("bigint"),
+        )
+    )
+    return binned.groupBy(part_col, "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(id_col, text_col))
+                ),
+                lambda t: t[text_col],
+            ),
+            f" {separator} ",
+        ).alias("packed_text"),
+    )

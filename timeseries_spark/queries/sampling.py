@@ -237,3 +237,36 @@ def sample_take_n(spark, sf_dir):
     return take_n_per_stratum(docs, n=30).select(
         "doc_id", "source", "take_rank"
     )
+
+
+@query(
+    "packed_sequences",
+    oracle="""
+    WITH binned AS (
+      SELECT doc_id, source, text, CAST(doc_id % 4 AS INT) AS shard,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source, doc_id % 4 ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM documents
+    )
+    SELECT source, shard,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           string_agg(text, ' <eod> ' ORDER BY doc_id) AS packed_text
+    FROM binned
+    GROUP BY source, shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+    """,
+)
+def packed_sequences_q(spark, sf_dir):
+    """Materialized training sequences: each ~512-token context bin's
+    member docs concatenated in doc_id order around an <eod> separator —
+    the packer's actual output (context_packing reports only the
+    assignment + fill metrics). The bin-grain groupBy adds no exchange
+    over the packer's single (source, shard) window shuffle."""
+    from timeseries_spark.extensions.text import packed_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return packed_sequences(docs, window_tokens=512, n_shards=4)
