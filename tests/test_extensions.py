@@ -823,3 +823,46 @@ def test_packed_sequences_concatenates_in_id_order(spark):
     assert out[0]["packed_text"] == "w0 <eod> w1 <eod> w2"
     assert out[1]["packed_text"] == "w3 <eod> w4 <eod> w5"
     assert all(r["bin_tokens"] == 3 for r in out)
+
+
+def test_decoder_hostile_payloads_become_error_rows():
+    """Review regressions: a truncated WAV fmt chunk raises struct.error
+    from unpack_from unless guarded (which would kill the task, not the
+    row), and negative PPM/BMP header dims must not pass as decoded."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from timeseries_spark.extensions.multimodal import _sniff_and_decode
+
+    bad_wav = (
+        b"RIFF" + _struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + _struct.pack("<I", 16) + b"\x01\x00"
+    )
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        _sniff_and_decode(bad_wav)
+    with _pytest.raises(ValueError, match="bad dimensions"):
+        _sniff_and_decode(b"P6\n-4 2\n255\nxxxx")
+
+
+def test_temperature_mix_null_stratum_kept(spark):
+    """A NULL stratum is a real group: it must receive its derived
+    weight (null-safe join), not silently vanish from the mix."""
+    from timeseries_spark.extensions.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else None) for i in range(100)],
+        "doc_id bigint, source string",
+    )
+    out = temperature_mix(df, alpha=0.5)
+    null_rows = out.filter(F.col("source").isNull())
+    assert null_rows.count() > 10  # upsampled, certainly not dropped
+    assert null_rows.select("mix_weight").first()[0] > 1.0
+
+
+def test_dataset_split_rejects_negative_fraction(spark):
+    from timeseries_spark.extensions.sampling import dataset_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        dataset_split(df, [("train", 0.95), ("val", -0.05), ("test", 0.1)])

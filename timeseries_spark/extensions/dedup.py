@@ -566,6 +566,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
+    carry_cols: tuple[str, ...] = ("source",),
 ) -> DataFrame:
     """The end-to-end semantic-dedup pipeline a 100 TB corpus actually
     runs, composed from the proven pieces: train a coarse quantizer
@@ -574,9 +575,12 @@ def semantic_dedup(
     -> connected components over the pair graph (pointer-jumping min
     label) -> keep ONE canonical doc per component (the min id).
 
-    Output: one row per KEPT document — (doc_id, n_members, source),
-    where ``n_members`` is the size of the duplicate set the canonical
-    doc represents (1 = no near-dups).
+    Output: one row per KEPT document — (doc_id, n_members,
+    *carry_cols), where ``n_members`` is the size of the duplicate set
+    the canonical doc represents (1 = no near-dups) and ``carry_cols``
+    names the document columns to carry through (they must exist on
+    ``documents``; a doc with no embedding row is dropped by the inner
+    join — the corpus contract is one vector per doc).
 
     Scale shape: candidate generation never leaves a cluster block (no
     all-pairs — the block self-join is the only place two corpus rows
@@ -613,8 +617,8 @@ def semantic_dedup(
     return (
         canonical.join(sizes, "component")
         .select(F.col(id_col).alias(doc_id_col), "n_members")
-        .join(documents.select(doc_id_col, "source"), doc_id_col)
-        .select(doc_id_col, "n_members", "source")
+        .join(documents.select(doc_id_col, *carry_cols), doc_id_col)
+        .select(doc_id_col, "n_members", *carry_cols)
     )
 
 

@@ -69,6 +69,11 @@ def _decode_ppm(b: bytes) -> dict:
     w, h, maxval = (int(t) for t in toks)
     if maxval != 255:
         raise ValueError(f"ppm: unsupported maxval {maxval}")
+    if w <= 0 or h <= 0:
+        # negative dims make n negative, which the truncation check below
+        # can't catch (len >= negative is always true) — the row would
+        # pass as decoded with garbage negative stats
+        raise ValueError(f"ppm: bad dimensions {w}x{h}")
     n = w * h * 3
     body = b[pos : pos + n]
     if len(body) < n:
@@ -108,6 +113,8 @@ def _decode_bmp(b: bytes) -> dict:
         raise ValueError(f"bmp: unsupported bpp={bpp} compression={compression}")
     if h < 0:  # top-down variant: same bytes, row order irrelevant to stats
         h = -h
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp: bad dimensions {w}x{h}")
     stride = (w * 3 + 3) // 4 * 4
     body = b[data_offset : data_offset + stride * h]
     if len(body) < stride * h:
@@ -142,6 +149,12 @@ def _decode_wav(b: bytes) -> dict:
         cid = b[pos : pos + 4]
         size = struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt ":
+            if pos + 8 + 16 > len(b):
+                # struct.error is NOT a ValueError: an unguarded
+                # unpack_from would escape the decode loop's except
+                # clause and fail the task instead of emitting an
+                # error row
+                raise ValueError("wav: truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
             data = (pos + 8, size)
@@ -267,7 +280,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append(
                         {k: d[k] for k in _STAT_COLS} | {"error": None}
                     )
-                except ValueError as e:
+                except (ValueError, struct.error) as e:
+                    # struct.error: defense in depth — a malformed header
+                    # slipping past the explicit guards must still become
+                    # an error row, never a task failure
                     rows.append({**_NULL_STATS, "error": str(e)})
             out = _pd.DataFrame(rows, columns=_STAT_COLS + ["error"])
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -504,7 +520,7 @@ def extract_features(
                     counts = np.bincount(idx, minlength=n_bins)[:n_bins]
                     total = float(len(vals)) or 1.0
                     feats.append([c / total for c in counts])
-                except ValueError:
+                except (ValueError, struct.error):
                     feats.append(None)
             yield _pd.DataFrame(
                 {

@@ -39,25 +39,46 @@ from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.kmeans import kmeans_fit
 from timeseries_spark.functions.parallelism import ensure_parallelism
-from timeseries_spark.functions.vectors import cosine_similarity
+from timeseries_spark.functions.vectors import (
+    as_double,
+    checked_dims,
+    cosine_similarity,
+)
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _checked_vec(col, dims: int, who: str):
-    # a dims mismatch would slice short subvectors and silently train a
-    # garbage codebook — fail loudly (contract shared with sq8_topk /
-    # hyperplane_lsh_topk)
-    v = _as_double(col)
-    return F.when(F.size(v) == dims, v).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"{who}: expected {dims}-dim vector, got "),
-                F.size(v).cast("string"),
-            )
+def _pool_and_rerank(
+    scored: DataFrame, k: int, rerank_factor: int
+) -> DataFrame:
+    """Shared approximate-pool + exact-re-rank tail: ``scored`` carries
+    (query_id, neighbor_id, v, q, approx_sim, __salt); the salted local
+    top-pool bounds every window partition, the global pool caps at
+    ``k * rerank_factor`` rows per query, and the exact cosine re-ranks
+    the winners (ties broken by neighbor id throughout)."""
+    pool_n = k * rerank_factor
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= pool_n)
+        .withColumn("__pr", F.row_number().over(w_pool))
+        .filter(F.col("__pr") <= pool_n)
+        .drop("__lr", "__pr", "__salt")
+    )
+    return (
+        pool.withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
         )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -93,7 +114,7 @@ def pq_encode(
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("__id"),
-            _checked_vec(F.col(vec_col), dims, "pq_encode").alias("v"),
+            checked_dims(F.col(vec_col), dims, "pq_encode").alias("v"),
         )
     )
     parts = []
@@ -182,7 +203,7 @@ def pq_topk(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
-                    _checked_vec(
+                    checked_dims(
                         F.col(query_vec_col), dims, "pq_topk"
                     ).alias("q"),
                 )
@@ -202,32 +223,7 @@ def pq_topk(
             ),
         )
     )
-    pool_n = k * rerank_factor
-    w_local = Window.partitionBy("query_id", "__salt").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id")
-    )
-    w_pool = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id")
-    )
-    pool = (
-        scored.withColumn("__lr", F.row_number().over(w_local))
-        .filter(F.col("__lr") <= pool_n)
-        .withColumn("__pr", F.row_number().over(w_pool))
-        .filter(F.col("__pr") <= pool_n)
-        .drop("__lr", "__pr", "__salt")
-    )
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        pool.withColumn(
-            "cos_sim",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
-        )
-        .withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _pool_and_rerank(scored, k, rerank_factor)
 
 
 def ivf_pq_topk(
@@ -280,7 +276,7 @@ def ivf_pq_topk(
         .join(
             vecs_cl.select(
                 F.col(id_col).alias("rep_id"),
-                _as_double(F.col(vec_col)).alias("rep_vec"),
+                as_double(F.col(vec_col)).alias("rep_vec"),
             ),
             "rep_id",
         )
@@ -288,7 +284,7 @@ def ivf_pq_topk(
     )
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _checked_vec(F.col(query_vec_col), dims, "ivf_pq_topk").alias("q"),
+        checked_dims(F.col(query_vec_col), dims, "ivf_pq_topk").alias("q"),
     )
     routed = qs.crossJoin(F.broadcast(reps)).withColumn(
         "rep_sim", F.round(cosine_similarity(F.col("q"), F.col("rep_vec")), 6)
@@ -305,7 +301,7 @@ def ivf_pq_topk(
         vectors, m=m, dims=dims, n_clusters=pq_clusters,
         kmeans_iter=pq_iter, id_col=id_col, vec_col=vec_col,
     ).select(F.col(id_col), "v", "dq")
-    encc = enc.join(vecs_cl.select(id_col, "cluster"), id_col)
+    encc = enc.join(clusters.select(id_col, "cluster"), id_col)
     scored = (
         encc.join(F.broadcast(probe), "cluster")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -320,29 +316,4 @@ def ivf_pq_topk(
             F.pmod(F.hash(F.col(id_col)), F.lit(num_salts)).alias("__salt"),
         )
     )
-    pool_n = k * rerank_factor
-    w_local = Window.partitionBy("query_id", "__salt").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id")
-    )
-    w_pool = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id")
-    )
-    pool = (
-        scored.withColumn("__lr", F.row_number().over(w_local))
-        .filter(F.col("__lr") <= pool_n)
-        .withColumn("__pr", F.row_number().over(w_pool))
-        .filter(F.col("__pr") <= pool_n)
-        .drop("__lr", "__pr", "__salt")
-    )
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        pool.withColumn(
-            "cos_sim",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
-        )
-        .withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _pool_and_rerank(scored, k, rerank_factor)

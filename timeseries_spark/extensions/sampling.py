@@ -116,6 +116,15 @@ def dataset_split(
     splits = splits or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
     if len(splits) < 1:
         raise ValueError("splits must be non-empty")
+    for name, frac in splits:
+        if not 0.0 <= frac <= 1.0:
+            # a negative fraction passes the sum check but makes the
+            # cumulative thresholds non-monotonic: its split silently
+            # gets zero rows and a hash band is mis-assigned
+            raise ValueError(
+                f"split fractions must be in [0, 1], got {frac} for"
+                f" {name!r}"
+            )
     total = sum(f for _, f in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(
@@ -184,14 +193,28 @@ def temperature_mix(
     )
     # fold the per-stratum array in sorted order: total and power-sum are
     # then order-deterministic, matching the oracle's list_reduce. The
-    # per-stratum weights explode back OUT of the same one-row stats
-    # aggregate, so the corpus is scanned once for counting (a second
-    # counts subtree would scan it again)
+    # sort key carries an explicit null flag so a NULL stratum (a real
+    # group with a real count) has an engine-agnostic position — struct
+    # comparison on a raw nullable field orders differently across
+    # engines. The per-stratum weights explode back OUT of the same
+    # one-row stats aggregate, so the corpus is scanned once for
+    # counting (a second counts subtree would scan it again)
     weights = (
         counts.groupBy()
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("__stratum", "__n"))
+                F.collect_list(
+                    F.struct(
+                        F.when(F.col("__stratum").isNull(), 1)
+                        .otherwise(0)
+                        .alias("__isnull"),
+                        F.coalesce(
+                            F.col("__stratum").cast("string"), F.lit("")
+                        ).alias("__key"),
+                        "__stratum",
+                        "__n",
+                    )
+                )
             ).alias("s")
         )
         .select(
@@ -227,7 +250,10 @@ def temperature_mix(
     return (
         df.join(
             F.broadcast(weights),
-            df[strata_col] == weights["__stratum"],
+            # null-safe: a NULL stratum is a real group and keeps its
+            # derived weight — a bare == would silently drop every
+            # NULL-stratum row from the mixed corpus
+            df[strata_col].eqNullSafe(weights["__stratum"]),
         )
         .drop("__stratum")
         .withColumn(

@@ -428,19 +428,11 @@ def sq8_topk(
 
     def checked_vec(col: F.Column) -> F.Column:
         # a dims mismatch would NULL the element_at dequantization (ANSI
-        # off), making approx_sim NULL for every row and degenerating the
-        # re-rank pool to an arbitrary id-ordered set — silently wrong ANN
-        # results. Fail the job loudly instead (same contract as
-        # hyperplane_lsh_topk's checked_bucket).
-        v = _as_double(col)
-        return F.when(F.size(v) == dims, v).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"sq8_topk: expected {dims}-dim vector, got "),
-                    F.size(v).cast("string"),
-                )
-            )
-        )
+        # off), degenerating the re-rank pool to an arbitrary id-ordered
+        # set — the shared loud-failure contract
+        from timeseries_spark.functions.vectors import checked_dims
+
+        return checked_dims(col, dims, "sq8_topk")
 
     vectors = ensure_parallelism(vectors)
     pts = vectors.select(

@@ -100,6 +100,39 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _assign_bins(
+    df: DataFrame,
+    window_tokens: int,
+    part_col: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Shared bin assignment for :func:`pack_contexts` and
+    :func:`packed_sequences`: deterministic shard, token count, running
+    sum within (part, shard) in id order, offset bin — one rule, so the
+    reporting and materializing packers can never disagree on which bin
+    a doc belongs to."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    w = (
+        Window.partitionBy(part_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
+        .withColumn("n_tokens", F.size(ws_tokens(F.col(text_col))))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("__cum") - F.col("n_tokens")) / window_tokens
+            ).cast("bigint"),
+        )
+    )
+
+
 def pack_contexts(
     df: DataFrame,
     window_tokens: int = 512,
@@ -145,26 +178,9 @@ def pack_contexts(
     One shuffle (the per-partition window); output:
     (id, part, shard, n_tokens, bin, bin_tokens, fill_ratio,
     overflow_tokens)."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    w = (
-        Window.partitionBy(part_col, "shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     w_bin = Window.partitionBy(part_col, "shard", "bin")
-    n_tok = F.size(ws_tokens(F.col(text_col)))
-    cum = F.sum("n_tokens").over(w)
     return (
-        df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
-        .withColumn("n_tokens", n_tok)
-        .withColumn("__cum", cum)
-        .withColumn(
-            "bin",
-            F.floor(
-                (F.col("__cum") - F.col("n_tokens")) / window_tokens
-            ).cast("bigint"),
-        )
+        _assign_bins(df, window_tokens, part_col, id_col, text_col, n_shards)
         .withColumn("bin_tokens", F.sum("n_tokens").over(w_bin))
         .withColumn(
             "fill_ratio",
@@ -346,18 +362,31 @@ def relative_quality_filter(
     per-stratum partial-agg rows, the filter itself is map-side. At
     100 TB swap the exact percentile for ``approx_percentile`` (t-digest
     partials merge without collecting values per group). Output adds
-    ``metric_value`` and ``metric_cutoff``."""
+    ``metric_value`` and ``metric_cutoff``.
+
+    NULL handling: a NULL stratum is a real group and gets its own
+    cutoff (null-safe join). A row whose METRIC is NULL is dropped —
+    it has no measurable quality, and percentile ignores NULLs in both
+    engines — which is deliberate and documented rather than a silent
+    join artifact."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p must be in [0, 1], got {p}")
     metric = metric if metric is not None else F.size(ws_tokens(F.col(text_col)))
     scored = df.withColumn("metric_value", metric.cast("double"))
-    cuts = scored.groupBy(strata_col).agg(
+    cuts = scored.groupBy(
+        F.col(strata_col).alias("__stratum")
+    ).agg(
         F.round(F.expr(f"percentile(metric_value, {p})"), 4).alias(
             "metric_cutoff"
         )
     )
-    return scored.join(F.broadcast(cuts), strata_col).filter(
-        F.col("metric_value") >= F.col("metric_cutoff")
+    return (
+        scored.join(
+            F.broadcast(cuts),
+            scored[strata_col].eqNullSafe(cuts["__stratum"]),
+        )
+        .drop("__stratum")
+        .filter(F.col("metric_value") >= F.col("metric_cutoff"))
     )
 
 
@@ -382,23 +411,8 @@ def packed_sequences(
     a bin are already co-located. Texts sort inside the aggregate by
     struct order (id first), so concatenation order is deterministic
     without a sort step."""
-    w = (
-        Window.partitionBy(part_col, "shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    binned = (
-        df.withColumn("shard", F.pmod(id_col, F.lit(n_shards)).cast("int"))
-        .withColumn("n_tokens", F.size(ws_tokens(F.col(text_col))))
-        .withColumn("__cum", F.sum("n_tokens").over(w))
-        .withColumn(
-            "bin",
-            F.floor(
-                (F.col("__cum") - F.col("n_tokens")) / window_tokens
-            ).cast("bigint"),
-        )
+    binned = _assign_bins(
+        df, window_tokens, part_col, id_col, text_col, n_shards
     )
     return binned.groupBy(part_col, "shard", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

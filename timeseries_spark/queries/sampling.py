@@ -129,10 +129,12 @@ _TMIX_HASH_SPACE = "1152921504606846976.0"  # 2^60, exact as a double
     ),
     stats AS (
       SELECT
-        list_reduce(list_prepend(0::BIGINT, list(n ORDER BY stratum)),
+        list_reduce(list_prepend(0::BIGINT, list(n ORDER BY
+                      (stratum IS NULL), coalesce(stratum, ''))),
                     (a, b) -> a + b) AS total,
         list_reduce(list_prepend(0.0::DOUBLE,
-                                 list(power(n::DOUBLE, 0.5) ORDER BY stratum)),
+                                 list(power(n::DOUBLE, 0.5) ORDER BY
+                                   (stratum IS NULL), coalesce(stratum, ''))),
                     (a, b) -> a + b) AS powsum
       FROM counts
     ),
@@ -149,7 +151,8 @@ _TMIX_HASH_SPACE = "1152921504606846976.0"  # 2^60, exact as a double
                          < CAST(floor((mix_weight - floor(mix_weight))
                                       * {_TMIX_HASH_SPACE}) AS BIGINT)
                     THEN 1 ELSE 0 END AS copies
-      FROM documents d JOIN weights w ON w.stratum = d.source
+      FROM documents d
+      JOIN weights w ON w.stratum IS NOT DISTINCT FROM d.source
     )
     SELECT doc_id, source, mix_weight, CAST(g.copy AS INT) AS copy
     FROM base, unnest(generate_series(0, copies - 1)) AS g(copy)
