@@ -866,3 +866,24 @@ def test_dataset_split_rejects_negative_fraction(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="in \\[0, 1\\]"):
         dataset_split(df, [("train", 0.95), ("val", -0.05), ("test", 0.1)])
+
+
+def test_vocab_and_oov(spark):
+    from timeseries_spark.extensions.text import oov_rate, vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z z q")],
+        "doc_id bigint, text string",
+    )
+    vocab = vocab_topk(df, k=3).collect()
+    assert [(r["token_id"], r["token"]) for r in sorted(vocab, key=lambda r: r["token_id"])] == [
+        (0, "a"),  # 4 occurrences
+        (1, "b"),  # 3
+        (2, "z"),  # 2 (ties with nothing; c and q have 1, tie broken by token)
+    ]
+    rates = {r["doc_id"]: r for r in oov_rate(df, vocab_topk(df, k=3)).collect()}
+    assert rates[1]["n_oov"] == 1 and rates[1]["oov_rate"] == 0.1667
+    assert rates[2]["n_oov"] == 1  # q OOV; a, b, z in vocab
+    # top-k must compile to TakeOrderedAndProject, not a global sort
+    p = vocab_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p

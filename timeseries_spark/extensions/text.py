@@ -427,3 +427,68 @@ def packed_sequences(
             f" {separator} ",
         ).alias("packed_text"),
     )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Induce a corpus vocabulary: the ``k`` most frequent whitespace
+    tokens with dense ids (0-based, frequency-desc, ties broken by the
+    token string) — the wordlist a tokenizer/coverage analysis starts
+    from. Output: (token_id, token, n_occurrences).
+
+    Plan shape: one token-grain count shuffle, then the top-k compiles
+    to TakeOrderedAndProject (parallel per-partition top-k, tiny driver
+    merge — never a SinglePartition sort of the full vocabulary); ids
+    are assigned by row_number over the k survivors only."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("token_id", "token", "n_occurrences")
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against an induced vocabulary —
+    the coverage metric that decides whether a wordlist/tokenizer fits
+    a corpus. Output: (id, n_tokens, n_oov, oov_rate 4dp).
+
+    Plan shape: the vocabulary is k rows and BROADCASTS into the
+    exploded token stream (left join, map-side); the only exchange is
+    the per-doc count groupBy. Empty docs ('' tokenizes to one empty
+    token, which is simply counted against the vocab like any other)
+    keep a defined rate."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    hit = toks.join(
+        F.broadcast(vocab.select("token").withColumn("__in", F.lit(1))),
+        "token",
+        "left",
+    )
+    return (
+        hit.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

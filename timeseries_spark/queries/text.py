@@ -337,3 +337,64 @@ def quality_percentile_filter(spark, sf_dir):
     return relative_quality_filter(docs, p=0.25).select(
         "doc_id", "source", "metric_value", "metric_cutoff"
     )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+                AS INT) AS token_id,
+           token, n_occurrences
+    FROM (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+      ORDER BY n_occurrences DESC, token
+      LIMIT 50
+    )
+    """,
+)
+def vocab_topk_q(spark, sf_dir):
+    """Corpus vocabulary induction: the 50 most frequent tokens with
+    dense frequency-ranked ids (ties broken by token). Top-k compiles to
+    TakeOrderedAndProject — parallel per-partition top-k, never a
+    SinglePartition sort of the full vocabulary."""
+    from timeseries_spark.extensions.text import vocab_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)
+
+
+@query(
+    "oov_rate",
+    oracle="""
+    WITH vocab AS (
+      SELECT t AS token FROM (
+        SELECT t, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY n DESC, t LIMIT 50
+      )
+    ),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT t.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT)
+             AS n_oov,
+           round(count(CASE WHEN v.token IS NULL THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.id
+    """,
+)
+def oov_rate_q(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the induced top-50
+    vocabulary — the coverage metric that decides whether a wordlist
+    fits a corpus. The vocab broadcasts into the token stream; the only
+    exchange is the per-doc count groupBy."""
+    from timeseries_spark.extensions.text import oov_rate, vocab_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_topk(docs, k=50))
