@@ -264,3 +264,42 @@ def test_stream_text_pipeline_matches_batch(spark, tmp_path_factory):
         output_mode="append",
     )
     assert qb == {(r["doc_id"], r["n_words"]) for r in qs.collect()}
+
+
+def test_stream_static_incremental_exact_dedup(spark, tmp_path_factory):
+    """The exact tier of incremental dedup runs on a STREAM: arriving
+    docs anti-join the static corpus digest table (stream-static joins
+    need no state) and then collapse re-deliveries within the
+    micro-batch stream via dropDuplicates on the digest — the
+    ingestion-as-a-stream shape."""
+    from timeseries_spark.streaming import run_available_now
+
+    corpus = spark.createDataFrame(
+        [(1, "known doc one"), (2, "known doc two")],
+        "doc_id bigint, text string",
+    )
+    known = corpus.select(F.md5("text").alias("digest")).distinct()
+
+    out = str(tmp_path_factory.mktemp("incoming"))
+    incoming = spark.createDataFrame(
+        [
+            (10, "known doc one"),   # exact match vs corpus -> dropped
+            (11, "a brand new doc"),
+            (12, "a brand new doc"),  # re-delivery within the stream
+            (13, "another new doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    incoming.write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(incoming.schema).parquet(out)
+
+    deduped = (
+        stream.withColumn("digest", F.md5("text"))
+        .join(known, "digest", "left_anti")
+        .dropDuplicates(["digest"])
+    )
+    got = run_available_now(
+        deduped, "incr_dedup_stream", spark, output_mode="append"
+    )
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["a brand new doc", "another new doc"]
