@@ -253,3 +253,64 @@ def test_weighted_mix_copies_bracket_weight(spark, w):
     if w == int(w):
         assert missing == (50 if w == 0 else 0)
         assert all(c == int(w) for c in counts.values())
+
+
+@SLOW
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.01, max_value=1.0), min_size=2, max_size=4
+    )
+)
+def test_dataset_split_is_partition_of_unity(spark, fracs):
+    """For ANY normalized fraction vector, every row lands in exactly one
+    split — no loss, no double-assignment — and assignment is a pure
+    function of the key."""
+    from timeseries_spark.extensions.sampling import dataset_split
+
+    total = sum(fracs)
+    splits = [(f"s{i}", f / total) for i, f in enumerate(fracs)]
+    # re-normalize the residual onto the last split so the sum is exact
+    splits[-1] = (splits[-1][0], 1.0 - sum(f for _, f in splits[:-1]))
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = dataset_split(docs, splits).collect()
+    assert len(out) == 200
+    assert len({r["doc_id"] for r in out}) == 200  # one split per row
+    again = {
+        (r["doc_id"], r["split"]) for r in dataset_split(docs, splits).collect()
+    }
+    assert {(r["doc_id"], r["split"]) for r in out} == again
+
+
+@SLOW
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=16),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_covers_every_token(spark, n_tokens, chunk, overlap_frac):
+    """For ANY (doc length, chunk size, overlap): every token appears in
+    at least one chunk, chunk starts advance by exactly the stride, and
+    concatenating stride-length prefixes reconstructs the document."""
+    from timeseries_spark.extensions.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = chunk - overlap
+    assert [r["chunk_start"] for r in rows] == [
+        1 + i * stride for i in range(len(rows))
+    ]
+    covered = set()
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        covered.update(range(r["chunk_start"], r["chunk_start"] + len(toks)))
+    # every token position 1..max(n,1) covered (empty text -> [''] = 1 tok)
+    assert covered == set(range(1, max(n_tokens, 1) + 1))
