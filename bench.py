@@ -43,6 +43,7 @@ HEADLINE = [
     "corpus_mix_weighted",  # and deterministic corpus mixing
     "semantic_dedup",  # round-5: end-to-end embedding dedup pipeline
     "ann_sq8_topk",  # and int8 quantized ANN with exact re-rank
+    "ann_pq_topk",  # round-5: product-quantized ANN (trained codebooks)
 ]
 
 

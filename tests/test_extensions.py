@@ -887,3 +887,28 @@ def test_vocab_and_oov(spark):
     # top-k must compile to TakeOrderedAndProject, not a global sort
     p = vocab_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL estimate within the p=8 error bound; sketches over disjoint
+    shards MERGE by register-max to exactly the whole-corpus sketch —
+    the property that makes the sketch usable across 100 TB shards."""
+    from timeseries_spark.extensions.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("v"), (F.col("id") % 2).alias("shard")
+    )
+    est = hll_distinct(df, "v", p=8).first()["hll_est"]
+    assert abs(est - 3000) / 3000 < 0.15  # ~2 sigma at p=8
+    # shard sketches merged == whole-corpus sketch
+    shard_regs = hll_registers(df, "v", ("shard",), p=8)
+    merged = shard_regs.groupBy("reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    assert hll_estimate(merged, p=8).first()["hll_est"] == est
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "v", p=2)

@@ -1,0 +1,169 @@
+"""Engine-reproducible approximate-distinct sketches.
+
+At 100 TB, exact distinct counts (A3) shuffle every value to its group;
+the scalable alternative is a mergeable sketch. Spark's builtin
+``approx_count_distinct`` is a black-box HLL++ whose registers are
+engine-private — fine for one engine, but unauditable and impossible to
+cross-check. This HyperLogLog derives its registers from the same md5
+discipline as the dedup/sampling operators (``hashing.md5_long``), so
+the sketch — registers AND estimate — is bit-reproducible on any engine:
+the DuckDB oracle replays it exactly, and two systems hashing the same
+corpus produce byte-identical sketches that merge by register-max.
+
+Register math (classic Flajolet HLL with linear-counting small-range
+correction): h = 60-bit md5; the top ``p`` bits pick one of m = 2^p
+registers; rho = position of the first 1-bit in the remaining 60-p bits
+(bit length via ``bin()``, identical in Spark and DuckDB — no float
+log2 edge); each register keeps max(rho). Estimate = alpha_m * m^2 /
+sum(2^-M_j) with empty registers contributing 2^0, switching to
+m * ln(m / zeros) when E <= 2.5m and zeros > 0.
+
+Determinism discipline: the only float reduction (sum of 2^-M_j) folds
+a register array SORTED by register id — aggregation order, the one
+distributed-sum nondeterminism, is pinned — and the estimate rounds to
+2dp. Plan shape: one (keys, register) groupBy whose output is at most
+m rows per group, then a per-key fold over the broadcastably-tiny
+register set — the value stream is touched once and never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.hashing import md5_long
+
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """The mergeable sketch: (group_cols..., reg, max_rho) — at most
+    2^p rows per group. Two sketches over different shards merge by
+    ``groupBy(reg).agg(max(max_rho))``; the estimate is a pure function
+    of this table."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rem_bits = _HASH_BITS - p
+    h = md5_long(F.col(value_col).cast("string"))
+    reg = F.shiftright(h, rem_bits).cast("int")
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # rho = leading zeros in the rem_bits-wide remainder + 1; bin() gives
+    # the bit length of a positive bigint identically in both engines
+    rho = F.when(
+        rem > 0, F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    ).otherwise(F.lit(rem_bits + 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Fold a register table to the distinct-count estimate per group.
+    Output: (group_cols..., hll_est 2dp). The fold sorts registers by id
+    so the float sum has one order in every engine."""
+    m = 1 << p
+    alpha = _alpha(m)
+    rs = F.array_sort(F.collect_list(F.struct("reg", "max_rho")))
+    present = F.size(F.col("__rs"))
+    sumpow = F.aggregate(
+        F.col("__rs"),
+        F.lit(0.0),
+        lambda a, t: a + F.pow(F.lit(2.0), -t["max_rho"].cast("double")),
+    ) + (F.lit(m) - present).cast("double")  # empty registers add 2^0
+    zeros = (F.lit(m) - present).cast("double")
+    raw = F.lit(alpha * m * m) / sumpow
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        registers.groupBy(*group_cols)
+        .agg(rs.alias("__rs"))
+        .select(*group_cols, F.round(est, 2).alias("hll_est"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Approximate distinct count of ``value_col`` per group — relative
+    error ~1.04/sqrt(2^p) (~6.5% at p=8), reproducible to the bit on
+    any engine. NULL values are excluded (matching COUNT(DISTINCT))."""
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def hll_sql(
+    value_expr: str, group_by: str, source: str, p: int = 8
+) -> str:
+    """DuckDB replay of registers + estimate (kept adjacent to the Spark
+    implementation so the two evolve together)."""
+    from timeseries_spark.extensions.hashing import md5_long_sql
+
+    m = 1 << p
+    alpha = _alpha(m)
+    rem_bits = _HASH_BITS - p
+    mask = (1 << rem_bits) - 1
+    h = md5_long_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+      SELECT {group_by} AS grp,
+             CAST(({h}) >> {rem_bits} AS INT) AS reg,
+             ({h}) & {mask} AS rem
+      FROM {source}
+      WHERE {value_expr} IS NOT NULL
+    ),
+    regs AS (
+      SELECT grp, reg,
+             max(CASE WHEN rem > 0
+                      THEN {rem_bits} - length(bin(rem)) + 1
+                      ELSE {rem_bits + 1} END) AS max_rho
+      FROM hashed GROUP BY grp, reg
+    ),
+    folded AS (
+      SELECT grp,
+             list(struct_pack(reg := reg, max_rho := max_rho)
+                  ORDER BY reg, max_rho) AS rs
+      FROM regs GROUP BY grp
+    ),
+    est AS (
+      SELECT grp, len(rs) AS present,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(rs, t -> power(2.0, -CAST(t.max_rho AS DOUBLE)))),
+               (a, b) -> a + b)
+             + ({m} - len(rs)) AS sumpow
+      FROM folded
+    )
+    SELECT grp, round(CASE
+      WHEN (({alpha}::DOUBLE) * {m} * {m} / sumpow) <= 2.5 * {m}
+           AND ({m} - present) > 0
+      THEN {m}.0::DOUBLE * ln({m}.0 / ({m} - present))
+      ELSE ({alpha}::DOUBLE) * {m} * {m} / sumpow END, 2) AS hll_est
+    FROM est
+    """

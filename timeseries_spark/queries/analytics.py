@@ -432,3 +432,27 @@ def string_normalize(spark, sf_dir):
         .cast("bigint")
         .alias("n_digits"),
     )
+
+
+def _hll_oracle() -> str:
+    from timeseries_spark.extensions.sketches import hll_sql
+
+    inner = hll_sql("user_id", "event_type", "events", p=8)
+    return f"""
+    SELECT grp AS event_type, hll_est FROM ({inner})
+    """
+
+
+@query("approx_distinct_hll", oracle=_hll_oracle())
+def approx_distinct_hll(spark, sf_dir):
+    """Engine-reproducible HyperLogLog (p=8, ~6.5% expected error):
+    approximate distinct users per event type from md5-derived registers
+    — unlike approx_count_distinct's engine-private HLL++, the sketch
+    (registers AND estimate) is bit-reproducible, so the DuckDB oracle
+    matches it EXACTLY, and shard sketches merge by register-max. The
+    scale path for A3's exact distinct counts: per-group state is 2^p
+    registers instead of every distinct value."""
+    from timeseries_spark.extensions.sketches import hll_distinct
+
+    events = load(spark, sf_dir, "events")
+    return hll_distinct(events, "user_id", ("event_type",), p=8)
