@@ -912,3 +912,42 @@ def test_hll_accuracy_and_merge(spark):
     assert hll_estimate(merged, p=8).first()["hll_est"] == est
     with pytest.raises(ValueError, match="p must be"):
         hll_registers(df, "v", p=2)
+
+
+def test_cms_never_underestimates_and_bloom_no_false_negatives(spark):
+    from timeseries_spark.extensions.sketches import (
+        bloom_bits,
+        bloom_maybe,
+        cms_counters,
+        cms_estimate,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"v{i % 40}",) for i in range(400)], "token string"
+    )
+    counters = cms_counters(vals, "token", depth=4, width=64)
+    qs = vals.distinct()
+    est = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(qs, counters, "token", depth=4, width=64).collect()
+    }
+    assert all(e >= 10 for e in est.values())  # every value occurs 10x
+    # tighter: with depth 4 the min-counter estimate is exact or over
+    exact = {
+        r["token"]: r["count"] for r in vals.groupBy("token").count().collect()
+    }
+    assert all(est[t] >= exact[t] for t in exact)
+
+    known = spark.createDataFrame([(f"k{i}",) for i in range(100)], "v string")
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [(f"u{i}",) for i in range(50)],
+        "v string",
+    )
+    bloom = bloom_bits(known, "v", m_bits=2048, k_hashes=5)
+    out = {r["v"]: r["bloom_maybe"] for r in bloom_maybe(
+        probe, bloom, "v", m_bits=2048, k_hashes=5
+    ).collect()}
+    # zero false negatives: every known value must be a maybe
+    assert all(out[f"k{i}"] for i in range(50))
+    # and most unknowns are definite misses at this load factor
+    assert sum(1 for i in range(50) if not out[f"u{i}"]) > 30

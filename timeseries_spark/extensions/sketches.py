@@ -167,3 +167,155 @@ def hll_sql(
       ELSE ({alpha}::DOUBLE) * {m} * {m} / sumpow END, 2) AS hll_est
     FROM est
     """
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch: ``depth`` independent hash rows of ``width``
+    counters — frequency estimation in fixed space (heavy-hitter /
+    hot-token detection at corpus scale, where exact per-token counts
+    are the full vocabulary). Output: (row, cell, n) — at most
+    depth*width rows total, mergeable by summing counters.
+
+    Hash family is Kirsch-Mitzenmacher over one md5 (h1 + row*h2, the
+    same family as the MinHash signatures), so the sketch is
+    integer-exact and bit-reproducible on any engine."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(width)).cast(
+                    "int"
+                ).alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame,
+    counters: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each query value's frequency: min over the depth
+    counters its hashes land in (the CMS guarantee: est >= true count,
+    overestimate bounded by collisions). The counter table broadcasts
+    (depth*width rows); the min folds per value."""
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    v = F.col(value_col).cast("string")
+    probes = queries.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(width))
+                        .cast("int")
+                        .alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "cell"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter as a table of SET BIT positions (distinct, at most
+    ``m_bits`` rows — the broadcastable form): bit ``(h1 + i*h2) mod m``
+    set for each of the ``k_hashes`` hash functions. The membership
+    pre-filter for incremental dedup: a new doc probing all-set bits is
+    a MAYBE (confirm exactly), any unset bit is a definite NO (skip the
+    expensive check) — zero false negatives by construction. Integer
+    md5 math: the same filter bits on any engine."""
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(
+            f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}"
+        )
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    v = F.col(value_col).cast("string")
+    bits = F.array(
+        *[
+            F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(m_bits)).cast("int")
+            for i in range(k_hashes)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_maybe(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Probe the filter: adds ``bloom_maybe`` (true iff ALL k bit
+    positions are set). The bit table broadcasts; probing is a map-side
+    join + per-row count — the cheap first tier before an exact
+    anti-join."""
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    v = F.col(value_col).cast("string")
+    probes = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(m_bits)).cast(
+                        "int"
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("__bit"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom.withColumnRenamed("bit", "__bit").withColumn(
+                "__set", F.lit(1)
+            )),
+            "__bit",
+            "left",
+        )
+        .groupBy(*df.columns)
+        .agg((F.count(F.when(F.col("__set").isNull(), 1)) == 0).alias(
+            "bloom_maybe"
+        ))
+    )
+    return hits

@@ -605,3 +605,69 @@ def dedup_incremental(spark, sf_dir):
     return incremental_dedup(new, old, n=3, num_hashes=32, bands=8).select(
         "doc_id", "source"
     )
+
+
+def _bloom_oracle() -> str:
+    from timeseries_spark.extensions.hashing import md5_h1_sql, md5_h2_sql
+
+    h1, h2 = md5_h1_sql("digest"), md5_h2_sql("digest")
+    return f"""
+    WITH oldd AS (
+      SELECT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+    ),
+    newd AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    oldh AS (SELECT {h1} AS h1, {h2} AS h2 FROM oldd),
+    bits AS (
+      SELECT DISTINCT CAST((h1 + g.i * h2) % 4096 AS INT) AS bit
+      FROM oldh, unnest(generate_series(0, 4)) AS g(i)
+    ),
+    newh AS (SELECT doc_id, digest, {h1} AS h1, {h2} AS h2 FROM newd),
+    probes AS (
+      SELECT doc_id, digest,
+             CAST((h1 + g.i * h2) % 4096 AS INT) AS bit
+      FROM newh, unnest(generate_series(0, 4)) AS g(i)
+    ),
+    flags AS (
+      SELECT p.doc_id, p.digest,
+             (count(CASE WHEN b.bit IS NULL THEN 1 END) = 0) AS bloom_maybe
+      FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.doc_id, p.digest
+    )
+    SELECT f.doc_id, f.bloom_maybe,
+           (f.digest IN (SELECT digest FROM oldd)) AS actually_known
+    FROM flags f
+    """
+
+
+@query("bloom_prefilter", oracle=_bloom_oracle())
+def bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership pre-filter for incremental dedup: the
+    existing corpus's content digests build a 4096-bit / 5-hash filter
+    (stored as set-bit positions — broadcastable); each new-shard doc
+    probes it. bloom_maybe=false is a DEFINITE miss (skip the exact
+    check entirely); true is confirmed exactly. Compared against true
+    membership — the oracle equality proves zero false negatives on
+    this corpus. Integer md5 bit math, identical in both engines."""
+    from timeseries_spark.extensions.sketches import bloom_bits, bloom_maybe
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod("doc_id", F.lit(5)) != 0).select(
+        F.md5("text").alias("digest")
+    )
+    new = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    bloom = bloom_bits(old, "digest", m_bits=4096, k_hashes=5)
+    flagged = bloom_maybe(new, bloom, "digest", m_bits=4096, k_hashes=5)
+    known = old.distinct().withColumn("__known", F.lit(1))
+    return (
+        flagged.join(F.broadcast(known), "digest", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.col("__known").isNotNull().alias("actually_known"),
+        )
+    )

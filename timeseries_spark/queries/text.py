@@ -398,3 +398,68 @@ def oov_rate_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return oov_rate(docs, vocab_topk(docs, k=50))
+
+
+def _cms_oracle() -> str:
+    from timeseries_spark.extensions.hashing import md5_h1_sql, md5_h2_sql
+
+    h1, h2 = md5_h1_sql("t"), md5_h2_sql("t")
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (SELECT t, {h1} AS h1, {h2} AS h2 FROM toks),
+    cells AS (
+      SELECT g.i AS row, CAST((h1 + g.i * h2) % 256 AS INT) AS cell
+      FROM hashed, unnest(generate_series(0, 3)) AS g(i)
+    ),
+    counters AS (
+      SELECT row, cell, count(*) AS n FROM cells GROUP BY row, cell
+    ),
+    exact AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY t ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT e.token, e.exact_n, g.i AS row,
+             CAST(({md5_h1_sql("e.token")} + g.i * {md5_h2_sql("e.token")})
+                  % 256 AS INT) AS cell
+      FROM exact e, unnest(generate_series(0, 3)) AS g(i)
+    )
+    SELECT p.token, p.exact_n,
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN counters c USING (row, cell)
+    GROUP BY p.token, p.exact_n
+    """
+
+
+@query("heavy_hitters_cms", oracle=_cms_oracle())
+def heavy_hitters_cms(spark, sf_dir):
+    """Count-min sketch (4x256 counters) over the corpus token stream,
+    point-estimating the 20 most frequent tokens against their exact
+    counts — fixed-space frequency estimation (est >= exact by the CMS
+    guarantee) whose integer md5 counters are bit-identical across
+    engines, so the oracle matches exactly, not approximately. The
+    heavy-hitter detector for hot-token / boilerplate analysis where
+    exact counts mean materializing the vocabulary."""
+    from timeseries_spark.extensions.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from timeseries_spark.extensions.text import ws_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+    counters = cms_counters(toks, "token", depth=4, width=256)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    est = cms_estimate(
+        exact.select("token"), counters, "token", depth=4, width=256
+    )
+    return est.join(F.broadcast(exact), "token").select(
+        "token", "exact_n", "cms_est"
+    )
