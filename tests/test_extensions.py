@@ -951,3 +951,33 @@ def test_cms_never_underestimates_and_bloom_no_false_negatives(spark):
     assert all(out[f"k{i}"] for i in range(50))
     # and most unknowns are definite misses at this load factor
     assert sum(1 for i in range(50) if not out[f"u{i}"]) > 30
+
+
+def test_weighted_reservoir_favors_heavy_rows(spark):
+    from timeseries_spark.extensions.sampling import weighted_sample_n
+
+    # rows 0-99 weight 10, rows 100-199 weight 1: the sample should be
+    # dominated by heavy rows (P(light row beats heavy) is small)
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(10.0)).otherwise(F.lit(1.0)).alias(
+            "w"
+        ),
+    )
+    out = weighted_sample_n(df, n=50, weight_col="w").collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["doc_id"] < 100)
+    assert heavy > 35
+    # deterministic: identical sample on a re-run
+    again = weighted_sample_n(df, n=50, weight_col="w").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+    # zero/NULL weights never sample; negative weights fail loudly
+    z = df.withColumn("w", F.when(F.col("doc_id") < 199, F.col("w")))
+    zn = weighted_sample_n(z.fillna(0.0, ["w"]), n=200, weight_col="w")
+    assert zn.filter(F.col("doc_id") == 199).count() == 0
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_sample_n(
+            df.withColumn("w", F.lit(-1.0)), n=5, weight_col="w"
+        ).collect()

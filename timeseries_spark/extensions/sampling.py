@@ -357,3 +357,67 @@ def weighted_mix(
             )
         ),
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res),
+    deterministic: each row draws u from its decision hash (uniform in
+    (0, 1]) and ranks by ``u^(1/weight)`` — the top ``n`` per stratum
+    are the sample, and the probability of selection is proportional to
+    the weight, exactly the semantics ``rand()``-based weighted sampling
+    gives but reproducible on any engine, any partitioning, any run.
+    The classic use: quality-weighted corpus subsetting, where better
+    docs should be likelier — not certain — to survive.
+
+    Determinism discipline: the rank key rounds to 12dp in both engines
+    (coarse enough to absorb a last-ulp ``pow`` difference, fine enough
+    that collisions are ~birthday(n^2/1e12); ties break on the row key).
+    Rows with NULL or zero weight never sample (filtered before ranking
+    — an explicit rule, not an ANSI-dependent u^(1/0) edge); negative
+    weights are a loud error. Same salted two-phase top-n as
+    :func:`take_n_per_stratum` — no stratum funnels one task. Output
+    adds ``wrs_rank`` (1-based per stratum)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    w = F.col(weight_col).cast("double")
+    guarded = df.withColumn(
+        "__w",
+        F.when(
+            w < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_sample_n: negative weight "),
+                    w.cast("string"),
+                )
+            ),
+        ).otherwise(w),
+    )
+    u = (
+        sample_hash(F.col(key_col), salt).cast("double") + F.lit(1.0)
+    ) / F.lit(float(_HASH_SPACE))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("__w")), 12)
+    strata = [strata_col] if strata_col else []
+    scored = guarded.filter(F.col("__w") > 0).withColumn("__wrs", key)
+    w_local = Window.partitionBy(
+        *strata, F.pmod(F.hash(F.col(key_col)), F.lit(num_salts))
+    ).orderBy(F.col("__wrs").desc(), F.col(key_col).asc())
+    w_global = Window.partitionBy(*strata).orderBy(
+        F.col("__wrs").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= n)
+        .withColumn("wrs_rank", F.row_number().over(w_global))
+        .filter(F.col("wrs_rank") <= n)
+        .drop("__lr", "__w", "__wrs")
+    )

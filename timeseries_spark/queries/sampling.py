@@ -273,3 +273,34 @@ def packed_sequences_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return packed_sequences(docs, window_tokens=512, n_shards=4)
+
+
+def _wrs_oracle() -> str:
+    h = sample_hash_sql("doc_id", "wrs")
+    u = f"(({h})::DOUBLE + 1.0) / 1152921504606846976.0"
+    key = f"round(power({u}, 1.0 / (n_chars::DOUBLE)), 12)"
+    return f"""
+    SELECT doc_id, source, CAST(wrs_rank AS INT) AS wrs_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {key} DESC, doc_id
+             ) AS wrs_rank
+      FROM documents
+    ) WHERE wrs_rank <= 25
+    """
+
+
+@query("sample_weighted_reservoir", oracle=_wrs_oracle())
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir sampling (A-Res): 25 docs per source drawn
+    WITHOUT replacement with probability proportional to n_chars —
+    longer docs likelier but never certain — rank key u^(1/weight) from
+    the decision hash, reproducible on any engine/run. Salted two-phase
+    top-n; the single-window oracle is equivalent because salting is
+    lossless for top-n."""
+    from timeseries_spark.extensions.sampling import weighted_sample_n
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample_n(
+        docs, n=25, weight_col="n_chars", strata_col="source"
+    ).select("doc_id", "source", "wrs_rank")
