@@ -303,3 +303,39 @@ def test_stream_static_incremental_exact_dedup(spark, tmp_path_factory):
     )
     texts = sorted(r["text"] for r in got.collect())
     assert texts == ["a brand new doc", "another new doc"]
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path_factory):
+    """The HLL register table is a plain (reg, max) aggregate, so it
+    streams: draining the corpus through micro-batches produces EXACTLY
+    the batch registers (and therefore the same estimate) — the
+    continuously-maintained distinct-count sketch."""
+    from timeseries_spark.extensions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("hll_stream"))
+    df = spark.range(0, 2000).select(F.col("id").alias("v"))
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    df.filter("v < 1000").coalesce(1).write.mode("append").parquet(out)
+    df.filter("v >= 1000").coalesce(1).write.mode("append").parquet(out)
+
+    batch_regs = {
+        (r["reg"], r["max_rho"])
+        for r in hll_registers(spark.read.parquet(out), "v", p=8).collect()
+    }
+    stream = hll_registers(
+        spark.readStream.schema("v long").parquet(out), "v", p=8
+    )
+    got = run_available_now(
+        stream, "hll_stream_test", spark, output_mode="complete"
+    )
+    assert {(r["reg"], r["max_rho"]) for r in got.collect()} == batch_regs
+    # and the estimate folded from the streamed registers matches
+    est_b = hll_estimate(hll_registers(df, "v", p=8), p=8).first()["hll_est"]
+    est_s = hll_estimate(
+        spark.createDataFrame(got.collect(), got.schema), p=8
+    ).first()["hll_est"]
+    assert est_s == est_b
