@@ -671,3 +671,122 @@ def bloom_prefilter(spark, sf_dir):
             F.col("__known").isNotNull().alias("actually_known"),
         )
     )
+
+
+def _corpus_prepare_oracle() -> str:
+    from timeseries_spark.extensions.sampling import (
+        dataset_split_sql,
+        sample_hash_sql,
+    )
+
+    split_case = dataset_split_sql(
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)], "doc_id", "split"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS sh
+      FROM ({_eval_docs_sql()})
+    ),
+    tr AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    ),
+    hits AS (
+      SELECT id, count(*) AS n_eval_hits FROM tr JOIN ev USING (sh)
+      GROUP BY id
+    ),
+    decon AS (
+      SELECT d.* FROM documents d
+      LEFT JOIN hits h ON h.id = d.doc_id
+      WHERE coalesce(h.n_eval_hits, 0) < 2
+    ),
+    scored AS (
+      SELECT *, CAST(len(string_split(text, ' ')) AS DOUBLE) AS mv
+      FROM decon
+    ),
+    cuts AS (
+      SELECT source, round(quantile_cont(mv, 0.25), 4) AS cut
+      FROM scored GROUP BY source
+    ),
+    quality AS (
+      SELECT s.* FROM scored s JOIN cuts c USING (source)
+      WHERE s.mv >= c.cut
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT q.doc_id, q.source, {split_case} AS split
+      FROM quality q JOIN keep USING (doc_id)
+    ),
+    train AS (SELECT doc_id, source FROM deduped WHERE split = 'train'),
+    counts AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+      FROM train GROUP BY source
+    ),
+    stats AS (
+      SELECT
+        list_reduce(list_prepend(0::BIGINT, list(n ORDER BY
+          (stratum IS NULL), coalesce(stratum, ''))), (a, b) -> a + b)
+          AS total,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list(power(n::DOUBLE, 0.5) ORDER BY
+            (stratum IS NULL), coalesce(stratum, ''))), (a, b) -> a + b)
+          AS powsum
+      FROM counts
+    ),
+    weights AS (
+      SELECT stratum,
+             round(power(n::DOUBLE, 0.5) / powsum * total::DOUBLE
+                   / n::DOUBLE, 6) AS mix_weight
+      FROM counts CROSS JOIN stats
+    ),
+    base AS (
+      SELECT t.doc_id, t.source, w.mix_weight,
+             CAST(floor(mix_weight) AS INT)
+             + CASE WHEN {sample_hash_sql("t.doc_id", "tmix")}
+                         < CAST(floor((mix_weight - floor(mix_weight))
+                                      * 1152921504606846976.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS copies
+      FROM train t
+      JOIN weights w ON w.stratum IS NOT DISTINCT FROM t.source
+    )
+    SELECT doc_id, source, mix_weight, CAST(g.copy AS INT) AS copy
+    FROM base, unnest(generate_series(0, copies - 1)) AS g(copy)
+    """
+
+
+@query("corpus_prepare", oracle=_corpus_prepare_oracle())
+def corpus_prepare(spark, sf_dir):
+    """The round-5 corpus-preparation pipeline end to end, each stage
+    reducing the corpus before the next: n-gram decontamination against
+    the eval set (every 41st doc) -> per-source 25th-percentile quality
+    floor -> exact dedup keep-one -> deterministic 80/10/10 split ->
+    temperature-scaled (alpha=0.5) mixing of the TRAIN split with
+    weights derived from the post-gate counts. Output: the train
+    replicas (doc_id, source, mix_weight, copy). One oracle replays the
+    entire chain, so every gate and the data-derived mix weights are
+    correctness-gated in composition, not just in isolation."""
+    from timeseries_spark.extensions.dedup import decontaminate
+    from timeseries_spark.extensions.sampling import (
+        dataset_split,
+        temperature_mix,
+    )
+    from timeseries_spark.extensions.text import relative_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.pmod("doc_id", F.lit(41)) == 0)
+    decon = decontaminate(docs, ev, n=3, min_hits=2)
+    quality = relative_quality_filter(decon, p=0.25)
+    keep = exact_duplicates(quality).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = quality.join(keep, "doc_id", "semi")
+    split = dataset_split(
+        deduped, [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    train = split.filter(F.col("split") == "train").select(
+        "doc_id", "source"
+    )
+    return temperature_mix(train, alpha=0.5).select(
+        "doc_id", "source", "mix_weight", "copy"
+    )
