@@ -981,3 +981,24 @@ def test_weighted_reservoir_favors_heavy_rows(spark):
         weighted_sample_n(
             df.withColumn("w", F.lit(-1.0)), n=5, weight_col="w"
         ).collect()
+
+
+def test_unigram_logprob_ranks_fluency(spark):
+    """Docs made of common tokens must outscore docs of rare tokens
+    under the corpus's own unigram model; scores are finite and
+    deterministic."""
+    from timeseries_spark.extensions.text import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [
+        (9, "zyx qwv jkl pqr")
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()}
+    assert out[0] > out[9]  # common-token doc scores higher
+    assert all(v < 0 for v in out.values())
+    again = {
+        r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()
+    }
+    assert out == again
+    with pytest.raises(ValueError, match="smoothing"):
+        unigram_logprob(df, smoothing=0.0)

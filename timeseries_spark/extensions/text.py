@@ -492,3 +492,71 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram model — the cheap LM-based quality score (a doc of rare /
+    garbled tokens scores low, fluent text near the corpus distribution
+    scores high; the poor man's perplexity filter). Model: p(t) =
+    (count(t) + smoothing) / (total + smoothing * |V|), add-k smoothed
+    so unseen tokens in other corpora stay finite.
+
+    Determinism discipline: the per-doc sum of log-probs folds the
+    doc's tokens in POSITION order (posexplode -> collect_list sorted
+    by position -> left fold) — not a groupBy sum whose float order is
+    partition-dependent — and the score rounds to 6dp. Model totals
+    fold the vocabulary sorted by token. Plan shape: the unigram table
+    is the vocabulary (one token-grain shuffle); doc scoring joins the
+    exploded token stream to it and re-folds per doc — two exchanges
+    total, the corpus text read once.
+
+    Output: (id, n_tokens, mean_logprob 6dp)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    totals = (
+        counts.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("token", "n"))).alias("s"))
+        .select(
+            F.aggregate(
+                "s", F.lit(0).cast("bigint"), lambda a, t: a + t["n"]
+            ).alias("__total"),
+            F.size("s").alias("__vocab"),
+        )
+    )
+    logp = toks.join(counts, "token").crossJoin(F.broadcast(totals)).select(
+        "id",
+        "pos",
+        F.log(
+            (F.col("n").cast("double") + F.lit(smoothing))
+            / (
+                F.col("__total").cast("double")
+                + F.lit(smoothing) * F.col("__vocab").cast("double")
+            )
+        ).alias("lp"),
+    )
+    return (
+        logp.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("ps"))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("ps").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.aggregate(
+                    "ps", F.lit(0.0), lambda a, t: a + t["lp"]
+                )
+                / F.size("ps"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )

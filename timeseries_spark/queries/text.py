@@ -463,3 +463,48 @@ def heavy_hitters_cms(spark, sf_dir):
     return est.join(F.broadcast(exact), "token").select(
         "token", "exact_n", "cms_est"
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT id, g.i AS pos, ts[g.i] AS token
+      FROM (SELECT doc_id AS id, string_split(text, ' ') AS ts
+            FROM documents),
+           unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT list_reduce(list_prepend(0::BIGINT, list(n ORDER BY token)),
+                         (a, b) -> a + b) AS total,
+             count(*) AS vocab
+      FROM counts
+    ),
+    lp AS (
+      SELECT t.id, t.pos,
+             ln((c.n::DOUBLE + 0.5)
+                / (tt.total::DOUBLE + 0.5 * tt.vocab)) AS lp
+      FROM toks t JOIN counts c USING (token) CROSS JOIN totals tt
+    ),
+    folded AS (
+      SELECT id, list(lp ORDER BY pos) AS ps FROM lp GROUP BY id
+    )
+    SELECT id AS doc_id, CAST(len(ps) AS BIGINT) AS n_tokens,
+           round(list_reduce(list_prepend(0.0::DOUBLE, ps),
+                             (a, b) -> a + b) / len(ps), 6) AS mean_logprob
+    FROM folded
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """LM-based quality score: per-doc mean log-probability under the
+    corpus's own add-0.5-smoothed unigram model — rare/garbled tokens
+    score low, fluent text near the corpus distribution scores high
+    (the poor man's perplexity filter). The per-doc sum folds tokens in
+    position order in BOTH engines, so scores are exact matches."""
+    from timeseries_spark.extensions.text import unigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
