@@ -44,6 +44,8 @@ HEADLINE = [
     "semantic_dedup",  # round-5: end-to-end embedding dedup pipeline
     "ann_sq8_topk",  # and int8 quantized ANN with exact re-rank
     "ann_pq_topk",  # round-5: product-quantized ANN (trained codebooks)
+    "corpus_prepare",  # round-5: composed decontaminate->quality->dedup
+    #                    ->split->temperature-mix pipeline
 ]
 
 

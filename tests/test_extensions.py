@@ -1002,3 +1002,37 @@ def test_unigram_logprob_ranks_fluency(spark):
     assert out == again
     with pytest.raises(ValueError, match="smoothing"):
         unigram_logprob(df, smoothing=0.0)
+
+
+def test_media_features_feed_ann(spark, sf_dir):
+    """Multimodal columns are first-class pipeline citizens: decoded
+    media histograms (array<double> from the real codecs) flow straight
+    into the ANN operators — near-duplicate media detection by feature
+    cosine. Identical payloads must rank as each other's top neighbor
+    with cosine 1.0."""
+    from timeseries_spark.extensions.multimodal import (
+        extract_features,
+        real_media,
+    )
+    from timeseries_spark.extensions.similarity import brute_force_topk
+    from timeseries_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(30)
+    feats = (
+        extract_features(real_media(docs), n_bins=16)
+        .filter(F.col("feature").isNotNull())
+        .select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+        .localCheckpoint()
+    )
+    # duplicate one media row under a new id: its twin must be rank 1
+    twin_src = feats.orderBy("vec_id").first()
+    twin = spark.createDataFrame(
+        [(99999, twin_src["embedding"])], feats.schema
+    )
+    corpus = feats.unionByName(twin)
+    qs = twin.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(corpus, qs, k=1).first()
+    assert top["neighbor_id"] == twin_src["vec_id"]
+    assert top["cos_sim"] == 1.0
