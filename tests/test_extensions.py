@@ -1036,3 +1036,21 @@ def test_media_features_feed_ann(spark, sf_dir):
     top = brute_force_topk(corpus, qs, k=1).first()
     assert top["neighbor_id"] == twin_src["vec_id"]
     assert top["cos_sim"] == 1.0
+
+
+def test_profile_columns_one_pass(spark):
+    from timeseries_spark.extensions.sketches import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, "b", 7.0), (3, "b", None)],
+        "k bigint, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_columns(df, ("k", "s", "v")).collect()}
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 1
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "3"
+    assert out["v"]["min_value"] == "5.0"
+    # one aggregate pass: exactly one exchange, no per-column scans
+    p = profile_columns(df, ("k", "s", "v"))._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan ExistingRDD") <= 2  # distinct agg may expand once
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, ())

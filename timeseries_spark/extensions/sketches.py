@@ -319,3 +319,46 @@ def bloom_maybe(
         ))
     )
     return hits
+
+
+def profile_columns(
+    df: DataFrame, columns: tuple[str, ...]
+) -> DataFrame:
+    """Single-pass column profile — the data-quality report a pipeline
+    runs before trusting a 100 TB table: per column, row/null counts,
+    exact distinct count, and min/max (as strings, so one long-format
+    schema covers every column type). ALL columns profile in ONE table
+    scan, then unpivot to long rows. Honest scale note: the multiple
+    exact DISTINCTs compile to an Expand, so the shuffled row count is
+    ~rows x (distinct columns + 1) — the scan is single, the shuffle is
+    not. When that bites, swap the exact distincts for
+    :func:`hll_registers`-based estimates (fixed 2^p state per column,
+    no expand). Output: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value), one row per profiled column."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            # min/max on the NATIVE type, cast to string AFTER —
+            # casting first would make numeric ranges lexicographic
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -456,3 +456,32 @@ def approx_distinct_hll(spark, sf_dir):
 
     events = load(spark, sf_dir, "events")
     return hll_distinct(events, "user_id", ("event_type",), p=8)
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    parts = [
+        f"""
+    SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark, sf_dir):
+    """Single-pass column profiling of the orders table (row/null/
+    distinct counts, min/max) — the pre-trust data-quality report,
+    computed for ALL profiled columns in one aggregate pass so cost
+    never scales with column count."""
+    from timeseries_spark.extensions.sketches import profile_columns
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
