@@ -975,8 +975,6 @@ def test_weighted_reservoir_favors_heavy_rows(spark):
     z = df.withColumn("w", F.when(F.col("doc_id") < 199, F.col("w")))
     zn = weighted_sample_n(z.fillna(0.0, ["w"]), n=200, weight_col="w")
     assert zn.filter(F.col("doc_id") == 199).count() == 0
-    import pyspark.errors
-
     with pytest.raises(Exception, match="negative weight"):
         weighted_sample_n(
             df.withColumn("w", F.lit(-1.0)), n=5, weight_col="w"
@@ -1048,9 +1046,36 @@ def test_profile_columns_one_pass(spark):
     out = {r["column"]: r for r in profile_columns(df, ("k", "s", "v")).collect()}
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 1
     assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "3"
-    assert out["v"]["min_value"] == "5.0"
+    assert out["v"]["min_value"] == "5.000000"  # decimal-rendered double
     # one aggregate pass: exactly one exchange, no per-column scans
     p = profile_columns(df, ("k", "s", "v"))._jdf.queryExecution().executedPlan().toString()
     assert p.count("Scan ExistingRDD") <= 2  # distinct agg may expand once
     with pytest.raises(ValueError, match="non-empty"):
         profile_columns(df, ())
+
+
+def test_bloom_maybe_preserves_duplicate_rows(spark):
+    """Review regression: the probe must be row-preserving — a
+    re-delivered (duplicate) row in the ingest stream passes through as
+    two rows, not collapsed by reassembly."""
+    from timeseries_spark.extensions.sketches import bloom_bits, bloom_maybe
+
+    known = spark.createDataFrame([("a",)], "v string")
+    probe = spark.createDataFrame([("a",), ("a",), ("x",)], "v string")
+    bloom = bloom_bits(known, "v", m_bits=512, k_hashes=3)
+    out = bloom_maybe(probe, bloom, "v", m_bits=512, k_hashes=3).collect()
+    assert len(out) == 3
+    assert sum(1 for r in out if r["v"] == "a" and r["bloom_maybe"]) == 2
+
+
+def test_profile_columns_renders_large_doubles_plainly(spark):
+    """Review regression: double min/max must render via fixed-scale
+    decimal (engine-portable), never Java scientific notation."""
+    from timeseries_spark.extensions.sketches import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 10000000.5), (2, 0.00001)], "k bigint, v double"
+    )
+    out = {r["column"]: r for r in profile_columns(df, ("v",)).collect()}
+    assert out["v"]["max_value"] == "10000000.500000"
+    assert "E" not in out["v"]["min_value"]

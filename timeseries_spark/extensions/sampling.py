@@ -267,6 +267,39 @@ def temperature_mix(
     )
 
 
+def _salted_top_n(
+    df: DataFrame,
+    n: int,
+    partition_cols: list,
+    order_cols: list,
+    salt_key_col: str,
+    num_salts: int,
+    rank_alias: str,
+) -> DataFrame:
+    """The shared salted two-phase per-partition top-n (same idiom as
+    brute_force_topk): a LOCAL top-n within (partitions, key-hash salt)
+    bounds every window partition at ~|partition|/num_salts rows, then
+    the global top-n ranks at most ``num_salts * n`` survivors —
+    lossless, because each row lives in exactly one salt bucket. Emits
+    ``rank_alias`` (1-based within the partition)."""
+    if num_salts < 1:
+        # pmod(hash, 0) is NULL — all rows would collapse into one null
+        # salt bucket, reviving the single-task sort
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    w_local = Window.partitionBy(
+        *partition_cols,
+        F.pmod(F.hash(F.col(salt_key_col)), F.lit(num_salts)),
+    ).orderBy(*order_cols)
+    w_global = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= n)
+        .withColumn(rank_alias, F.row_number().over(w_global))
+        .filter(F.col(rank_alias) <= n)
+        .drop("__lr")
+    )
+
+
 def take_n_per_stratum(
     df: DataFrame,
     n: int,
@@ -294,21 +327,10 @@ def take_n_per_stratum(
     (1-based within the stratum)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    if num_salts < 1:
-        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     h = sample_hash(F.col(key_col), salt)
-    w_local = Window.partitionBy(
-        strata_col, F.pmod(F.hash(F.col(key_col)), F.lit(num_salts))
-    ).orderBy(h.asc(), F.col(key_col).asc())
-    w_global = Window.partitionBy(strata_col).orderBy(
-        h.asc(), F.col(key_col).asc()
-    )
-    return (
-        df.withColumn("__lr", F.row_number().over(w_local))
-        .filter(F.col("__lr") <= n)
-        .withColumn("take_rank", F.row_number().over(w_global))
-        .filter(F.col("take_rank") <= n)
-        .drop("__lr")
+    return _salted_top_n(
+        df, n, [strata_col], [h.asc(), F.col(key_col).asc()],
+        key_col, num_salts, "take_rank",
     )
 
 
@@ -387,8 +409,6 @@ def weighted_sample_n(
     adds ``wrs_rank`` (1-based per stratum)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    if num_salts < 1:
-        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     w = F.col(weight_col).cast("double")
     guarded = df.withColumn(
         "__w",
@@ -408,16 +428,8 @@ def weighted_sample_n(
     key = F.round(F.pow(u, F.lit(1.0) / F.col("__w")), 12)
     strata = [strata_col] if strata_col else []
     scored = guarded.filter(F.col("__w") > 0).withColumn("__wrs", key)
-    w_local = Window.partitionBy(
-        *strata, F.pmod(F.hash(F.col(key_col)), F.lit(num_salts))
-    ).orderBy(F.col("__wrs").desc(), F.col(key_col).asc())
-    w_global = Window.partitionBy(*strata).orderBy(
-        F.col("__wrs").desc(), F.col(key_col).asc()
-    )
-    return (
-        scored.withColumn("__lr", F.row_number().over(w_local))
-        .filter(F.col("__lr") <= n)
-        .withColumn("wrs_rank", F.row_number().over(w_global))
-        .filter(F.col("wrs_rank") <= n)
-        .drop("__lr", "__w", "__wrs")
-    )
+    return _salted_top_n(
+        scored, n, strata,
+        [F.col("__wrs").desc(), F.col(key_col).asc()],
+        key_col, num_salts, "wrs_rank",
+    ).drop("__w", "__wrs")

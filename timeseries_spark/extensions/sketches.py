@@ -169,6 +169,19 @@ def hll_sql(
     """
 
 
+def _km_positions(v, k: int, modulus: int) -> list:
+    """The Kirsch-Mitzenmacher probe positions ``(h1 + i*h2) mod modulus``
+    for i in [0, k) — ONE definition shared by the CMS counters/probes
+    and the Bloom bits/probes so sketch and probe can never drift (the
+    DuckDB oracle spellings mirror this expression)."""
+    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
+
+    return [
+        F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(modulus)).cast("int")
+        for i in range(k)
+    ]
+
+
 def cms_counters(
     df: DataFrame,
     value_col: str,
@@ -186,18 +199,11 @@ def cms_counters(
     integer-exact and bit-reproducible on any engine."""
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
-    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
-
     v = F.col(value_col).cast("string")
     cells = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(width)).cast(
-                    "int"
-                ).alias("cell"),
-            )
-            for i in range(depth)
+            F.struct(F.lit(i).alias("row"), pos.alias("cell"))
+            for i, pos in enumerate(_km_positions(v, depth, width))
         ]
     )
     return (
@@ -219,21 +225,14 @@ def cms_estimate(
     counters its hashes land in (the CMS guarantee: est >= true count,
     overestimate bounded by collisions). The counter table broadcasts
     (depth*width rows); the min folds per value."""
-    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
-
     v = F.col(value_col).cast("string")
     probes = queries.select(
         F.col(value_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(width))
-                        .cast("int")
-                        .alias("cell"),
-                    )
-                    for i in range(depth)
+                    F.struct(F.lit(i).alias("row"), pos.alias("cell"))
+                    for i, pos in enumerate(_km_positions(v, depth, width))
                 ]
             )
         ).alias("c"),
@@ -262,15 +261,8 @@ def bloom_bits(
         raise ValueError(
             f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}"
         )
-    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
-
     v = F.col(value_col).cast("string")
-    bits = F.array(
-        *[
-            F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(m_bits)).cast("int")
-            for i in range(k_hashes)
-        ]
-    )
+    bits = F.array(*_km_positions(v, k_hashes, m_bits))
     return (
         df.filter(v.isNotNull())
         .select(F.explode(bits).alias("bit"))
@@ -286,39 +278,28 @@ def bloom_maybe(
     k_hashes: int = 5,
 ) -> DataFrame:
     """Probe the filter: adds ``bloom_maybe`` (true iff ALL k bit
-    positions are set). The bit table broadcasts; probing is a map-side
-    join + per-row count — the cheap first tier before an exact
-    anti-join."""
-    from timeseries_spark.extensions.hashing import md5_h1, md5_h2
-
+    positions are set). One broadcast left join per hash function
+    against the (distinct) bit table, AND-folded — row-preserving, so
+    duplicate input rows (the pre-dedup ingest stream) pass through
+    unchanged, unlike an explode + group-by-all-columns reassembly
+    which would silently collapse them."""
     v = F.col(value_col).cast("string")
-    probes = df.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(md5_h1(v) + i * md5_h2(v), F.lit(m_bits)).cast(
-                        "int"
-                    )
-                    for i in range(k_hashes)
-                ]
-            )
-        ).alias("__bit"),
+    out = df
+    flags = []
+    for i, pos in enumerate(_km_positions(v, k_hashes, m_bits)):
+        b_i = bloom.select(
+            F.col("bit").alias(f"__b{i}")
+        ).withColumn(f"__s{i}", F.lit(1))
+        out = out.join(
+            F.broadcast(b_i), pos == F.col(f"__b{i}"), "left"
+        ).drop(f"__b{i}")
+        flags.append(F.col(f"__s{i}").isNotNull())
+    maybe = flags[0]
+    for fl in flags[1:]:
+        maybe = maybe & fl
+    return out.withColumn("bloom_maybe", maybe).drop(
+        *[f"__s{i}" for i in range(k_hashes)]
     )
-    hits = (
-        probes.join(
-            F.broadcast(bloom.withColumnRenamed("bit", "__bit").withColumn(
-                "__set", F.lit(1)
-            )),
-            "__bit",
-            "left",
-        )
-        .groupBy(*df.columns)
-        .agg((F.count(F.when(F.col("__set").isNull(), 1)) == 0).alias(
-            "bloom_maybe"
-        ))
-    )
-    return hits
 
 
 def profile_columns(
@@ -337,15 +318,25 @@ def profile_columns(
     min_value, max_value), one row per profiled column."""
     if not columns:
         raise ValueError("columns must be non-empty")
+    float_types = {"double", "float"}
+    dtypes = dict(df.dtypes)
+
+    def rendered(agg_col, c):
+        # min/max on the NATIVE type (casting first would make numeric
+        # ranges lexicographic), rendered AFTER: float/double go through
+        # a fixed-scale decimal because engines disagree on raw
+        # double-to-string (Spark '1.00000005E7' vs DuckDB '10000000.5')
+        if dtypes.get(c) in float_types:
+            return agg_col.cast("decimal(30,6)").cast("string")
+        return agg_col.cast("string")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
-            # min/max on the NATIVE type, cast to string AFTER —
-            # casting first would make numeric ranges lexicographic
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            rendered(F.min(F.col(c)), c).alias(f"__mn_{c}"),
+            rendered(F.max(F.col(c)), c).alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
     rows = F.array(

@@ -524,15 +524,11 @@ def unigram_logprob(
         F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    totals = (
-        counts.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("token", "n"))).alias("s"))
-        .select(
-            F.aggregate(
-                "s", F.lit(0).cast("bigint"), lambda a, t: a + t["n"]
-            ).alias("__total"),
-            F.size("s").alias("__vocab"),
-        )
+    # totals are INTEGER aggregates (sum of counts, vocab size) — order-
+    # independent by associativity, so no sorted-fold pinning is needed
+    # and the vocabulary never funnels into a one-row collected array
+    totals = counts.groupBy().agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
     logp = toks.join(counts, "token").crossJoin(F.broadcast(totals)).select(
         "id",

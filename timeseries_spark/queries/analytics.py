@@ -459,16 +459,26 @@ def approx_distinct_hll(spark, sf_dir):
 
 
 def _profile_oracle() -> str:
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    # float/double columns render via DECIMAL(30,6) in BOTH engines —
+    # raw double-to-string formatting differs (Spark scientific vs
+    # DuckDB plain) once |v| leaves [1e-3, 1e7)
+    cols = {
+        "o_orderkey": False,
+        "o_custkey": False,
+        "o_orderstatus": False,
+        "o_totalprice": True,
+    }
     parts = [
         f"""
     SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           CAST(min({c}) AS VARCHAR) AS min_value,
-           CAST(max({c}) AS VARCHAR) AS max_value
+           CAST({f'CAST(min({c}) AS DECIMAL(30,6))' if is_f else f'min({c})'}
+                AS VARCHAR) AS min_value,
+           CAST({f'CAST(max({c}) AS DECIMAL(30,6))' if is_f else f'max({c})'}
+                AS VARCHAR) AS max_value
     FROM orders"""
-        for c in cols
+        for c, is_f in cols.items()
     ]
     return " UNION ALL ".join(parts)
 

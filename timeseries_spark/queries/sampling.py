@@ -286,6 +286,7 @@ def _wrs_oracle() -> str:
                PARTITION BY source ORDER BY {key} DESC, doc_id
              ) AS wrs_rank
       FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
     ) WHERE wrs_rank <= 25
     """
 

@@ -350,19 +350,19 @@ def quality_percentile_filter(spark, sf_dir):
       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
       GROUP BY t
       ORDER BY n_occurrences DESC, token
-      LIMIT 50
+      LIMIT 20
     )
     """,
 )
 def vocab_topk_q(spark, sf_dir):
-    """Corpus vocabulary induction: the 50 most frequent tokens with
+    """Corpus vocabulary induction: the 20 most frequent tokens with
     dense frequency-ranked ids (ties broken by token). Top-k compiles to
     TakeOrderedAndProject — parallel per-partition top-k, never a
     SinglePartition sort of the full vocabulary."""
     from timeseries_spark.extensions.text import vocab_topk
 
     docs = load(spark, sf_dir, "documents")
-    return vocab_topk(docs, k=50)
+    return vocab_topk(docs, k=20)
 
 
 @query(
@@ -372,7 +372,7 @@ def vocab_topk_q(spark, sf_dir):
       SELECT t AS token FROM (
         SELECT t, count(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-        GROUP BY t ORDER BY n DESC, t LIMIT 50
+        GROUP BY t ORDER BY n DESC, t LIMIT 20
       )
     ),
     toks AS (
@@ -390,14 +390,14 @@ def vocab_topk_q(spark, sf_dir):
     """,
 )
 def oov_rate_q(spark, sf_dir):
-    """Per-doc out-of-vocabulary rate against the induced top-50
+    """Per-doc out-of-vocabulary rate against the induced top-20
     vocabulary — the coverage metric that decides whether a wordlist
     fits a corpus. The vocab broadcasts into the token stream; the only
     exchange is the per-doc count groupBy."""
     from timeseries_spark.extensions.text import oov_rate, vocab_topk
 
     docs = load(spark, sf_dir, "documents")
-    return oov_rate(docs, vocab_topk(docs, k=50))
+    return oov_rate(docs, vocab_topk(docs, k=20))
 
 
 def _cms_oracle() -> str:
@@ -478,10 +478,7 @@ def heavy_hitters_cms(spark, sf_dir):
       SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
     ),
     totals AS (
-      SELECT list_reduce(list_prepend(0::BIGINT, list(n ORDER BY token)),
-                         (a, b) -> a + b) AS total,
-             count(*) AS vocab
-      FROM counts
+      SELECT sum(n) AS total, count(*) AS vocab FROM counts
     ),
     lp AS (
       SELECT t.id, t.pos,
