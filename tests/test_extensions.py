@@ -1079,3 +1079,21 @@ def test_profile_columns_renders_large_doubles_plainly(spark):
     out = {r["column"]: r for r in profile_columns(df, ("v",)).collect()}
     assert out["v"]["max_value"] == "10000000.500000"
     assert "E" not in out["v"]["min_value"]
+
+
+def test_negative_samples_uniform_and_deterministic(spark):
+    from timeseries_spark.extensions.sampling import negative_samples
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = negative_samples(df, k=4).collect()
+    # k draws per anchor minus the occasional self-hit
+    assert 380 <= len(out) <= 400
+    assert all(r["neg_id"] != r["anchor_id"] for r in out)
+    assert all(0 <= r["neg_id"] < 100 for r in out)
+    again = negative_samples(df, k=4).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in again}
+    # draws spread over the corpus, not clustered (uniformity smoke)
+    distinct_negs = len({r["neg_id"] for r in out})
+    assert distinct_negs > 70
+    with pytest.raises(ValueError, match="k must be"):
+        negative_samples(df, k=0)

@@ -433,3 +433,61 @@ def weighted_sample_n(
         [F.col("__wrs").desc(), F.col(key_col).asc()],
         key_col, num_salts, "wrs_rank",
     ).drop("__w", "__wrs")
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row draws ``k`` pseudo-random partner ids from the corpus —
+    uniform, reproducible (the hash of (anchor, slot) picks the
+    partner), and self-pairs are dropped rather than re-drawn, the
+    standard accept/reject simplification (each anchor yields k or
+    occasionally k-1 negatives).
+
+    CONTRACT: ``id_col`` must be dense in [0, N) (the corpus-table
+    convention here); the partner id is ``hash mod N``, so a sparse id
+    space would silently lose draws — the inner join back to the corpus
+    makes that loss visible as missing rows rather than wrong ones.
+
+    Plan shape: N comes from a one-row broadcast count; draws are a
+    codegen'd explode; the single shuffle is the equi join that
+    materializes partner rows (at 100 TB this is the unavoidable
+    "fetch k random rows per anchor" exchange, keyed uniformly by the
+    hash — no skew by construction). Output: (anchor id, neg_idx 0-based,
+    neg id)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_row = df.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    draws = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+            "__N",
+        )
+        .select(
+            "anchor_id",
+            "neg_idx",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("neg_idx").cast("string"),
+                    )
+                ),
+                F.col("__N"),
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    partners = df.select(F.col(id_col).alias("neg_id"))
+    return draws.join(partners, "neg_id").select(
+        "anchor_id", "neg_idx", "neg_id"
+    )

@@ -305,3 +305,38 @@ def sample_weighted_reservoir(spark, sf_dir):
     return weighted_sample_n(
         docs, n=25, weight_col="n_chars", strata_col="source"
     ).select("doc_id", "source", "wrs_rank")
+
+
+def _neg_oracle() -> str:
+    from timeseries_spark.extensions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        "'neg' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)"
+    )
+    return f"""
+    WITH nn AS (SELECT count(*) AS N FROM documents),
+    draws AS (
+      SELECT d.doc_id AS anchor_id, CAST(g.i AS INT) AS neg_idx
+      FROM documents d, unnest(generate_series(0, 3)) AS g(i)
+    ),
+    hashed AS (
+      SELECT anchor_id, neg_idx, ({h}) % nn.N AS neg_id
+      FROM draws CROSS JOIN nn
+    )
+    SELECT h.anchor_id, h.neg_idx, h.neg_id
+    FROM hashed h
+    JOIN documents p ON p.doc_id = h.neg_id
+    WHERE h.neg_id != h.anchor_id
+    """
+
+
+@query("negative_samples", oracle=_neg_oracle())
+def negative_samples_q(spark, sf_dir):
+    """Contrastive-training negative sampling: 4 deterministic uniform
+    partner draws per anchor doc (hash of (anchor, slot) mod N over the
+    dense id space), self-pairs dropped rather than re-drawn. The only
+    shuffle is the partner-row join, keyed uniformly by the hash."""
+    from timeseries_spark.extensions.sampling import negative_samples
+
+    docs = load(spark, sf_dir, "documents")
+    return negative_samples(docs, k=4)
