@@ -790,3 +790,85 @@ def corpus_prepare(spark, sf_dir):
     return temperature_mix(train, alpha=0.5).select(
         "doc_id", "source", "mix_weight", "copy"
     )
+
+
+def _contrastive_oracle() -> str:
+    from timeseries_spark.extensions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        "'neg' || CAST(anchor_id AS VARCHAR) || ':'"
+        " || CAST(neg_idx AS VARCHAR)"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh WHERE len(shs) > 0),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest
+                   AND a.id < b.id
+    ),
+    sent AS (SELECT id FROM sh WHERE len(shs) = 0),
+    pos AS (
+      SELECT c.id_a AS anchor_id, c.id_b AS partner_id
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b
+      WHERE len(list_filter(generate_series(1, 32),
+                            i -> sa.sig[i] = sb.sig[i])) / 32.0 >= 0.5
+      UNION ALL
+      SELECT m.id_a AS anchor_id, s.id AS partner_id
+      FROM sent s CROSS JOIN (SELECT min(id) AS id_a FROM sent) m
+      WHERE s.id > m.id_a
+    ),
+    nn AS (SELECT count(*) AS N FROM documents),
+    draws AS (
+      SELECT d.doc_id AS anchor_id, CAST(g.i AS INT) AS neg_idx
+      FROM documents d, unnest(generate_series(0, 1)) AS g(i)
+    ),
+    neg AS (
+      SELECT h.anchor_id, h.neg_id AS partner_id FROM (
+        SELECT anchor_id, neg_idx, ({h}) % nn.N AS neg_id
+        FROM draws CROSS JOIN nn
+      ) h
+      JOIN documents p ON p.doc_id = h.neg_id
+      WHERE h.neg_id != h.anchor_id
+    )
+    SELECT anchor_id, partner_id, 1 AS label FROM pos
+    UNION ALL
+    SELECT anchor_id, partner_id, 0 AS label FROM neg
+    """
+
+
+@query("contrastive_pairs", oracle=_contrastive_oracle())
+def contrastive_pairs(spark, sf_dir):
+    """Training-pair generation for contrastive objectives: positives =
+    MinHash-verified near-duplicate pairs (est Jaccard >= 0.5, sentinel
+    star included), negatives = 2 deterministic uniform draws per doc —
+    the (anchor, partner, label) table a contrastive trainer consumes,
+    assembled entirely from the oracle-gated building blocks and
+    replayed end-to-end by one oracle."""
+    from timeseries_spark.extensions.dedup import lsh_verified_pairs
+    from timeseries_spark.extensions.sampling import negative_samples
+
+    docs = load(spark, sf_dir, "documents")
+    pos = lsh_verified_pairs(docs, est_threshold=0.5).select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("partner_id"),
+        F.lit(1).alias("label"),
+    )
+    neg = negative_samples(docs, k=2).select(
+        "anchor_id",
+        F.col("neg_id").alias("partner_id"),
+        F.lit(0).alias("label"),
+    )
+    return pos.unionByName(neg)
