@@ -111,3 +111,37 @@ def test_point_query_shape(staged, disease, spark):
     assert all(r["diseaseName"] == "asthma" for r in out)
     years = [r["year"] for r in out if r["datasourceId"] == "overall"]
     assert years == sorted(years, key=lambda y: (y is None, y))
+
+
+def test_timeline_renders_to_decodable_ppm(spark, tmp_path):
+    """The presentation gap closed without matplotlib: point-query rows
+    rasterize to a real PPM file that the repo's own pure-numpy codec
+    decodes back — dimensions derive from the series/year grid, score
+    cells are colored, novelty peaks carry the red underline."""
+    from timeseries_spark.extensions.multimodal import _sniff_and_decode
+    from timeseries_spark.plans.plotting import (
+        render_timeline_ppm,
+        write_timeline,
+    )
+
+    rows = [
+        {"datasourceId": "overall", "year": 2000, "score": 0.9, "novelty": 0.5},
+        {"datasourceId": "overall", "year": 2001, "score": 0.4, "novelty": 0.0},
+        {"datasourceId": "chembl", "year": 2001, "score": 0.2, "novelty": 0.0},
+    ]
+    payload = render_timeline_ppm(rows, cell=10, gutter=2)
+    d = _sniff_and_decode(payload)
+    # 2 years x 2 series grid: w = 2 + 2*(10+2) = 26, h likewise
+    assert (d["width"], d["height"]) == (26, 26)
+    # top-left cell is the high-score overall/2000 cell -> saturated blue
+    raw = payload[payload.index(b"255\n") + 4 :]
+    px = raw[(2 * 26 + 2) * 3 : (2 * 26 + 2) * 3 + 3]  # (x=2, y=2)
+    assert px[2] == 255 and px[0] < 100  # blue-dominant
+    # novelty underline present in that cell's bottom rows
+    underline = raw[((2 + 9) * 26 + 2) * 3 : ((2 + 9) * 26 + 2) * 3 + 3]
+    assert underline == bytes((220, 40, 40))
+    # file writer round-trips
+    p = write_timeline(str(tmp_path / "tl.ppm"), rows)
+    assert _sniff_and_decode(open(p, "rb").read())["format"] == "ppm"
+    with pytest.raises(ValueError, match="no rows"):
+        render_timeline_ppm([])
