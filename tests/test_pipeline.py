@@ -145,3 +145,27 @@ def test_timeline_renders_to_decodable_ppm(spark, tmp_path):
     assert _sniff_and_decode(open(p, "rb").read())["format"] == "ppm"
     with pytest.raises(ValueError, match="no rows"):
         render_timeline_ppm([])
+
+
+def test_prepared_corpus_persists_partitioned(spark, tmp_path):
+    """The prepare -> persist -> reload story end to end: corpus_prepare
+    output lands as source-partitioned parquet (the S7 layout), reads
+    back with identical rows, and partition pruning reaches the reloaded
+    scan."""
+    from timeseries_spark.queries import all_queries
+
+    out = str(tmp_path / "prepared")
+    df = all_queries()["corpus_prepare"](spark, "/root/testdata/sf0.001")
+    df.write.partitionBy("source").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    a = {tuple(sorted(r.asDict().items())) for r in df.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    assert a == b
+    one_src = back.select("source").first()["source"]
+    plan = (
+        back.filter(F.col("source") == one_src)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(source" in plan
