@@ -1097,3 +1097,17 @@ def test_negative_samples_uniform_and_deterministic(spark):
     assert distinct_negs > 70
     with pytest.raises(ValueError, match="k must be"):
         negative_samples(df, k=0)
+
+
+def test_encode_tokens_roundtrip(spark):
+    from timeseries_spark.extensions.text import encode_tokens, vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a rare"), (2, "b b")], "doc_id bigint, text string"
+    )
+    vocab = vocab_topk(df, k=2)  # 'b' (3) then 'a' (2)
+    out = {r["doc_id"]: r for r in encode_tokens(df, vocab).collect()}
+    # b=0, a=1, OOV=-1; order preserved
+    assert out[1]["token_ids"] == [1, 0, 1, -1]
+    assert out[2]["token_ids"] == [0, 0]
+    assert out[1]["n_tokens"] == 4

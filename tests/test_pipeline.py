@@ -169,3 +169,27 @@ def test_prepared_corpus_persists_partitioned(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_point_query_rows_render_end_to_end(staged, disease, spark, tmp_path):
+    """The reference's full presentation path on REAL pipeline output:
+    point_query rows -> zero-dep raster -> decoded back by the repo's
+    own codec with the expected series/year grid."""
+    from timeseries_spark.extensions.multimodal import _sniff_and_decode
+    from timeseries_spark.plans.plotting import render_timeline_ppm
+
+    tables, _ = staged
+    rows = point_query(
+        tables["association_overall"],
+        tables["association_by_datasource"],
+        "D1",
+        "T1",
+        disease=disease,
+    ).collect()
+    rows = [r for r in rows if r["year"] is not None]
+    payload = render_timeline_ppm(rows, cell=8, gutter=1)
+    d = _sniff_and_decode(payload)
+    n_series = len({r["datasourceId"] for r in rows})
+    years = {r["year"] for r in rows}
+    assert d["height"] == 1 + n_series * 9
+    assert d["width"] == 1 + (max(years) - min(years) + 1) * 9

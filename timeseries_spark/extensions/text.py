@@ -556,3 +556,42 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenize the corpus against an induced vocabulary — the step that
+    turns text into the integer sequences a trainer consumes: each doc
+    becomes its array of ``token_id``s in position order, with
+    out-of-vocabulary tokens mapped to ``oov_id`` (the UNK id).
+
+    Plan shape: the vocabulary broadcasts into the position-exploded
+    token stream (map-side join); the per-doc array reassembles through
+    one id-keyed groupBy with a position-sorted fold — integer-exact,
+    so the encoded dataset is byte-identical on any engine. Output:
+    (id, n_tokens, token_ids array<int>)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("tid"),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("pt").cast("bigint").alias("n_tokens"),
+            F.transform("pt", lambda t: t["tid"]).alias("token_ids"),
+        )
+    )

@@ -505,3 +505,39 @@ def unigram_logprob_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+@query(
+    "tokenized_docs",
+    oracle="""
+    WITH vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, t) - 1 AS INT)
+               AS token_id, t AS token
+      FROM (
+        SELECT t, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t ORDER BY n DESC, t LIMIT 20
+      )
+    ),
+    toks AS (
+      SELECT id, g.i AS pos, ts[g.i] AS token
+      FROM (SELECT doc_id AS id, string_split(text, ' ') AS ts
+            FROM documents),
+           unnest(generate_series(1, len(ts))) AS g(i)
+    )
+    SELECT t.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list(coalesce(v.token_id, -1) ORDER BY t.pos) AS token_ids
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.id
+    """,
+)
+def tokenized_docs(spark, sf_dir):
+    """The actual tokenization step: every doc encoded to its integer
+    token-id sequence against the induced top-20 vocabulary (OOV -> -1,
+    the UNK id) — the dataset format a trainer consumes, byte-identical
+    across engines. Vocab broadcasts into the position-exploded stream;
+    one id-keyed groupBy reassembles the arrays."""
+    from timeseries_spark.extensions.text import encode_tokens, vocab_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return encode_tokens(docs, vocab_topk(docs, k=20))
