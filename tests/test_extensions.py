@@ -1111,3 +1111,50 @@ def test_encode_tokens_roundtrip(spark):
     assert out[1]["token_ids"] == [1, 0, 1, -1]
     assert out[2]["token_ids"] == [0, 0]
     assert out[1]["n_tokens"] == 4
+
+
+def test_cms_shard_merge_equals_whole(spark):
+    """CMS counters are mergeable by SUM: sketching two disjoint shards
+    and adding their counters equals sketching the whole corpus — the
+    property that lets 100 TB shards sketch independently."""
+    from timeseries_spark.extensions.sketches import cms_counters
+
+    df = spark.range(0, 600).select(
+        (F.col("id") % 37).cast("string").alias("token"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    whole = {
+        (r["row"], r["cell"]): r["n"]
+        for r in cms_counters(df, "token", depth=4, width=64).collect()
+    }
+    merged = {}
+    for s in (0, 1):
+        part = cms_counters(
+            df.filter(F.col("shard") == s), "token", depth=4, width=64
+        ).collect()
+        for r in part:
+            merged[(r["row"], r["cell"])] = (
+                merged.get((r["row"], r["cell"]), 0) + r["n"]
+            )
+    assert merged == whole
+
+
+def test_temperature_mix_conserves_total(spark):
+    """alpha=0.5 mixing keeps the corpus size ~N by construction
+    (weights are normalized shares times N): the replica total must sit
+    within a few percent of N for skewed strata."""
+    from timeseries_spark.extensions.sampling import temperature_mix
+
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("a"))
+        .when(F.col("id") < 1150, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("source"),
+    )
+    total = temperature_mix(df, alpha=0.5).count()
+    assert abs(total - 1200) < 60
+    # alpha=1 must be the identity mix: every weight exactly 1.0
+    ident = temperature_mix(df, alpha=1.0)
+    assert ident.count() == 1200
+    assert ident.select("mix_weight").distinct().collect()[0][0] == 1.0
