@@ -1,0 +1,115 @@
+"""Time-series toolkit: OHLC resampling, gap interpolation, EMA,
+rolling anomaly — unit semantics on hand-checkable fixtures plus
+100 TB plan shapes (single-shuffle agg, keyed windows, no cartesian).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.operators.timeseries import (
+    ema,
+    linear_interpolate,
+    resample_ohlc,
+    rolling_zscore,
+)
+from timeseries_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _shuffles(p: str) -> int:
+    return (p.count("Exchange") - p.count("BroadcastExchange")) // 2
+
+
+def test_interpolate_interior_and_edges(spark):
+    rows = [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+        ("a", 5, None),          # trailing edge -> nearest (prev) fill
+        ("b", 1, None), ("b", 2, 8.0),  # leading edge -> nearest (next) fill
+        ("c", 1, None),          # all-null key -> stays null
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["filled"]
+        for r in linear_interpolate(df, ["k"], "t", "v").collect()
+    }
+    assert got[("a", 2)] == 20.0 and got[("a", 3)] == 30.0  # exact lerp
+    assert got[("a", 5)] == 40.0
+    assert got[("b", 1)] == 8.0
+    assert got[("c", 1)] is None
+
+
+def test_ema_matches_recurrence(spark):
+    xs = [4043.85, 3989.69, 2904.04, 4001.68, 2671.88]
+    df = spark.createDataFrame(
+        [("a", i + 1, x) for i, x in enumerate(xs)], "k string, t int, v double"
+    )
+    got = [
+        r["ema"]
+        for r in ema(df, ["k"], "t", "v", alpha=0.3).orderBy("t").collect()
+    ]
+    acc = xs[0]
+    expect = [acc]
+    for x in xs[1:]:
+        acc = 0.3 * x + 0.7 * acc
+        expect.append(acc)
+    import math
+
+    for g, e in zip(got, expect):
+        assert g == math.floor(e * 10000 + 0.5) / 10000
+
+
+def test_ohlc_deterministic_under_ts_ties(spark):
+    rows = [
+        ("a", "2024-01-01 10:00:00", 1, 5.0),
+        ("a", "2024-01-01 10:00:00", 2, 9.0),  # same ts: event_id breaks tie
+        ("a", "2024-01-01 12:00:00", 3, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, eid long, v double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = resample_ohlc(
+        df, ["k"], F.dayofmonth("ts"), "ts", "v", "eid"
+    ).collect()[0]
+    assert out["open"] == 5.0 and out["close"] == 1.0
+    assert out["high"] == 9.0 and out["low"] == 1.0 and out["n"] == 3
+
+
+def test_rolling_zscore_spike_flagged_constant_not(spark):
+    rows = [("a", t, 10.0) for t in range(1, 7)] + [("a", 7, 100.0)]
+    rows += [("c", t, 5.0) for t in range(1, 5)]  # zero variance -> z NULL
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        (r["k"], r["t"]): r
+        for r in rolling_zscore(df, ["k"], "t", "v", 7, 2.0).collect()
+    }
+    assert out[("a", 7)]["is_anomaly"] is True
+    assert out[("a", 3)]["is_anomaly"] is False  # constant prefix: z NULL
+    assert out[("a", 3)]["z"] is None
+    assert all(out[("c", t)]["z"] is None for t in range(1, 5))
+
+
+def test_ohlc_plan_single_shuffle_partial_agg(spark):
+    """One hash-agg shuffle at bucket grain, with map-side partial
+    min_by/max_by — not a sort-based plan, no SinglePartition."""
+    p = _plan(spark, "resample_ohlc")
+    assert _shuffles(p) == 1
+    assert "SinglePartition" not in p
+    assert "partial_min_by" in p or "HashAggregate" in p
+
+
+def test_timeseries_windows_stay_keyed(spark):
+    """Gap-fill / EMA / anomaly windows partition by series key — a
+    SinglePartition window would funnel 100 TB through one task."""
+    for name in ("gapfill_interpolate", "ema_daily", "rolling_anomaly"):
+        p = _plan(spark, name)
+        assert "SinglePartition" not in p, name
+        assert "CartesianProduct" not in p, name
