@@ -1,0 +1,136 @@
+"""Full-text retrieval over the corpus: inverted postings, BM25 ranked
+top-k, boolean (AND / NOT) search.
+
+The index is the classic distributed shape: a postings relation
+(term, doc_id, tf) built by one explode + hash aggregation. Queries
+never scan raw text again — they equi-join the (tiny, broadcast) query
+term set against postings, so work is proportional to the matched
+postings lists, not the corpus. At 100 TB the postings relation would
+be written bucketed by term (sources/io.write_bucketed) so every search
+is a bucket-local probe; nothing here assumes a resident index.
+
+BM25 (Robertson/Sparck Jones, the Lucene-default variant):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = Σ_t idf(t) · tf / (tf + k1·(1 - b + b·dl/avgdl))
+
+N/avgdl are one-row aggregates broadcast onto the scored postings; the
+global top-k is an orderBy+limit, which Spark executes as
+TakeOrderedAndProject (per-partition heaps + driver merge of k rows —
+no single-partition shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def tokens(col):
+    return F.split(col, " ")
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf, dl): one explode + one hash agg. dl rides
+    along (constant per doc) so scoring needs no join back to the docs.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).alias("dl"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank the corpus for a bag-of-words query; return the global
+    top-k by (score desc, doc_id). Scores are half-up rounded to 4
+    decimals BEFORE ranking so the ordering (and the k-th cut) is
+    reproducible across engines regardless of last-ULP log/division
+    noise.
+    """
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col, text_col)
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    matched = postings.join(F.broadcast(q), "term")
+
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col))).cast("double")).alias("avgdl"),
+    )
+    df_counts = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")  # postings are distinct per (term, doc)
+    )
+
+    scored = (
+        matched.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum("w") * 10000 + F.lit(0.5)).cast("double").alias("s4"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .withColumn("score", F.col("s4") / 10000)
+        .drop("s4")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: Sequence[str],
+    must_not: Sequence[str] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive search over the postings: docs containing every
+    ``must`` term and none of ``must_not``. The AND is a broadcast
+    equi-join + HAVING count = |must|; the NOT is a left anti join
+    against the excluded postings — index algebra, no text rescans.
+    """
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col, text_col)
+    mq = spark.createDataFrame([(t,) for t in must], "term string")
+    hits = (
+        postings.join(F.broadcast(mq), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == len(must))
+        .select("doc_id")
+    )
+    if must_not:
+        nq = spark.createDataFrame([(t,) for t in must_not], "term string")
+        excl = postings.join(F.broadcast(nq), "term").select("doc_id")
+        hits = hits.join(excl, "doc_id", "left_anti")
+    return hits

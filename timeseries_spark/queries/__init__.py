@@ -84,3 +84,4 @@ def _import_all() -> None:
     from timeseries_spark.queries import multimodal  # noqa: F401
     from timeseries_spark.queries import sampling  # noqa: F401
     from timeseries_spark.queries import timeseries  # noqa: F401
+    from timeseries_spark.queries import search  # noqa: F401
