@@ -1,0 +1,72 @@
+"""PageRank: hand-checkable semantics, mass conservation, and plan
+shape (per-round equi-join + node-grain agg, nothing cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.graph import bipartite_edges, pagerank
+from timeseries_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_two_node_symmetric_graph_is_uniform(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_star_center_outranks_leaves(spark):
+    # hub h <-> leaves x,y,z (symmetric)
+    pairs = [("h", l) for l in "xyz"]
+    e = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert got["h"] > got["x"]
+    assert got["x"] == got["y"] == got["z"]
+    # rank mass is conserved up to the 1e-10 per-round snap
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_hand_computed_one_round(spark):
+    # a -> b only (plus b -> a so nothing dangles); one round from 1/2:
+    # r(b) = 0.15/2 + 0.85 * (0.5 / 1) = 0.5
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    assert got["b"] == pytest.approx(0.075 + 0.85 * 0.5, abs=1e-9)
+
+
+def test_bipartite_edges_are_symmetric_and_tagged(spark):
+    rel = spark.createDataFrame([(1, 7), (1, 7), (2, 7)], "p long, s long")
+    e = bipartite_edges(rel, "p", "s", "P", "S")
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert rows == {
+        ("P1", "S7"), ("S7", "P1"), ("P2", "S7"), ("S7", "P2"),
+    }
+
+
+def test_bad_iter_raises(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(e, n_iter=0)
+
+
+def test_pagerank_mass_conserved_on_real_graph(spark):
+    df = all_queries()["pagerank_parts_suppliers"](spark, SF)
+    total = df.agg(F.sum("rank").alias("t")).collect()[0]["t"]
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    df = all_queries()["pagerank_parts_suppliers"](spark, SF)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p

@@ -86,3 +86,4 @@ def _import_all() -> None:
     from timeseries_spark.queries import timeseries  # noqa: F401
     from timeseries_spark.queries import search  # noqa: F401
     from timeseries_spark.queries import cleaning  # noqa: F401
+    from timeseries_spark.queries import graph  # noqa: F401
