@@ -113,6 +113,24 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """Line-delimited JSON scan with a REQUIRED explicit schema: at
+    100 TB, schema inference is a full extra pass over the data and a
+    correctness hazard (a late partition can widen a type the early
+    sample chose). Missing fields surface as NULLs; JSON string
+    escaping keeps embedded newlines one-record-per-line."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Line-delimited JSON sink — the interchange format training-data
+    pipelines actually feed tokenizers from. Distributed (one part file
+    per task), no driver round-trip."""
+    df.write.mode(mode).json(path)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> None:
