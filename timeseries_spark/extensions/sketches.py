@@ -353,3 +353,90 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-grid histogram: (bin, n) counts over ``[lo, hi)`` with
+    values clamped into the edge bins. The sketch is MERGEABLE — two
+    shards' histograms combine by adding counts per bin — which is what
+    makes it the 100 TB quantile path: one map-side-combined groupBy
+    whose output is ≤ n_bins rows, vs an exact quantile's full sort.
+    NULLs are excluded (they have no place on the value axis)."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got [{lo}, {hi}) x {n_bins}")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - lo) / width).cast("int")
+    b = F.when(b < 0, 0).when(b > n_bins - 1, n_bins - 1).otherwise(b)
+    return (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    bins: DataFrame,
+    qs: list,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch by within-bin linear
+    interpolation: for target t = q·N, the first bin whose running
+    count reaches t contributes est = lo + width·(bin + (t - cum_prev)
+    / bin_n). Error is bounded by one bin width — the knob a pipeline
+    turns is n_bins, not data volume. The cumulative window runs over
+    ≤ n_bins rows (the sketch, never the data), so its SinglePartition
+    is as cheap as the SQ8 stat rows; every estimate is integer-count
+    arithmetic in a fixed order — engine-exact."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    spark = bins.sparkSession
+    total = bins.agg(F.sum("n").alias("total"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bins.withColumn("cum", F.sum("n").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("n"))
+        .crossJoin(F.broadcast(total))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = (
+        F.lit(lo)
+        + F.lit(width)
+        * (
+            F.col("bin")
+            + (F.col("q") * F.col("total") - F.col("cum_prev")) / F.col("n")
+        )
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn("est_raw", est)
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bin"),
+                    (
+                        F.floor(F.col("est_raw") * 10000 + F.lit(0.5)).cast(
+                            "double"
+                        )
+                        / 10000
+                    ).alias("est"),
+                ),
+                F.col("bin"),
+            ).alias("pick")
+        )
+        .select("q", F.col("pick.bin").alias("bin"), F.col("pick.est").alias("est"))
+    )

@@ -495,3 +495,52 @@ def profile_orders(spark, sf_dir):
     return profile_columns(
         orders, ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
+
+
+def _histq_oracle() -> str:
+    return """
+    WITH h AS (
+      SELECT CASE WHEN b < 0 THEN 0 WHEN b > 49 THEN 49 ELSE b END AS bin,
+             count(*) AS n
+      FROM (SELECT CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)
+              AS b FROM events WHERE value IS NOT NULL)
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (SELECT sum(n) AS total FROM h),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS q),
+    hit AS (
+      SELECT q, bin, n, cum - n AS cum_prev, total
+      FROM c CROSS JOIN t CROSS JOIN qs
+      WHERE cum >= q * total
+    ),
+    first_hit AS (SELECT q, min(bin) AS bin FROM hit GROUP BY q)
+    SELECT h2.q, h2.bin,
+           floor((0.0 + 10.0 * (h2.bin + (h2.q * h2.total - h2.cum_prev)
+                                / h2.n)) * 10000 + 0.5) / 10000 AS est
+    FROM hit h2 JOIN first_hit f ON h2.q = f.q AND h2.bin = f.bin
+    """
+
+
+@query("quantile_histogram_sketch", oracle=_histq_oracle())
+def quantile_histogram_sketch(spark, sf_dir):
+    """Mergeable fixed-grid histogram quantiles (50 bins over [0, 500))
+    for p50/p90/p99 of events.value: one map-side-combined groupBy to
+    ≤ 50 sketch rows, then within-bin interpolation — error bounded by
+    one bin width, shards merge by adding counts, and the estimate is
+    integer-count arithmetic the oracle replays exactly
+    (extensions/sketches.py:histogram_counts/histogram_quantiles)."""
+    from timeseries_spark.extensions.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    events = load(spark, sf_dir, "events")
+    bins = histogram_counts(events, "value", 0.0, 500.0, 50)
+    return histogram_quantiles(bins, [0.5, 0.9, 0.99], 0.0, 500.0, 50)
