@@ -88,3 +88,4 @@ def _import_all() -> None:
     from timeseries_spark.queries import cleaning  # noqa: F401
     from timeseries_spark.queries import graph  # noqa: F401
     from timeseries_spark.queries import jsonl  # noqa: F401
+    from timeseries_spark.queries import classifier  # noqa: F401

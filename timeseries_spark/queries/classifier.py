@@ -1,0 +1,90 @@
+"""Trained-in-engine quality classifier (extensions/classifier.py):
+full-batch logistic regression on the doc_quality features with
+label = (lang == 'en'), the fastText/logreg stage of public
+pretraining-cleaning recipes. The oracle unrolls the same GD rounds as
+chained CTEs over identically-rounded features, so training replays
+exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.classifier import logreg_fit, logreg_metrics
+from timeseries_spark.extensions.text import quality_metrics
+from timeseries_spark.queries import load, query
+from timeseries_spark.queries.text import _STOP_SQL
+
+_N_ITER = 4
+_LR = 5.0
+_FEATS = ("stopword_ratio", "punct_ratio", "mwl10")
+
+
+def _lr_oracle(n_iter: int, lr: float) -> str:
+    ctes = [
+        f"""f AS (
+      SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS y,
+             round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({_STOP_SQL})))
+                   / len(string_split(text, ' ')), 4) AS x1,
+             round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   / length(text), 4) AS x2,
+             round((length(text) - (len(string_split(text, ' ')) - 1))
+                   / len(string_split(text, ' ')), 4) / 10 AS x3
+      FROM documents
+    )""",
+        """w0 AS (SELECT CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS w1,
+                 CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""",
+    ]
+    sig = "1.0 / (1.0 + exp(-(((wb + w1 * x1) + w2 * x2) + w3 * x3)))"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""g{i} AS (
+      SELECT avg(y - {sig}) AS gb,
+             avg((y - {sig}) * x1) AS g1,
+             avg((y - {sig}) * x2) AS g2,
+             avg((y - {sig}) * x3) AS g3
+      FROM f, w{i - 1}
+    )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+      SELECT floor((wb + {lr} * gb) * 1e8 + 0.5) / 1e8 AS wb,
+             floor((w1 + {lr} * g1) * 1e8 + 0.5) / 1e8 AS w1,
+             floor((w2 + {lr} * g2) * 1e8 + 0.5) / 1e8 AS w2,
+             floor((w3 + {lr} * g3) * 1e8 + 0.5) / 1e8 AS w3
+      FROM g{i}, w{i - 1}
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT wb AS w_bias, w1 AS w_stopword_ratio, w2 AS w_punct_ratio,
+           w3 AS w_mwl10,
+           floor(avg(CASE WHEN ({sig} > 0.5 AND y = 1.0)
+                            OR (NOT ({sig} > 0.5) AND y = 0.0)
+                     THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS accuracy,
+           floor(avg(-(y * ln({sig}) + (1.0 - y) * ln(1.0 - {sig})))
+                 * 1e6 + 0.5) / 1e6 AS log_loss,
+           count(*) AS n_docs
+    FROM f, w{n_iter}
+    GROUP BY wb, w1, w2, w3
+    """
+
+
+@query("logreg_quality_train", oracle=_lr_oracle(_N_ITER, _LR))
+def logreg_quality_train(spark, sf_dir):
+    """Four full-batch GD rounds (lr = 5) of logistic regression on
+    (stopword_ratio, punct_ratio, mean_word_len/10) vs lang == 'en':
+    each round is one map-side-combined gradient aggregation with the
+    one-row weight vector broadcast back — training data never leaves
+    the cluster. Output: learned weights + accuracy + log-loss."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_metrics(docs, "text").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "stopword_ratio",
+        "punct_ratio",
+        (F.col("mean_word_len") / 10).alias("mwl10"),
+    ).persist()
+    w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
+    return logreg_metrics(feats, w, _FEATS, "y")
