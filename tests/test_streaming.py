@@ -339,3 +339,30 @@ def test_stream_hll_registers_match_batch(spark, tmp_path_factory):
         spark.createDataFrame(got.collect(), got.schema), p=8
     ).first()["hll_est"]
     assert est_s == est_b
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_dir, tmp_path_factory):
+    """Stream-stream interval join (conversion attribution): the
+    watermarked, time-bounded join over the drained stream must equal
+    the batch twin (the oracle-gated click_attribution shape)."""
+    from timeseries_spark.streaming import attribute_conversions
+
+    batch_src = spark.read.parquet(event_dir)
+    batch = attribute_conversions(
+        batch_src.filter(F.col("event_type") == "click"),
+        batch_src.filter(F.col("event_type") == "purchase"),
+        streaming=False,
+    )
+    src = read_event_stream(spark, event_dir)
+    stream = attribute_conversions(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+        streaming=True,
+    )
+    got = run_available_now(
+        stream, "attribution_test", spark, output_mode="append"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert b == s
+    assert len(b) > 0

@@ -19,10 +19,11 @@ _LR = 5.0
 _FEATS = ("stopword_ratio", "punct_ratio", "mwl10")
 
 
-def _lr_oracle(n_iter: int, lr: float) -> str:
+def _lr_ctes(n_iter: int, lr: float) -> str:
     ctes = [
         f"""f AS (
-      SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
                   ELSE CAST(0.0 AS DOUBLE) END AS y,
              round(len(list_filter(string_split(text, ' '),
                                    t -> t IN ({_STOP_SQL})))
@@ -56,9 +57,16 @@ def _lr_oracle(n_iter: int, lr: float) -> str:
       FROM g{i}, w{i - 1}
     )"""
         )
-    joined = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+_SIG = "1.0 / (1.0 + exp(-(((wb + w1 * x1) + w2 * x2) + w3 * x3)))"
+
+
+def _lr_oracle(n_iter: int, lr: float) -> str:
+    sig = _SIG
     return f"""
-    WITH {joined}
+    WITH {_lr_ctes(n_iter, lr)}
     SELECT wb AS w_bias, w1 AS w_stopword_ratio, w2 AS w_punct_ratio,
            w3 AS w_mwl10,
            floor(avg(CASE WHEN ({sig} > 0.5 AND y = 1.0)
@@ -88,3 +96,41 @@ def logreg_quality_train(spark, sf_dir):
     ).persist()
     w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
     return logreg_metrics(feats, w, _FEATS, "y")
+
+
+def _score_oracle(n_iter: int, lr: float) -> str:
+    return f"""
+    WITH {_lr_ctes(n_iter, lr)}
+    SELECT doc_id,
+           floor({_SIG} * 1e6 + 0.5) / 1e6 AS p_quality,
+           {_SIG} > 0.5 AS keep
+    FROM f, w{n_iter}
+    """
+
+
+@query("logreg_quality_scores", oracle=_score_oracle(_N_ITER, _LR))
+def logreg_quality_scores(spark, sf_dir):
+    """Train-then-apply: the weights learned by logreg_quality_train
+    broadcast back over every document to emit a quality probability
+    (snapped at 1e-6) and the keep/drop decision — the acting half of a
+    learned quality gate, scored in one corpus pass."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_metrics(docs, "text").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "stopword_ratio",
+        "punct_ratio",
+        (F.col("mean_word_len") / 10).alias("mwl10"),
+    ).persist()
+    w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
+    z = F.col("w_bias")
+    for c in _FEATS:
+        z = z + F.col(f"w_{c}") * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        (F.floor(p * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias(
+            "p_quality"
+        ),
+        (p > 0.5).alias("keep"),
+    )

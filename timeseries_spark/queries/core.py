@@ -6,6 +6,7 @@ DuckDB oracle. Operator→fixture mapping follows FIXTURES.md §B.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.operators.ontology import expand_ontology
@@ -485,4 +486,68 @@ def point_customer_orders(spark, sf_dir):
         F.year("o_orderdate").alias("order_year"),
         "o_totalprice",
         "o_orderstatus",
+    )
+
+
+# --- W6/O6 rank-based windows + pivot (beyond ref) --------------------------
+
+@query(
+    "order_price_deciles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_deciles(spark, sf_dir):
+    """Rank-family windows per priority class: ntile deciles,
+    percent_rank, cume_dist. The (price, orderkey) ordering is a total
+    order, so every rank — and therefore every derived double — is a
+    deterministic rational both engines compute identically (no
+    rounding needed)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT day(ts) AS day,
+           {", ".join(
+               f"round(coalesce(sum(CASE WHEN event_type = '{t}' "
+               f"THEN value END), 0.0), 2) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY day(ts)
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Wide daily matrix via pivot with an EXPLICIT column-value list —
+    the implicit form runs a distinct-scan job first and can produce
+    schema drift between runs; pinning the values keeps the plan a
+    single pass (one shuffle, map-side partials)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(F.dayofmonth("ts").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
     )

@@ -648,3 +648,31 @@ def asof_last_purchase(spark, sf_dir):
         "value",
         "last_purchase_value",
     )
+
+
+@query(
+    "click_attribution",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           p.value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def click_attribution(spark, sf_dir):
+    """Conversion attribution: every purchase joined to the same user's
+    clicks in the hour before it — the batch twin of the stream-stream
+    interval join (streaming/incremental.py:attribute_conversions),
+    whose time-bounded condition is what lets streaming state expire."""
+    from timeseries_spark.streaming.incremental import attribute_conversions
+
+    events = load(spark, sf_dir, "events")
+    return attribute_conversions(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        max_delay="1 hour",
+        streaming=False,
+    )

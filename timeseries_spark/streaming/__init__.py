@@ -10,6 +10,7 @@ every streaming op is also exercisable by the batch oracle gate.
 
 from timeseries_spark.streaming.incremental import (
     IncrementalAssociationSink,
+    attribute_conversions,
     dedup_events,
     read_event_stream,
     run_incremental,
@@ -21,6 +22,7 @@ from timeseries_spark.streaming.incremental import (
 
 __all__ = [
     "IncrementalAssociationSink",
+    "attribute_conversions",
     "dedup_events",
     "read_event_stream",
     "run_incremental",

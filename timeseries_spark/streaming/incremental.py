@@ -273,3 +273,54 @@ def run_incremental(
     )
     q.awaitTermination()
     return q
+
+
+def attribute_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every
+    click by the same user within ``max_delay`` BEFORE it — the
+    canonical conversion-attribution join. In streaming mode both sides
+    carry watermarks and the join condition is time-bounded, so Spark
+    can expire buffered state: per-key state is max_delay + watermark
+    of events, never unbounded. Batch mode computes the identical
+    result (nothing is late at rest), which is what the DuckDB oracle
+    gates. Output: (user_id, click_id, purchase_id, value, delay_us).
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if streaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "value",
+        # events load as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+        # cast shifts both sides identically so the difference is exact
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("delay_us"),
+    )
