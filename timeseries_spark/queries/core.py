@@ -551,3 +551,81 @@ def event_type_pivot(spark, sf_dir):
         .pivot("event_type", list(_EVENT_TYPES))
         .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
     )
+
+
+@query(
+    "event_type_melt",
+    oracle=f"""
+    WITH wide AS (
+      SELECT day(ts) AS day,
+             {", ".join(
+                 f"round(coalesce(sum(CASE WHEN event_type = '{t}' "
+                 f"THEN value END), 0.0), 2) AS {t}"
+                 for t in _EVENT_TYPES
+             )}
+      FROM events GROUP BY day(ts)
+    )
+    {" UNION ALL ".join(
+        f"SELECT day, '{t}' AS event_type, {t} AS total FROM wide"
+        for t in _EVENT_TYPES
+    )}
+    """,
+)
+def event_type_melt(spark, sf_dir):
+    """Unpivot back to long form via the native melt/unpivot — the
+    inverse of event_type_pivot, so the pivot pair round-trips. melt is
+    a per-row explode (zero extra shuffles beyond the wide agg)."""
+    wide = event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["day"], list(_EVENT_TYPES), "event_type", "total"
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT regionkey, nation, revenue,
+           floor(revenue / sum(revenue) OVER (PARTITION BY regionkey)
+                 * 1e6 + 0.5) / 1e6 AS region_share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue —
+    an aggregate re-read through an unbounded partition window instead
+    of a self-join of aggregates (the J9 fusion lesson applied to
+    shares). Share snapped at 1e-6 for engine-exact hashing."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_regionkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("regionkey")
+    share = F.col("revenue") / F.sum("revenue").over(w)
+    return rev.withColumn(
+        "region_share",
+        F.floor(share * 1e6 + F.lit(0.5)).cast("double") / 1e6,
+    )

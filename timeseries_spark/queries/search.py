@@ -3,6 +3,8 @@ top-k and boolean postings algebra (extensions/search.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from timeseries_spark.extensions.search import bm25_topk, boolean_search
 from timeseries_spark.queries import load, query
 
@@ -77,3 +79,47 @@ def search_boolean(spark, sf_dir):
     postings probes + left anti join, never a text rescan."""
     docs = load(spark, sf_dir, "documents")
     return boolean_search(docs, list(_MUST), list(_MUST_NOT))
+
+
+@query(
+    "token_cooccurrence_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2, count(*) AS n
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT t1, t2, n FROM pairs
+    ORDER BY n DESC, t1, t2 LIMIT 20
+    """,
+)
+def token_cooccurrence_topk(spark, sf_dir):
+    """Market-basket-lite: the 20 most frequent token pairs sharing a
+    document. Per-doc distinct tokens self-join on doc_id, so work is
+    Σ(per-doc distinct tokens)² — bounded by doc vocabulary, not corpus
+    size (a real corpus caps to the top-frequency vocabulary first,
+    exactly like the dedup layer's hot-shingle cap). Top-k is
+    TakeOrderedAndProject on the fully-ordered (n desc, t1, t2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("t1"), F.col("b.term").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "t1", "t2").limit(20)

@@ -198,3 +198,46 @@ def rolling_anomaly(spark, sf_dir):
         daily, keys=["event_type"], order_col="day", value_col="total",
         n_rows=7, z_thresh=2.0,
     )
+
+
+@query(
+    "daily_series_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT floor(corr(c.total, p.total) * 1e6 + 0.5) / 1e6 AS corr_cp,
+           floor(covar_samp(c.total, p.total) * 1e6 + 0.5) / 1e6 AS cov_cp,
+           count(*) AS n_days
+    FROM (SELECT day, total FROM daily WHERE event_type = 'click') c
+    JOIN (SELECT day, total FROM daily WHERE event_type = 'purchase') p
+      USING (day)
+    """,
+)
+def daily_series_correlation(spark, sf_dir):
+    """Cross-series Pearson correlation + sample covariance between the
+    click and purchase daily totals — the co-movement primitive of
+    multi-series analytics, one day-grain equi-join plus a single
+    global aggregate (1 output row), snapped at 1e-6."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    c = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("total").alias("c_total")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("total").alias("p_total")
+    )
+    j = c.join(p, "day")
+    snap = lambda col: (  # noqa: E731
+        F.floor(col * 1e6 + F.lit(0.5)).cast("double") / 1e6
+    )
+    return j.agg(
+        snap(F.corr("c_total", "p_total")).alias("corr_cp"),
+        snap(F.covar_samp("c_total", "p_total")).alias("cov_cp"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
