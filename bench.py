@@ -46,6 +46,10 @@ HEADLINE = [
     "ann_pq_topk",  # round-5: product-quantized ANN (trained codebooks)
     "corpus_prepare",  # round-5: composed decontaminate->quality->dedup
     #                    ->split->temperature-mix pipeline
+    "search_bm25_topk",  # round-5b: BM25 ranked retrieval over postings
+    "pagerank_parts_suppliers",  # round-5b: 3-round link analysis
+    "token_cooccurrence_topk",  # round-5b: pair mining (bounded self-join)
+    "logreg_quality_train",  # round-5b: in-engine GD training loop
 ]
 
 

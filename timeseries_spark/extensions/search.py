@@ -67,7 +67,10 @@ def bm25_topk(
     spark = docs.sparkSession
     postings = build_postings(docs, id_col, text_col)
     q = spark.createDataFrame([(t,) for t in query_terms], "term string")
-    matched = postings.join(F.broadcast(q), "term")
+    # matched is consumed twice (df counts + scoring); it is tiny (the
+    # query terms' postings only) while its lineage is a full corpus
+    # scan — persisting it halves the text scans
+    matched = postings.join(F.broadcast(q), "term").persist()
 
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
