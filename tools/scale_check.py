@@ -193,6 +193,65 @@ def main() -> None:
         "rows1": orders1.count(), "rowsN": ordersN.count(),
     }))
 
+    # BM25: corpus grows Nx with a CONSTANT vocabulary (shifted doc ids,
+    # unprefixed text) — postings lists grow Nx, the realistic regime for
+    # retrieval over a growing corpus
+    from timeseries_spark.extensions.search import bm25_topk
+
+    d1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dN = (
+        d1.crossJoin(
+            F.broadcast(spark.range(n_rep).select(F.col("id").alias("__r")))
+        )
+        .select(
+            (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        .localCheckpoint()
+    )
+    d1 = d1.localCheckpoint()
+
+    def bm25(d):
+        return lambda: bm25_topk(d, ["spark", "hash", "window"], k=10).count()
+
+    t1 = time_warm(bm25(d1))
+    tN = time_warm(bm25(dN))
+    print(json.dumps({
+        "name": "search_bm25_topk", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": d1.count(), "rowsN": dN.count(),
+    }))
+
+    # PageRank: Nx disjoint replicas of the bipartite graph (shifted key
+    # spaces) — nodes AND edges scale together, per-round join work Nx
+    from timeseries_spark.extensions.graph import bipartite_edges, pagerank
+
+    li1 = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    liN = (
+        li1.crossJoin(
+            F.broadcast(spark.range(n_rep).select(F.col("id").alias("__r")))
+        )
+        .select(
+            (F.col("l_partkey") + F.col("__r") * 10_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("__r") * 10_000_000).alias("l_suppkey"),
+        )
+        .localCheckpoint()
+    )
+    li1 = li1.localCheckpoint()
+
+    def pr(li):
+        return lambda: pagerank(
+            bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S"), n_iter=3
+        ).count()
+
+    t1 = time_warm(pr(li1))
+    tN = time_warm(pr(liN))
+    print(json.dumps({
+        "name": "pagerank_parts_suppliers", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": li1.count(), "rowsN": liN.count(),
+    }))
+
 
 if __name__ == "__main__":
     main()
