@@ -361,13 +361,15 @@ def histogram_counts(
     lo: float,
     hi: float,
     n_bins: int,
+    keys: tuple = (),
 ) -> DataFrame:
-    """Fixed-grid histogram: (bin, n) counts over ``[lo, hi)`` with
-    values clamped into the edge bins. The sketch is MERGEABLE — two
-    shards' histograms combine by adding counts per bin — which is what
-    makes it the 100 TB quantile path: one map-side-combined groupBy
-    whose output is ≤ n_bins rows, vs an exact quantile's full sort.
-    NULLs are excluded (they have no place on the value axis)."""
+    """Fixed-grid histogram: (keys..., bin, n) counts over ``[lo, hi)``
+    with values clamped into the edge bins. The sketch is MERGEABLE —
+    two shards' histograms combine by adding counts per (keys, bin) —
+    which is what makes it the 100 TB quantile path: one
+    map-side-combined groupBy whose output is ≤ n_bins rows per key,
+    vs an exact quantile's full sort. NULLs are excluded (they have no
+    place on the value axis)."""
     if n_bins < 1 or not hi > lo:
         raise ValueError(f"need hi > lo and n_bins >= 1, got [{lo}, {hi}) x {n_bins}")
     width = (hi - lo) / n_bins
@@ -376,8 +378,8 @@ def histogram_counts(
     b = F.when(b < 0, 0).when(b > n_bins - 1, n_bins - 1).otherwise(b)
     return (
         df.filter(v.isNotNull())
-        .select(b.alias("bin"))
-        .groupBy("bin")
+        .select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -388,25 +390,35 @@ def histogram_quantiles(
     lo: float,
     hi: float,
     n_bins: int,
+    keys: tuple = (),
 ) -> DataFrame:
     """Quantile estimates from a histogram sketch by within-bin linear
     interpolation: for target t = q·N, the first bin whose running
     count reaches t contributes est = lo + width·(bin + (t - cum_prev)
     / bin_n). Error is bounded by one bin width — the knob a pipeline
-    turns is n_bins, not data volume. The cumulative window runs over
-    ≤ n_bins rows (the sketch, never the data), so its SinglePartition
-    is as cheap as the SQ8 stat rows; every estimate is integer-count
-    arithmetic in a fixed order — engine-exact."""
+    turns is n_bins, not data volume. With ``keys`` the cumulative
+    window partitions per key (fully parallel); unkeyed it runs over
+    ≤ n_bins sketch rows, so its SinglePartition is as cheap as the SQ8
+    stat rows. Every estimate is integer-count arithmetic in a fixed
+    order — engine-exact."""
     from pyspark.sql import Window
 
     width = (hi - lo) / n_bins
     spark = bins.sparkSession
-    total = bins.agg(F.sum("n").alias("total"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        bins.withColumn("cum", F.sum("n").over(w))
-        .withColumn("cum_prev", F.col("cum") - F.col("n"))
-        .crossJoin(F.broadcast(total))
+    if keys:
+        total = bins.groupBy(*keys).agg(F.sum("n").alias("total"))
+        w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        # sketch-grain ⋈ key-grain: co-keyed, let AQE pick broadcast —
+        # forcing it would be wrong once the key space is huge
+        joined = bins.join(total, list(keys))
+    else:
+        total = bins.agg(F.sum("n").alias("total"))
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        joined = bins.crossJoin(F.broadcast(total))
+    cum = joined.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("n")
     )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     est = (
@@ -423,7 +435,7 @@ def histogram_quantiles(
         .withColumn("est_raw", est)
     )
     return (
-        hit.groupBy("q")
+        hit.groupBy(*keys, "q")
         .agg(
             F.min_by(
                 F.struct(
@@ -438,5 +450,10 @@ def histogram_quantiles(
                 F.col("bin"),
             ).alias("pick")
         )
-        .select("q", F.col("pick.bin").alias("bin"), F.col("pick.est").alias("est"))
+        .select(
+            *keys,
+            "q",
+            F.col("pick.bin").alias("bin"),
+            F.col("pick.est").alias("est"),
+        )
     )

@@ -544,3 +544,60 @@ def quantile_histogram_sketch(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     bins = histogram_counts(events, "value", 0.0, 500.0, 50)
     return histogram_quantiles(bins, [0.5, 0.9, 0.99], 0.0, 500.0, 50)
+
+
+def _histq_keyed_oracle() -> str:
+    return """
+    WITH h AS (
+      SELECT event_type,
+             CASE WHEN b < 0 THEN 0 WHEN b > 49 THEN 49 ELSE b END AS bin,
+             count(*) AS n
+      FROM (SELECT event_type,
+                   CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)
+                     AS b FROM events WHERE value IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM h
+    ),
+    t AS (SELECT event_type, sum(n) AS total FROM h GROUP BY event_type),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+    hit AS (
+      SELECT c.event_type, q, bin, n, cum - n AS cum_prev, total
+      FROM c JOIN t USING (event_type) CROSS JOIN qs
+      WHERE cum >= q * total
+    ),
+    first_hit AS (
+      SELECT event_type, q, min(bin) AS bin FROM hit GROUP BY event_type, q
+    )
+    SELECT h2.event_type, h2.q, h2.bin,
+           floor((0.0 + 10.0 * (h2.bin + (h2.q * h2.total - h2.cum_prev)
+                                / h2.n)) * 10000 + 0.5) / 10000 AS est
+    FROM hit h2
+    JOIN first_hit f
+      ON h2.event_type = f.event_type AND h2.q = f.q AND h2.bin = f.bin
+    """
+
+
+@query("quantile_histogram_by_type", oracle=_histq_keyed_oracle())
+def quantile_histogram_by_type(spark, sf_dir):
+    """Per-key histogram quantiles: p50/p90 of value per event_type
+    from the same mergeable 50-bin sketch, with the cumulative window
+    partitioned per key — fully parallel, no SinglePartition anywhere
+    (extensions/sketches.py keyed variants)."""
+    from timeseries_spark.extensions.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+
+    events = load(spark, sf_dir, "events")
+    bins = histogram_counts(
+        events, "value", 0.0, 500.0, 50, keys=("event_type",)
+    )
+    return histogram_quantiles(
+        bins, [0.5, 0.9], 0.0, 500.0, 50, keys=("event_type",)
+    )

@@ -629,3 +629,72 @@ def nation_revenue_share(spark, sf_dir):
         "region_share",
         F.floor(share * 1e6 + F.lit(0.5)).cast("double") / 1e6,
     )
+
+
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders,
+           grouping(o_orderpriority) AS g_priority,
+           grouping(o_orderstatus) AS g_status
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def revenue_cube(spark, sf_dir):
+    """CUBE grouping sets: all four aggregation grains of
+    (priority, status) in one pass, with grouping() flags
+    disambiguating roll-up NULLs from (absent-here) data NULLs —
+    completes the grouping-sets family next to revenue_rollup."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string-match join: distinct part names within edit
+    distance 3, candidates blocked by a length band (a pair at distance
+    d differs by at most d in length) so the expensive levenshtein only
+    runs on band-mates — the verify stage of fuzzy entity resolution.
+    For corpora where same-length tails are fat, swap the band key for
+    the dedup layer's shingle/LSH candidate generators; the verify
+    shape stays identical."""
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - 3, F.length("p_name") + 3
+            )
+        ).alias("band"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
