@@ -62,3 +62,12 @@ def test_nulls_excluded_and_validation(spark):
     assert row["n"] == 1
     with pytest.raises(ValueError):
         histogram_counts(df, "value", 10.0, 0.0, 5)
+
+
+def test_quantile_out_of_range_raises(spark):
+    df = _vals(spark, [1.0, 2.0])
+    bins = histogram_counts(df, "value", 0.0, 10.0, 5)
+    with pytest.raises(ValueError):
+        histogram_quantiles(bins, [1.5], 0.0, 10.0, 5)
+    with pytest.raises(ValueError):
+        histogram_quantiles(bins, [0.0], 0.0, 10.0, 5)

@@ -79,3 +79,15 @@ def test_bm25_plan_topk_and_broadcast(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_search_validation_raises(spark):
+    import pytest as _pt
+
+    docs = _mk_docs(spark)
+    with _pt.raises(ValueError):
+        bm25_topk(docs, [], 5)
+    with _pt.raises(ValueError):
+        bm25_topk(docs, ["cat"], 0)
+    with _pt.raises(ValueError):
+        boolean_search(docs, [])

@@ -113,3 +113,13 @@ def test_timeseries_windows_stay_keyed(spark):
         p = _plan(spark, name)
         assert "SinglePartition" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_ema_alpha_validation(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t int, v double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ema(df, ["k"], "t", "v", alpha=0.0)
+    with _pt.raises(ValueError):
+        ema(df, ["k"], "t", "v", alpha=1.5)

@@ -64,6 +64,10 @@ def bm25_topk(
     reproducible across engines regardless of last-ULP log/division
     noise.
     """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     spark = docs.sparkSession
     postings = build_postings(docs, id_col, text_col)
     q = spark.createDataFrame([(t,) for t in query_terms], "term string")
@@ -122,6 +126,10 @@ def boolean_search(
     equi-join + HAVING count = |must|; the NOT is a left anti join
     against the excluded postings — index algebra, no text rescans.
     """
+    if not must:
+        # count = |must| can never bind at 0 matched terms — an empty
+        # conjunction would silently return nothing instead of "all"
+        raise ValueError("boolean_search needs at least one must-term")
     spark = docs.sparkSession
     postings = build_postings(docs, id_col, text_col)
     mq = spark.createDataFrame([(t,) for t in must], "term string")

@@ -403,6 +403,11 @@ def histogram_quantiles(
     order — engine-exact."""
     from pyspark.sql import Window
 
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            # q > 1 would silently vanish from the output (no bin's
+            # running count ever reaches q·N) — fail loudly instead
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
     width = (hi - lo) / n_bins
     spark = bins.sparkSession
     if keys:

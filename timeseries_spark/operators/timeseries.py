@@ -114,8 +114,13 @@ def ema(
     ops in a fixed order, so any engine replaying the same fold lands
     on bit-identical results (no libm pow involved). Apply at series
     grain (one row per key × bucket), where the prefix array is bounded
-    by the series length — not at raw-event grain.
+    by the series length — not at raw-event grain. Values must be
+    non-null (collect_list silently skips NULLs, which would misalign
+    the prefix against the row positions) — densify + interpolate
+    first if the series has gaps.
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
