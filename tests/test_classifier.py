@@ -57,3 +57,18 @@ def test_train_plan_broadcasts_weights(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row weights x corpus
     assert "SortMergeJoin" not in p
+
+
+def test_empty_or_null_input_raises_at_execution(spark):
+    import pytest as _pt
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    empty = spark.createDataFrame([], "y double, x double")
+    with _pt.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        logreg_fit(empty, ["x"], "y", n_iter=1).collect()
+    nulls = spark.createDataFrame(
+        [(1.0, None), (0.0, 1.0)], "y double, x double"
+    )
+    with _pt.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        logreg_fit(nulls, ["x"], "y", n_iter=1).collect()

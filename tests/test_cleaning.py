@@ -83,3 +83,7 @@ def test_strip_plan_singlepartition_carries_only_stoplist(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # formatted explain prints each node twice (tree + detail): exactly
+    # ONE SinglePartition node — the stoplist collapse — may appear;
+    # documents funneling through one task would add more
+    assert p.count("SinglePartition") <= 2

@@ -71,3 +71,11 @@ def test_quantile_out_of_range_raises(spark):
         histogram_quantiles(bins, [1.5], 0.0, 10.0, 5)
     with pytest.raises(ValueError):
         histogram_quantiles(bins, [0.0], 0.0, 10.0, 5)
+
+
+def test_nan_values_are_excluded(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "value double"
+    )
+    rows = histogram_counts(df, "value", 0.0, 10.0, 5).collect()
+    assert sum(r["n"] for r in rows) == 2  # NaN never lands in bin 0

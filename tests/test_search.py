@@ -91,3 +91,10 @@ def test_search_validation_raises(spark):
         bm25_topk(docs, ["cat"], 0)
     with _pt.raises(ValueError):
         boolean_search(docs, [])
+
+
+def test_duplicate_query_terms_count_once(spark):
+    docs = _mk_docs(spark)
+    once = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["cat"], 4).collect()}
+    twice = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["cat", "cat"], 4).collect()}
+    assert once == twice

@@ -55,6 +55,13 @@ def logreg_fit(
     w = spark.createDataFrame(
         [tuple(0.0 for _ in w_cols)], ", ".join(f"{c} double" for c in w_cols)
     )
+    # NULL features/labels would silently shrink the batch per-column
+    # (avg skips NULLs -> misaligned gradients); empty input would make
+    # every gradient NULL. Both fail loudly AT EXECUTION via a lazy
+    # raise_error — no driver-side action at plan-build time.
+    any_null = F.lit(False)
+    for c in [label_col, *feature_cols]:
+        any_null = any_null | F.col(c).isNull()
     for _ in range(n_iter):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(feature_cols)))
         resid = F.col(label_col) - p
@@ -67,14 +74,28 @@ def logreg_fit(
             F.avg(resid).alias("g_bias"),
             *[F.avg(resid * F.col(c)).alias(f"g_{c}") for c in feature_cols],
             *[F.min(wc).alias(f"o_{wc}") for wc in w_cols],
+            F.max(F.when(any_null, 1).otherwise(0)).alias("__bad"),
         )
+        guard = F.col("g_bias").isNull() | (F.col("__bad") == 1)
         w = g.select(
             *[
-                _snap(
-                    F.col(f"o_{wc}")
-                    + lr * F.col(wc.replace("w_", "g_", 1)),
-                    1e8,
-                ).alias(wc)
+                F.when(
+                    guard,
+                    F.raise_error(
+                        F.lit(
+                            "logreg_fit: empty input or NULL feature/label"
+                            " — gradients would be silently wrong"
+                        )
+                    ).cast("double"),
+                )
+                .otherwise(
+                    _snap(
+                        F.col(f"o_{wc}")
+                        + lr * F.col(wc.replace("w_", "g_", 1)),
+                        1e8,
+                    )
+                )
+                .alias(wc)
                 for wc in w_cols
             ]
         )

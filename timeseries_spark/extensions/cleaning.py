@@ -18,9 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _toks(col):
-    return F.split(col, " ")
+from timeseries_spark.extensions.text import ws_tokens as _toks
 
 
 def dedup_tokens_in_doc(

@@ -38,22 +38,33 @@ def _snap(col):
 
 
 def pagerank(
-    edges: DataFrame, n_iter: int = 3, damping: float = DAMPING
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+    persist: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` power-method rounds over directed
     ``edges`` (src, dst). Edges are deduplicated; node set = src ∪ dst.
-    """
+
+    ``persist=True`` caches the edge/node relations (each round re-reads
+    them). Spark keys cache entries by logical plan, so repeated calls
+    on the SAME input reuse one entry — but callers looping over many
+    DIFFERENT inputs should pass persist=False (or clearCache between
+    runs): nothing here can unpersist, because the returned plan still
+    needs the cache when it finally executes."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select("src", "dst").distinct()
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = e.join(out, "src").persist()
+    e = e.join(out, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if persist:
+        e = e.persist()
+        nodes = nodes.persist()
     n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).withColumn(
         "rank", _snap(F.lit(1.0) / F.col("n_nodes"))

@@ -26,12 +26,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from timeseries_spark.extensions.text import ws_tokens as tokens
+
 K1 = 1.2
 B = 0.75
-
-
-def tokens(col):
-    return F.split(col, " ")
 
 
 def build_postings(
@@ -57,6 +55,7 @@ def bm25_topk(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Rank the corpus for a bag-of-words query; return the global
     top-k by (score desc, doc_id). Scores are half-up rounded to 4
@@ -70,11 +69,19 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     spark = docs.sparkSession
     postings = build_postings(docs, id_col, text_col)
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # dedupe the bag: a repeated query term would inflate df (and
+    # double-count its weight) because postings match once per copy
+    q = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "term string"
+    )
     # matched is consumed twice (df counts + scoring); it is tiny (the
     # query terms' postings only) while its lineage is a full corpus
-    # scan — persisting it halves the text scans
-    matched = postings.join(F.broadcast(q), "term").persist()
+    # scan — persisting it halves the text scans. Cache entries are
+    # keyed by plan (same query re-uses one entry); callers looping
+    # over many distinct queries pass persist=False or clearCache.
+    matched = postings.join(F.broadcast(q), "term")
+    if persist:
+        matched = matched.persist()
 
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),

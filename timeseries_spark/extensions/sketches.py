@@ -376,8 +376,10 @@ def histogram_counts(
     v = F.col(value_col).cast("double")
     b = F.floor((v - lo) / width).cast("int")
     b = F.when(b < 0, 0).when(b > n_bins - 1, n_bins - 1).otherwise(b)
+    # NaN passes isNotNull and would land in bin 0 via the non-ANSI
+    # int cast — it has no place on the value axis either
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(*keys, b.alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -411,19 +413,19 @@ def histogram_quantiles(
     width = (hi - lo) / n_bins
     spark = bins.sparkSession
     if keys:
-        total = bins.groupBy(*keys).agg(F.sum("n").alias("total"))
         w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        # sketch-grain ⋈ key-grain: co-keyed, let AQE pick broadcast —
-        # forcing it would be wrong once the key space is huge
-        joined = bins.join(total, list(keys))
+        wt = Window.partitionBy(*keys)
     else:
-        total = bins.agg(F.sum("n").alias("total"))
         w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        joined = bins.crossJoin(F.broadcast(total))
-    cum = joined.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "cum_prev", F.col("cum") - F.col("n")
+        wt = Window.partitionBy()
+    # total as a window sum over the (tiny) sketch itself — a separate
+    # aggregate would re-run the bins lineage, scanning the data twice
+    cum = (
+        bins.withColumn("total", F.sum("n").over(wt))
+        .withColumn("cum", F.sum("n").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("n"))
     )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     est = (

@@ -503,7 +503,7 @@ def _histq_oracle() -> str:
       SELECT CASE WHEN b < 0 THEN 0 WHEN b > 49 THEN 49 ELSE b END AS bin,
              count(*) AS n
       FROM (SELECT CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)
-              AS b FROM events WHERE value IS NOT NULL)
+              AS b FROM events WHERE value IS NOT NULL AND NOT isnan(value))
       GROUP BY 1
     ),
     c AS (
@@ -554,7 +554,7 @@ def _histq_keyed_oracle() -> str:
              count(*) AS n
       FROM (SELECT event_type,
                    CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)
-                     AS b FROM events WHERE value IS NOT NULL)
+                     AS b FROM events WHERE value IS NOT NULL AND NOT isnan(value))
       GROUP BY 1, 2
     ),
     c AS (

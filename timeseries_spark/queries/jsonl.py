@@ -33,7 +33,14 @@ def jsonl_roundtrip_rollup(spark, sf_dir):
     schema, roll up per (lang, source). The text column crosses the
     JSON escaping boundary, so total_words matching the parquet oracle
     certifies byte-faithful round-tripping, not just row counts."""
-    out = f"/tmp/ts_jsonl_{os.path.basename(sf_dir.rstrip('/'))}/documents"
+    # pid-scoped path: concurrent processes (bench + pytest) must not
+    # race one overwrite against another's in-flight scan; re-runs
+    # within a process reuse (overwrite) their own dir, so /tmp does
+    # not accumulate
+    out = (
+        f"/tmp/ts_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}/documents"
+    )
     write_jsonl(load(spark, sf_dir, "documents"), out, mode="overwrite")
     docs = read_jsonl(spark, out, _DOC_SCHEMA)
     return docs.groupBy("lang", "source").agg(

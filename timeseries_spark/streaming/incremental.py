@@ -317,10 +317,11 @@ def attribute_conversions(
         "click_id",
         "purchase_id",
         "value",
-        # events load as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
-        # cast shifts both sides identically so the difference is exact
-        (
-            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
-            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike and
+        # never round-trips through the session zone (a cast-to-TIMESTAMP
+        # pair would shift each side by ITS OWN utc offset — off by an
+        # hour across a DST transition)
+        F.expr(
+            "timestampdiff(MICROSECOND, click_ts, purchase_ts)"
         ).alias("delay_us"),
     )

@@ -212,7 +212,9 @@ def main() -> None:
     d1 = d1.localCheckpoint()
 
     def bm25(d):
-        return lambda: bm25_topk(d, ["spark", "hash", "window"], k=10).count()
+        return lambda: bm25_topk(
+            d, ["spark", "hash", "window"], k=10, persist=False
+        ).count()
 
     t1 = time_warm(bm25(d1))
     tN = time_warm(bm25(dN))
@@ -241,7 +243,8 @@ def main() -> None:
 
     def pr(li):
         return lambda: pagerank(
-            bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S"), n_iter=3
+            bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S"),
+            n_iter=3, persist=False,
         ).count()
 
     t1 = time_warm(pr(li1))
