@@ -12,6 +12,7 @@ from timeseries_spark.operators.timeseries import (
     ema,
     linear_interpolate,
     resample_ohlc,
+    rolling_median,
     rolling_zscore,
 )
 from timeseries_spark.queries import all_queries
@@ -113,6 +114,36 @@ def test_timeseries_windows_stay_keyed(spark):
         p = _plan(spark, name)
         assert "SinglePartition" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_rolling_median_odd_even_null_windows(spark):
+    rows = [
+        ("a", 1, 10.0),            # window [10] -> 10
+        ("a", 2, 30.0),            # window [10,30] -> 20 (even: mean of mid 2)
+        ("a", 3, 20.0),            # window [10,20,30] -> 20 (odd: center)
+        ("a", 4, 1000.0),          # window [10,20,30,1000] -> 25 (spike-robust)
+        ("b", 1, None),            # all-NULL window -> NULL, not an error
+        ("b", 2, 7.0),             # NULL skipped: window [7] -> 7
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["roll_median"]
+        for r in rolling_median(df, ["k"], "t", "v", n_rows=7).collect()
+    }
+    assert got[("a", 1)] == 10.0
+    assert got[("a", 2)] == 20.0
+    assert got[("a", 3)] == 20.0
+    assert got[("a", 4)] == 25.0
+    assert got[("b", 1)] is None
+    assert got[("b", 2)] == 7.0
+    with pytest.raises(ValueError):
+        rolling_median(df, ["k"], "t", "v", n_rows=0)
+
+
+def test_rolling_median_window_stays_keyed(spark):
+    p = _plan(spark, "rolling_median_daily")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_ema_alpha_validation(spark):

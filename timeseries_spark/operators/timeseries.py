@@ -168,3 +168,36 @@ def rolling_zscore(
         .withColumn("z", F.round(z, 4))
         .withColumn("is_anomaly", z.isNotNull() & (F.abs(z) > z_thresh))
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n_rows: int,
+    out_col: str = "roll_median",
+) -> DataFrame:
+    """Robust trailing-window center: exact median of the last
+    ``n_rows`` values (inclusive) via an order-statistic on the sorted
+    window array — O(n_rows) state per key, immune to the single-spike
+    distortion a rolling MEAN suffers. Median of an even window is the
+    mean of the two central order stats; NULL values are skipped (the
+    median of the values present), and an all-NULL window yields NULL.
+    Deterministic: the sorted array and the index arithmetic are
+    identical in any engine."""
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        -(n_rows - 1), 0
+    )
+    xs = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+    n = F.size(xs)
+    mid_hi = ((n + 2) / 2).cast("int")  # 1-based upper-middle
+    mid_lo = ((n + 1) / 2).cast("int")  # 1-based lower-middle
+    med = F.when(n == 0, F.lit(None).cast("double")).when(
+        n % 2 == 1, F.element_at(xs, mid_lo)
+    ).otherwise(
+        (F.element_at(xs, mid_lo) + F.element_at(xs, mid_hi)) / 2
+    )
+    return df.withColumn(out_col, med)

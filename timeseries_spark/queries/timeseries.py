@@ -14,6 +14,7 @@ from timeseries_spark.operators.timeseries import (
     ema,
     linear_interpolate,
     resample_ohlc,
+    rolling_median,
     rolling_zscore,
 )
 from timeseries_spark.queries import load, query
@@ -240,4 +241,44 @@ def daily_series_correlation(spark, sf_dir):
         snap(F.corr("c_total", "p_total")).alias("corr_cp"),
         snap(F.covar_samp("c_total", "p_total")).alias("cov_cp"),
         F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@query(
+    "rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    win AS (
+      SELECT event_type, day, total,
+             list_sort(list(total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS xs
+      FROM daily
+    )
+    SELECT event_type, day, total,
+           CASE WHEN len(xs) % 2 = 1
+                THEN xs[CAST(floor((len(xs) + 1) / 2) AS INT)]
+                ELSE (xs[CAST(floor((len(xs) + 1) / 2) AS INT)]
+                      + xs[CAST(floor((len(xs) + 2) / 2) AS INT)]) / 2
+           END AS roll_median
+    FROM win
+    """,
+)
+def rolling_median_daily(spark, sf_dir):
+    """Trailing-7-day rolling MEDIAN of the daily per-type totals — the
+    robust companion to rolling_anomaly's mean/stddev, computed as an
+    order statistic over the sorted window array
+    (operators/timeseries.py:rolling_median)."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return rolling_median(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        n_rows=7,
     )
