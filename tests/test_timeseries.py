@@ -9,11 +9,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from timeseries_spark.operators.timeseries import (
+    counter_rate,
+    downsample_m4,
     ema,
     linear_interpolate,
     resample_ohlc,
+    rolling_mad_score,
     rolling_median,
     rolling_zscore,
+    series_gaps,
+    time_weighted_avg,
 )
 from timeseries_spark.queries import all_queries
 
@@ -144,6 +149,108 @@ def test_rolling_median_window_stays_keyed(spark):
     p = _plan(spark, "rolling_median_daily")
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_counter_rate_reset_and_gap(spark):
+    rows = [
+        ("a", 0, 100), ("a", 1, 150),   # normal: +50 over 1 tick
+        ("a", 2, 30),                   # reset: post-reset value = 30
+        ("a", 5, 90),                   # 3-tick gap: +60 / 3 = 20/tick
+    ]
+    df = spark.createDataFrame(rows, "k string, tick int, counter long")
+    got = {
+        r["tick"]: (r["increase"], r["rate"])
+        for r in counter_rate(df, ["k"], "tick", "counter").collect()
+    }
+    assert got[0] == (None, None)        # no predecessor
+    assert got[1] == (50.0, 50.0)
+    assert got[2] == (30.0, 30.0)        # counter went down -> reset
+    assert got[5] == (60.0, 20.0)        # rate divides by tick distance
+
+
+def test_twa_step_semantics_vs_plain_avg(spark):
+    # value 0 held 90 us, then 10 held 10 us (to bucket end at 100):
+    # twa = (0*90 + 10*10)/100 = 1.0 while plain avg = 5.0
+    rows = [("a", 0, 0.0, 100), ("a", 90, 10.0, 100)]
+    df = spark.createDataFrame(
+        rows, "k string, tus long, v double, bend long"
+    )
+    out = time_weighted_avg(
+        df, ["k"], "tus", "v", "bend", tiebreak_col="tus"
+    ).collect()[0]
+    assert out["twa"] == 1.0
+    assert out["plain_avg"] == 5.0
+    assert out["n_samples"] == 2
+
+
+def test_m4_keeps_extreme_timestamps(spark):
+    rows = [
+        ("a", 10, 1, 5.0),
+        ("a", 20, 2, 9.0),   # max at t=20
+        ("a", 30, 3, 1.0),   # min at t=30
+        ("a", 40, 4, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, v double")
+    out = downsample_m4(
+        df, ["k"], F.lit(0), "t", "v", "eid"
+    ).collect()[0]
+    assert (out["t_first"], out["v_first"]) == (10, 5.0)
+    assert (out["t_last"], out["v_last"]) == (40, 4.0)
+    assert (out["t_min"], out["v_min"]) == (30, 1.0)
+    assert (out["t_max"], out["v_max"]) == (20, 9.0)
+    assert out["n"] == 4
+
+
+def test_series_gaps_detects_runs(spark):
+    rows = [("a", 1), ("a", 2), ("a", 5), ("a", 9), ("b", 3)]
+    df = spark.createDataFrame(rows, "k string, day int")
+    got = sorted(
+        (r["k"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in series_gaps(df, ["k"], "day").collect()
+    )
+    assert got == [("a", 3, 4, 2), ("a", 6, 8, 3)]  # no gaps for b
+    with pytest.raises(ValueError):
+        series_gaps(df, ["k"], "day", expected_step=0)
+
+
+def test_rolling_mad_robust_where_zscore_masked(spark):
+    # two spikes in one window: the first inflates mean/stddev enough
+    # that the second's z-score drops, but median/MAD still flags both
+    base = [8.0, 12.0, 9.0, 11.0, 10.0]
+    rows = [("a", t + 1, v) for t, v in enumerate(base)] + [
+        ("a", 6, 100.0), ("a", 7, 100.0)
+    ]
+    rows += [("c", t, 5.0) for t in range(1, 4)]  # constant key
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    mad = {
+        (r["k"], r["t"]): r
+        for r in rolling_mad_score(df, ["k"], "t", "v", 7, 3.5).collect()
+    }
+    # hand-checked: t=6 window med 10.5, MAD 1.5 -> score ~40.2;
+    #               t=7 window med 11, MAD 2 -> score ~30.0
+    assert mad[("a", 6)]["is_anomaly"] is True
+    assert mad[("a", 7)]["is_anomaly"] is True
+    z = {
+        r["t"]: r
+        for r in rolling_zscore(
+            df.filter(F.col("k") == "a"), ["k"], "t", "v", 7, 3.5
+        ).collect()
+    }
+    assert z[7]["is_anomaly"] is False  # masked by the first spike
+    # constant window -> MAD 0 -> score NULL, not a division blowup
+    assert mad[("c", 3)]["robust_score"] is None
+    with pytest.raises(ValueError):
+        rolling_mad_score(df, ["k"], "t", "v", 0, 3.5)
+
+
+def test_new_timeseries_plans_stay_keyed(spark):
+    for name in (
+        "counter_rate_hourly", "twa_daily", "downsample_m4",
+        "series_gaps_daily", "rolling_mad_daily",
+    ):
+        p = _plan(spark, name)
+        assert "SinglePartition" not in p, name
+        assert "CartesianProduct" not in p, name
 
 
 def test_ema_alpha_validation(spark):

@@ -170,6 +170,207 @@ def rolling_zscore(
     )
 
 
+def counter_rate(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    counter_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-interval increase + per-second rate of a monotonic counter
+    with resets (the Prometheus ``increase``/``rate`` semantics): the
+    increase between consecutive samples is ``v - lag(v)`` unless the
+    counter went DOWN (a process restart reset it to zero), in which
+    case the post-reset value itself is the best lower bound on the
+    increase. First sample per key has no predecessor -> NULL. A single
+    keyed lag window — O(1) state per key, no SinglePartition.
+    """
+    order = [F.col(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_v = F.lag(counter_col).over(w)
+    prev_t = F.lag(F.col(order_col)).over(w)
+    cur = F.col(counter_col)
+    inc = F.when(prev_v.isNull(), F.lit(None).cast("double")).when(
+        cur >= prev_v, (cur - prev_v).cast("double")
+    ).otherwise(cur.cast("double"))
+    dt = (F.col(order_col) - prev_t).cast("double")
+    return (
+        df.withColumn("increase", inc)
+        .withColumn(
+            "rate",
+            F.when(dt > 0, F.round(inc / dt, 6)),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_micros_col: str,
+    value_col: str,
+    bucket_end_micros_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled gauge per key:
+    each sample holds its value until the next sample (step/LOCF
+    semantics), the last sample extends to the bucket end, and the
+    average weights each value by the integer-microsecond duration it
+    held. The classic continuous-aggregate kernel for irregular series
+    where a plain AVG over-weights bursts of samples. One lead window +
+    one hash agg on the same key — integer duration math, so the only
+    float op is the final weighted division.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_micros_col, tiebreak_col)
+    nxt_t = F.lead(F.col(ts_micros_col)).over(w)
+    dur = F.coalesce(nxt_t, F.col(bucket_end_micros_col)) - F.col(
+        ts_micros_col
+    )
+    return (
+        df.withColumn("__dur", dur)
+        .groupBy(*keys)
+        .agg(
+            F.round(
+                F.sum(F.col(value_col) * F.col("__dur"))
+                / F.sum("__dur"),
+                6,
+            ).alias("twa"),
+            F.round(F.avg(value_col), 6).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def downsample_m4(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket: Column,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB 2014):
+    per (key, pixel bucket) keep the first, last, minimum and maximum
+    samples WITH their timestamps — the 4 points per pixel column that
+    make the downsampled line render pixel-identically to the full
+    series. Unlike OHLC (values only), M4 preserves the extremes'
+    x-coordinates. Single min_by/max_by hash aggregation — one shuffle
+    at bucket grain, deterministic under value/timestamp ties via the
+    (value|ts, ts|tiebreak) struct orderings.
+    """
+    t = F.col(ts_col)
+    tb = F.col(tiebreak_col)
+    v = F.col(value_col)
+    time_key = F.struct(t, tb)
+    min_key = F.struct(v, t, tb)  # ties -> earliest sample wins
+    return (
+        df.select(*keys, bucket.alias("bucket"), ts_col, tiebreak_col, value_col)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.min_by(t, time_key).alias("t_first"),
+            F.min_by(v, time_key).alias("v_first"),
+            F.max_by(t, time_key).alias("t_last"),
+            F.max_by(v, time_key).alias("v_last"),
+            F.min_by(t, min_key).alias("t_min"),
+            F.min(v).alias("v_min"),
+            F.max_by(t, min_key).alias("t_max"),
+            F.max(v).alias("v_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def series_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    tick_col: str,
+    expected_step: int = 1,
+) -> DataFrame:
+    """Missing-data detection on a regularly-ticked series: for each
+    consecutive pair of PRESENT ticks whose distance exceeds the
+    expected step, emit the gap (first missing tick, last missing tick,
+    length). The monitoring primitive behind 'which days did this feed
+    not deliver'. One keyed lead window + a filter — rows out ≤ rows
+    in, no densification needed (the scaffold variant would materialize
+    the full grid just to drop it).
+    """
+    if expected_step < 1:
+        raise ValueError(f"expected_step must be >= 1, got {expected_step}")
+    w = Window.partitionBy(*keys).orderBy(tick_col)
+    nxt = F.lead(F.col(tick_col)).over(w)
+    return (
+        df.select(*keys, tick_col)
+        .withColumn("__next", nxt)
+        .filter(F.col("__next") - F.col(tick_col) > expected_step)
+        .select(
+            *keys,
+            (F.col(tick_col) + expected_step).alias("gap_start"),
+            (F.col("__next") - expected_step).alias("gap_end"),
+            ((F.col("__next") - F.col(tick_col)) / expected_step - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+
+
+def _array_median(xs: Column) -> Column:
+    """Exact median of a sorted double array as an order statistic —
+    NULL for an empty array, the center element for odd length, the
+    mean of the two central elements for even length."""
+    n = F.size(xs)
+    mid_hi = ((n + 2) / 2).cast("int")
+    mid_lo = ((n + 1) / 2).cast("int")
+    return F.when(n == 0, F.lit(None).cast("double")).when(
+        n % 2 == 1, F.element_at(xs, mid_lo)
+    ).otherwise(
+        (F.element_at(xs, mid_lo) + F.element_at(xs, mid_hi)) / 2
+    )
+
+
+def rolling_mad_score(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n_rows: int,
+    score_thresh: float,
+) -> DataFrame:
+    """Robust trailing-window anomaly score: |x - median| / (1.4826 ·
+    MAD), where MAD is the median absolute deviation over the last
+    ``n_rows`` values. The robust twin of rolling_zscore — a single
+    prior spike inflates a mean/stddev window enough to mask the next
+    spike, but the median/MAD pair shrugs off up to half the window
+    being garbage. 1.4826 scales MAD to stddev-equivalent units for a
+    normal series, so the same threshold works for both scorers. Score
+    is NULL when MAD is zero (constant window). Two array order
+    statistics over one O(n_rows) ROWS window — no second shuffle.
+    """
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        -(n_rows - 1), 0
+    )
+    xs = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+    med = _array_median(xs)
+    devs = F.array_sort(
+        F.transform(xs, lambda x: F.abs(x - med))
+    )
+    mad = _array_median(devs)
+    score = F.when(
+        mad > 0,
+        F.abs(F.col(value_col) - med) / (F.lit(1.4826) * mad),
+    )
+    return (
+        df.withColumn("roll_med", med)
+        .withColumn("mad", mad)
+        .withColumn("robust_score", F.round(score, 4))
+        .withColumn(
+            "is_anomaly", score.isNotNull() & (score > score_thresh)
+        )
+    )
+
+
 def rolling_median(
     df: DataFrame,
     keys: Sequence[str],
@@ -192,12 +393,4 @@ def rolling_median(
         -(n_rows - 1), 0
     )
     xs = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
-    n = F.size(xs)
-    mid_hi = ((n + 2) / 2).cast("int")  # 1-based upper-middle
-    mid_lo = ((n + 1) / 2).cast("int")  # 1-based lower-middle
-    med = F.when(n == 0, F.lit(None).cast("double")).when(
-        n % 2 == 1, F.element_at(xs, mid_lo)
-    ).otherwise(
-        (F.element_at(xs, mid_lo) + F.element_at(xs, mid_hi)) / 2
-    )
-    return df.withColumn(out_col, med)
+    return df.withColumn(out_col, _array_median(xs))

@@ -11,17 +11,35 @@ from pyspark.sql import functions as F
 
 from timeseries_spark.operators.scaffold import dense_scaffold, year_spine
 from timeseries_spark.operators.timeseries import (
+    counter_rate,
+    downsample_m4,
     ema,
     linear_interpolate,
     resample_ohlc,
+    rolling_mad_score,
     rolling_median,
     rolling_zscore,
+    series_gaps,
+    time_weighted_avg,
 )
 from timeseries_spark.queries import load, query
 
 # value > _SPARSE_MIN keeps ~1% of events: 10-19 of 31 days present per
 # type at sf0.01, so interpolation gaps genuinely bind at the gate scale
 _SPARSE_MIN = 230.0
+
+# epoch micros without a session-zone round trip: timestampdiff works on
+# TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros rejects NTZ, and a cast
+# to TIMESTAMP would shift by the session zone's utc offset); the NTZ
+# normalization makes the expression valid whichever type load() yields
+_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+    "cast({col} as timestamp_ntz))"
+)
+
+
+def _epoch_us(col: str) -> F.Column:
+    return F.expr(_EPOCH_US.format(col=col))
 
 
 @query(
@@ -281,4 +299,280 @@ def rolling_median_daily(spark, sf_dir):
     return rolling_median(
         daily, keys=["event_type"], order_col="day", value_col="total",
         n_rows=7,
+    )
+
+
+def _hourly_counter(spark, sf_dir):
+    """Shared fixture for the counter queries: an hourly-sampled
+    monotonic counter per event_type (cumulative event count on the
+    linear hour tick) with resets injected by a mod-997 wrap — the
+    restart-prone exported counter every metrics backend ingests."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            ((F.dayofmonth("ts") - 1) * 24 + F.hour("ts")).alias("tick"),
+        )
+        .groupBy("event_type", "tick")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hourly.select(
+        "event_type", "tick", (F.sum("n").over(w) % 997).alias("counter")
+    )
+
+
+@query(
+    "counter_rate_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, (day(ts) - 1) * 24 + hour(ts) AS tick,
+             count(*) AS n
+      FROM events GROUP BY event_type, tick
+    ),
+    ctr AS (
+      SELECT event_type, tick,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 997
+               AS BIGINT) AS counter
+      FROM hourly
+    ),
+    lagd AS (
+      SELECT event_type, tick, counter,
+             lag(counter) OVER (PARTITION BY event_type ORDER BY tick) AS pv,
+             lag(tick) OVER (PARTITION BY event_type ORDER BY tick) AS pt
+      FROM ctr
+    )
+    SELECT event_type, tick, counter,
+           CASE WHEN pv IS NULL THEN NULL
+                WHEN counter >= pv THEN CAST(counter - pv AS DOUBLE)
+                ELSE CAST(counter AS DOUBLE) END AS increase,
+           CASE WHEN pt IS NOT NULL AND tick - pt > 0 THEN round(
+             (CASE WHEN counter >= pv THEN CAST(counter - pv AS DOUBLE)
+                   ELSE CAST(counter AS DOUBLE) END) / (tick - pt), 6)
+           END AS rate
+    FROM lagd
+    """,
+)
+def counter_rate_hourly(spark, sf_dir):
+    """Prometheus-style increase/rate over a resetting monotonic
+    counter: per-hour increase is counter - lag(counter) unless the
+    counter wrapped (restart), in which case the post-reset value lower
+    bounds it; rate divides by the tick distance so missing hours don't
+    inflate it (operators/timeseries.py:counter_rate)."""
+    return counter_rate(
+        _hourly_counter(spark, sf_dir),
+        keys=["event_type"],
+        order_col="tick",
+        counter_col="counter",
+    )
+
+
+@query(
+    "twa_daily",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, day(ts) AS day, epoch_us(ts) AS tus, event_id,
+             value,
+             epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS bucket_end
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day, value,
+             coalesce(lead(tus) OVER (PARTITION BY event_type, day
+                                      ORDER BY tus, event_id),
+                      bucket_end) - tus AS dur
+      FROM s
+    )
+    SELECT event_type, day,
+           round(sum(value * dur) / sum(dur), 6) AS twa,
+           round(avg(value), 6) AS plain_avg,
+           count(*) AS n_samples
+    FROM d GROUP BY event_type, day
+    """,
+)
+def twa_daily(spark, sf_dir):
+    """Time-weighted daily average of the event value gauge per type:
+    each sample holds until the next one (LOCF), the last extends to
+    midnight, and weights are integer microsecond durations — the
+    irregular-sampling average a plain AVG gets wrong
+    (operators/timeseries.py:time_weighted_avg)."""
+    events = load(spark, sf_dir, "events")
+    s = events.select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        _epoch_us("ts").alias("tus"),
+        "event_id",
+        "value",
+        F.expr(
+            _EPOCH_US.format(
+                col="date_trunc('DAY', cast(ts as timestamp_ntz))"
+                " + INTERVAL 1 DAY"
+            )
+        ).alias("bucket_end"),
+    )
+    return time_weighted_avg(
+        s,
+        keys=["event_type", "day"],
+        ts_micros_col="tus",
+        value_col="value",
+        bucket_end_micros_col="bucket_end",
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "downsample_m4",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor((day(ts) - 1) / 3) AS INT) AS bucket,
+             epoch_us(ts) AS tus, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tus, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tus DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value, tus, event_id) AS rmin,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value DESC, tus DESC,
+                                         event_id DESC) AS rmax
+      FROM s
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rf = 1 THEN tus END) AS t_first,
+           max(CASE WHEN rf = 1 THEN value END) AS v_first,
+           max(CASE WHEN rl = 1 THEN tus END) AS t_last,
+           max(CASE WHEN rl = 1 THEN value END) AS v_last,
+           max(CASE WHEN rmin = 1 THEN tus END) AS t_min,
+           min(value) AS v_min,
+           max(CASE WHEN rmax = 1 THEN tus END) AS t_max,
+           max(value) AS v_max,
+           count(*) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def downsample_m4_q(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (event_type, 3-day pixel bucket) the first/last/min/max samples
+    WITH their timestamps — the 4 points per pixel column that render
+    identically to the full series. One min_by/max_by hash aggregation
+    (operators/timeseries.py:downsample_m4)."""
+    events = load(spark, sf_dir, "events")
+    s = events.select(
+        "event_type",
+        F.floor((F.dayofmonth("ts") - 1) / 3).cast("int").alias("pix"),
+        _epoch_us("ts").alias("tus"),
+        "event_id",
+        "value",
+    )
+    return downsample_m4(
+        s,
+        keys=["event_type"],
+        bucket=F.col("pix"),
+        ts_col="tus",
+        value_col="value",
+        tiebreak_col="event_id",
+    ).drop("pix")
+
+
+@query(
+    "series_gaps_daily",
+    oracle=f"""
+    WITH facts AS ({_DAILY_SPARSE}),
+    lagd AS (
+      SELECT event_type, day,
+             lead(day) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+      FROM facts
+    )
+    SELECT event_type, day + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - day - 1 AS BIGINT) AS n_missing
+    FROM lagd WHERE nxt - day > 1
+    """,
+)
+def series_gaps_daily(spark, sf_dir):
+    """Missing-data report on the sparse daily series (same ~1% filter
+    as gapfill_interpolate, so gaps genuinely bind): each run of absent
+    days per type as (gap_start, gap_end, n_missing) — one keyed lead
+    window, no densified grid (operators/timeseries.py:series_gaps)."""
+    events = load(spark, sf_dir, "events")
+    facts = (
+        events.filter(F.col("value") > _SPARSE_MIN)
+        .select("event_type", F.dayofmonth("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "day")
+    )
+    return series_gaps(facts, keys=["event_type"], tick_col="day")
+
+
+@query(
+    "rolling_mad_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    win AS (
+      SELECT event_type, day, total,
+             list_sort(list(total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS xs
+      FROM daily
+    ),
+    med AS (
+      SELECT *, CASE WHEN len(xs) % 2 = 1
+                  THEN xs[CAST(floor((len(xs) + 1) / 2) AS INT)]
+                  ELSE (xs[CAST(floor((len(xs) + 1) / 2) AS INT)]
+                        + xs[CAST(floor((len(xs) + 2) / 2) AS INT)]) / 2
+                END AS roll_med
+      FROM win
+    ),
+    dev AS (
+      SELECT *, list_sort(list_transform(xs, x -> abs(x - roll_med))) AS ds
+      FROM med
+    ),
+    madc AS (
+      SELECT event_type, day, total, roll_med,
+             CASE WHEN len(ds) % 2 = 1
+                  THEN ds[CAST(floor((len(ds) + 1) / 2) AS INT)]
+                  ELSE (ds[CAST(floor((len(ds) + 1) / 2) AS INT)]
+                        + ds[CAST(floor((len(ds) + 2) / 2) AS INT)]) / 2
+             END AS mad
+      FROM dev
+    )
+    SELECT event_type, day, total, roll_med, mad,
+           round(CASE WHEN mad > 0
+                      THEN abs(total - roll_med) / (1.4826 * mad) END,
+                 4) AS robust_score,
+           CASE WHEN mad > 0
+                THEN abs(total - roll_med) / (1.4826 * mad) > 3.5
+                ELSE FALSE END AS is_anomaly
+    FROM madc
+    """,
+)
+def rolling_mad_daily(spark, sf_dir):
+    """Robust trailing-7-day anomaly score |x - median| / (1.4826·MAD)
+    on the daily per-type totals — the outlier-resistant twin of
+    rolling_anomaly: one prior spike can mask the next under
+    mean/stddev but not under median/MAD
+    (operators/timeseries.py:rolling_mad_score)."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return rolling_mad_score(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        n_rows=7, score_thresh=3.5,
     )
