@@ -341,6 +341,51 @@ def test_stream_hll_registers_match_batch(spark, tmp_path_factory):
     assert est_s == est_b
 
 
+def test_stream_histogram_sketch_matches_batch(spark, tmp_path_factory):
+    """The fixed-grid histogram is a plain (bin, n) aggregate, so it
+    streams: draining the corpus through micro-batches produces EXACTLY
+    the batch bin counts, and the quantiles folded from the streamed
+    sketch equal the batch quantiles — the continuously-maintained
+    p50/p90/p99 monitor."""
+    from timeseries_spark.extensions.sketches import (
+        histogram_counts,
+        histogram_quantiles,
+    )
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("hist_stream"))
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 997).cast("double").alias("v")
+    )
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    df.filter("v < 500").coalesce(1).write.mode("append").parquet(out)
+    df.filter("v >= 500").coalesce(1).write.mode("append").parquet(out)
+
+    grid = dict(lo=0.0, hi=1000.0, n_bins=20)
+    batch_bins = histogram_counts(spark.read.parquet(out), "v", **grid)
+    stream = histogram_counts(
+        spark.readStream.schema("v double").parquet(out), "v", **grid
+    )
+    got = run_available_now(
+        stream, "hist_stream_test", spark, output_mode="complete"
+    )
+    assert {(r["bin"], r["n"]) for r in got.collect()} == {
+        (r["bin"], r["n"]) for r in batch_bins.collect()
+    }
+    qs = [0.5, 0.9, 0.99]
+    est_b = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(batch_bins, qs, **grid).collect()
+    }
+    est_s = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            spark.createDataFrame(got.collect(), got.schema), qs, **grid
+        ).collect()
+    }
+    assert est_s == est_b and len(est_s) == 3
+
+
 def test_stream_stream_attribution_matches_batch(spark, event_dir, tmp_path_factory):
     """Stream-stream interval join (conversion attribution): the
     watermarked, time-bounded join over the drained stream must equal
