@@ -1158,3 +1158,37 @@ def test_temperature_mix_conserves_total(spark):
     ident = temperature_mix(df, alpha=1.0)
     assert ident.count() == 1200
     assert ident.select("mix_weight").distinct().collect()[0][0] == 1.0
+
+
+def test_source_divergence_hand_checked(spark):
+    """Two tiny sources with known distributions: entropy and KL match
+    the textbook formulas; the identical-to-pooled source has the
+    smaller KL."""
+    import math
+
+    from timeseries_spark.extensions.text import source_divergence
+
+    rows = [
+        (1, "x x y", "A"),       # p_A = {x: 2/3, y: 1/3}
+        (2, "x y y y", "B"),     # p_B = {x: 1/4, y: 3/4}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_divergence(df).collect()}
+    # pooled q = {x: 3/7, y: 4/7}
+    q = {"x": 3 / 7, "y": 4 / 7}
+    for src, p in (
+        ("A", {"x": 2 / 3, "y": 1 / 3}),
+        ("B", {"x": 1 / 4, "y": 3 / 4}),
+    ):
+        ent = -sum(pv * math.log(pv) for pv in p.values())
+        kl = sum(pv * math.log(pv / q[t]) for t, pv in p.items())
+        assert abs(got[src]["entropy"] - ent) < 1e-5, src
+        assert abs(got[src]["kl_vs_corpus"] - kl) < 1e-5, src
+    assert got["A"]["n_tokens"] == 3 and got["A"]["vocab"] == 2
+    assert got["B"]["n_tokens"] == 4 and got["B"]["vocab"] == 2
+    # a uniform single-source corpus has zero KL against itself
+    solo = source_divergence(
+        spark.createDataFrame([(1, "x y", "S")],
+                              "doc_id long, text string, source string")
+    ).collect()[0]
+    assert solo["kl_vs_corpus"] == 0.0

@@ -558,6 +558,67 @@ def unigram_logprob(
     )
 
 
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus-mix diagnostics: unigram entropy of each
+    source's token distribution and its KL divergence against the
+    pooled corpus distribution — the two numbers a data engineer reads
+    before setting mixing weights (low entropy = repetitive source,
+    high KL = source is off-distribution and will shift the mix).
+
+    KL(p_s || q) = Σ_t p_s(t)·ln(p_s(t)/q(t)) is finite by
+    construction: the pooled q includes every source's tokens, so
+    p_s(t) > 0 ⇒ q(t) > 0. Plan shape: one token-grain shuffle builds
+    the (source, token) counts, the pooled counts reuse that grain,
+    and the per-source totals / grand total ride in as broadcasts
+    (n_sources rows / 1 row) — the corpus text is read once and the
+    float sums are per-source reductions over vocab-sized groups,
+    rounded at 6dp.
+
+    Output: (group_col, n_tokens, vocab, entropy, kl_vs_corpus)."""
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    cnt = toks.groupBy("__g", "token").agg(F.count(F.lit(1)).alias("n"))
+    per_source = cnt.groupBy("__g").agg(
+        F.sum("n").alias("__st"), F.count(F.lit(1)).alias("__sv")
+    )
+    pooled = cnt.groupBy("token").agg(F.sum("n").alias("__gn"))
+    grand = per_source.groupBy().agg(F.sum("__st").alias("__grand"))
+    p = F.col("n").cast("double") / F.col("__st").cast("double")
+    q = F.col("__gn").cast("double") / F.col("__grand").cast("double")
+    terms = (
+        cnt.join(pooled, "token")
+        .join(F.broadcast(per_source), "__g")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "__g",
+            "__st",
+            "__sv",
+            (-p * F.log(p)).alias("__ent"),
+            (p * F.log(p / q)).alias("__kl"),
+        )
+    )
+    return (
+        terms.groupBy("__g", "__st", "__sv")
+        .agg(
+            F.round(F.sum("__ent"), 6).alias("entropy"),
+            F.round(F.sum("__kl"), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__st").cast("bigint").alias("n_tokens"),
+            F.col("__sv").cast("bigint").alias("vocab"),
+            "entropy",
+            "kl_vs_corpus",
+        )
+    )
+
+
 def encode_tokens(
     df: DataFrame,
     vocab: DataFrame,

@@ -541,3 +541,47 @@ def tokenized_docs(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return encode_tokens(docs, vocab_topk(docs, k=20))
+
+
+@query(
+    "source_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, count(*) AS n FROM toks GROUP BY source, token
+    ),
+    per_source AS (
+      SELECT source, sum(n) AS st, count(*) AS sv FROM cnt GROUP BY source
+    ),
+    gcnt AS (SELECT token, sum(n) AS gn FROM cnt GROUP BY token),
+    grand AS (SELECT sum(st) AS g FROM per_source)
+    SELECT c.source,
+           CAST(ps.st AS BIGINT) AS n_tokens,
+           CAST(ps.sv AS BIGINT) AS vocab,
+           round(sum(-(CAST(c.n AS DOUBLE) / CAST(ps.st AS DOUBLE))
+                 * ln(CAST(c.n AS DOUBLE) / CAST(ps.st AS DOUBLE))), 6)
+             AS entropy,
+           round(sum((CAST(c.n AS DOUBLE) / CAST(ps.st AS DOUBLE))
+                 * ln((CAST(c.n AS DOUBLE) / CAST(ps.st AS DOUBLE))
+                      / (CAST(gc.gn AS DOUBLE) / CAST(gr.g AS DOUBLE)))), 6)
+             AS kl_vs_corpus
+    FROM cnt c
+    JOIN per_source ps USING (source)
+    JOIN gcnt gc USING (token)
+    CROSS JOIN grand gr
+    GROUP BY c.source, ps.st, ps.sv
+    """,
+)
+def source_divergence_q(spark, sf_dir):
+    """Corpus-mix diagnostics: per-source unigram entropy + KL
+    divergence against the pooled corpus distribution — the numbers
+    that drive mixing-weight decisions (low entropy = repetitive
+    source, high KL = off-distribution source)
+    (extensions/text.py:source_divergence)."""
+    from timeseries_spark.extensions.text import source_divergence
+
+    docs = load(spark, sf_dir, "documents")
+    return source_divergence(docs)
