@@ -261,3 +261,26 @@ def test_ema_alpha_validation(spark):
         ema(df, ["k"], "t", "v", alpha=0.0)
     with _pt.raises(ValueError):
         ema(df, ["k"], "t", "v", alpha=1.5)
+
+
+def test_cusum_detects_level_shift(spark):
+    from timeseries_spark.operators.timeseries import cusum
+
+    # mean of the 8 values is 15: first half deviates -5, second +5 ->
+    # cusum_up climbs 5 per step after the shift, cusum_down before it
+    rows = [("a", t, 10.0) for t in range(1, 5)] + [
+        ("a", t, 20.0) for t in range(5, 9)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["t"]: r for r in cusum(df, ["k"], "t", "v").collect()}
+    assert got[4]["cusum_down"] == 20.0 and got[4]["cusum_up"] == 0.0
+    assert got[8]["cusum_up"] == 20.0 and got[8]["cusum_down"] == 0.0
+    # noise around the mean collapses both sides toward zero
+    assert got[1]["cusum_up"] == 0.0
+
+
+def test_trend_acf_plans_single_pass(spark):
+    for name in ("series_trend", "acf_daily", "cusum_daily"):
+        p = _plan(spark, name)
+        assert "SinglePartition" not in p, name
+        assert "CartesianProduct" not in p, name

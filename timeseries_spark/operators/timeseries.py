@@ -314,6 +314,43 @@ def series_gaps(
     )
 
 
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistic against each series' own
+    mean: s⁺_t = max(0, s⁺_{t-1} + (x_t - μ)) accumulates upward level
+    shifts, s⁻_t the downward ones — a sustained shift grows the
+    statistic linearly while zero-mean noise keeps collapsing it to 0
+    (Page 1954). The recurrence is a left fold over the ordered prefix
+    array (the ema discipline: plain double ops in a fixed order, so
+    any engine replaying the fold matches bit-for-bit); per-key state
+    is the series prefix, bounded by series length — apply at series
+    grain, not event grain. μ is the key's own full-series mean, so
+    the statistic is self-calibrating across series of different
+    scales; thresholding (typically h·σ) is the caller's policy.
+    """
+    mean = F.avg(F.col(value_col).cast("double")).over(
+        Window.partitionBy(*keys)
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    xs = F.collect_list(F.col(value_col).cast("double") - mean).over(w)
+    up = F.aggregate(
+        xs, F.lit(0.0), lambda acc, x: F.greatest(F.lit(0.0), acc + x)
+    )
+    dn = F.aggregate(
+        xs, F.lit(0.0), lambda acc, x: F.greatest(F.lit(0.0), acc - x)
+    )
+    return df.withColumn("cusum_up", F.round(up, round_dp)).withColumn(
+        "cusum_down", F.round(dn, round_dp)
+    )
+
+
 def _array_median(xs: Column) -> Column:
     """Exact median of a sorted double array as an order statistic —
     NULL for an empty array, the center element for odd length, the

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from timeseries_spark.operators.scaffold import dense_scaffold, year_spine
 from timeseries_spark.operators.timeseries import (
     counter_rate,
+    cusum,
     downsample_m4,
     ema,
     linear_interpolate,
@@ -575,4 +576,139 @@ def rolling_mad_daily(spark, sf_dir):
     return rolling_mad_score(
         daily, keys=["event_type"], order_col="day", value_col="total",
         n_rows=7, score_thresh=3.5,
+    )
+
+
+@query(
+    "cusum_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    dev AS (
+      SELECT event_type, day, total,
+             total - avg(total) OVER (PARTITION BY event_type) AS d
+      FROM daily
+    ),
+    pfx AS (
+      SELECT event_type, day, total,
+             list(d) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM dev
+    )
+    SELECT event_type, day, total,
+           round(list_reduce(list_prepend(0.0::DOUBLE, xs),
+                 (a, x) -> greatest(0.0, a + x)), 4) AS cusum_up,
+           round(list_reduce(list_prepend(0.0::DOUBLE, xs),
+                 (a, x) -> greatest(0.0, a - x)), 4) AS cusum_down
+    FROM pfx
+    """,
+)
+def cusum_daily(spark, sf_dir):
+    """Two-sided CUSUM change-point statistic of the daily per-type
+    totals against each series' own mean — sustained level shifts grow
+    it linearly, noise collapses it to zero; evaluated as a left fold
+    over the ordered prefix (operators/timeseries.py:cusum)."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return cusum(daily, keys=["event_type"], order_col="day",
+                 value_col="total")
+
+
+@query(
+    "series_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    )
+    SELECT event_type,
+           floor(regr_slope(total, day) * 1e6 + 0.5) / 1e6 AS slope,
+           floor(regr_intercept(total, day) * 1e6 + 0.5) / 1e6
+             AS intercept,
+           floor(regr_r2(total, day) * 1e6 + 0.5) / 1e6 AS r2,
+           count(*) AS n_days
+    FROM daily GROUP BY event_type
+    """,
+)
+def series_trend(spark, sf_dir):
+    """Per-series linear trend: OLS slope / intercept / R² of the
+    daily total against the day index — the 'is this metric drifting'
+    one-liner, a single hash aggregation over the built-in regression
+    aggregates (JVM-side partial combine, one shuffle at key grain),
+    snapped at 1e-6."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    snap = lambda col: (  # noqa: E731
+        F.floor(col * 1e6 + F.lit(0.5)).cast("double") / 1e6
+    )
+    return daily.groupBy("event_type").agg(
+        snap(F.regr_slope("total", "day")).alias("slope"),
+        snap(F.regr_intercept("total", "day")).alias("intercept"),
+        snap(F.regr_r2("total", "day")).alias("r2"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@query(
+    "acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    lagd AS (
+      SELECT event_type, total,
+             lag(total, 1) OVER w AS l1,
+             lag(total, 2) OVER w AS l2,
+             lag(total, 3) OVER w AS l3
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           floor(corr(total, l1) * 1e6 + 0.5) / 1e6 AS acf1,
+           floor(corr(total, l2) * 1e6 + 0.5) / 1e6 AS acf2,
+           floor(corr(total, l3) * 1e6 + 0.5) / 1e6 AS acf3,
+           count(*) AS n_days
+    FROM lagd GROUP BY event_type
+    """,
+)
+def acf_daily(spark, sf_dir):
+    """Autocorrelation of each daily series at lags 1-3 — the
+    seasonality / persistence fingerprint (white noise ~0, trending
+    series high acf1). One keyed lag window feeding one hash
+    aggregation of built-in corr — two key-grain exchanges total,
+    snapped at 1e-6."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.select(
+        "event_type",
+        "total",
+        F.lag("total", 1).over(w).alias("l1"),
+        F.lag("total", 2).over(w).alias("l2"),
+        F.lag("total", 3).over(w).alias("l3"),
+    )
+    snap = lambda col: (  # noqa: E731
+        F.floor(col * 1e6 + F.lit(0.5)).cast("double") / 1e6
+    )
+    return lagd.groupBy("event_type").agg(
+        snap(F.corr("total", "l1")).alias("acf1"),
+        snap(F.corr("total", "l2")).alias("acf2"),
+        snap(F.corr("total", "l3")).alias("acf3"),
+        F.count(F.lit(1)).alias("n_days"),
     )
