@@ -1,0 +1,111 @@
+"""User-behavior analytics kernels: ordered funnels and retention
+cohorts — the product-analytics layer every event-table engine ships
+(the reference's evidence tables play the same role for association
+events; these operators generalize the pattern to arbitrary step
+sequences).
+
+Both are compositions of per-key aggregations and equi-joins on the
+SAME key (user), so every stage shuffles at most once on user_id and
+Catalyst co-partitions the chain; no window funnels, no cartesians.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Strict-order funnel: how many users performed step 1, then step
+    2 AFTER their first step-1 event, then step 3 after that, ... Each
+    stage keeps the user's EARLIEST qualifying timestamp (the standard
+    first-touch funnel), so a user converts at stage k only if some
+    step-k event strictly follows their stage-(k-1) anchor.
+
+    Plan: one conditional-min aggregation per step, chained by
+    user-keyed equi joins — k shuffles on the same user key (AQE
+    co-partitions the chain), then a single global count row. Output:
+    one row with ``n_<step>`` counts in funnel order plus per-stage
+    conversion rates (NULL when the prior stage is empty).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 funnel steps, got {list(steps)}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {list(steps)}")
+    u = F.col(user_col)
+    # stage k's cohort is the anchor chain cut at k; count each cut
+    counts = []
+    cohort = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts.append(cohort.agg(F.count(F.lit(1)).alias(f"n_{steps[0]}")))
+    for step in steps[1:]:
+        nxt = df.filter(F.col(type_col) == step).select(
+            u.alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        cohort = (
+            cohort.join(nxt, "__u")
+            .filter(F.col("__ts") > F.col("__t"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+        )
+        counts.append(cohort.agg(F.count(F.lit(1)).alias(f"n_{step}")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))  # 1x1 rows: scalar stitch
+    for prev, step in zip(steps, steps[1:]):
+        out = out.withColumn(
+            f"rate_{step}",
+            F.when(
+                F.col(f"n_{prev}") > 0,
+                F.round(
+                    F.col(f"n_{step}").cast("double")
+                    / F.col(f"n_{prev}").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    day_col,
+    max_offset: int = 7,
+) -> DataFrame:
+    """Classic retention triangle: users cohorted by their FIRST active
+    day, counted again on each later day they return, as (cohort_day,
+    day_offset, n_users) with offset 0 being cohort size. ``max_offset``
+    bounds the triangle (and the output) regardless of history length.
+
+    Plan: distinct (user, day) activity -> per-user min day -> one
+    user-keyed equi join back -> (cohort, offset) count. Two shuffles
+    on user, one on the tiny (cohort, offset) grain.
+    """
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    acts = df.select(
+        F.col(user_col).alias("__u"), day_col.alias("__day")
+    ).distinct()
+    cohort = acts.groupBy("__u").agg(F.min("__day").alias("__cohort"))
+    return (
+        acts.join(cohort, "__u")
+        .withColumn("__off", F.col("__day") - F.col("__cohort"))
+        .filter(F.col("__off") <= max_offset)
+        .groupBy(
+            F.col("__cohort").alias("cohort_day"),
+            F.col("__off").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

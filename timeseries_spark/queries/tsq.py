@@ -676,3 +676,78 @@ def click_attribution(spark, sf_dir):
         max_delay="1 hour",
         streaming=False,
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM s1) AS n_view,
+             (SELECT count(*) FROM s2) AS n_click,
+             (SELECT count(*) FROM s3) AS n_purchase
+    )
+    SELECT n_view, n_click, n_purchase,
+           CASE WHEN n_view > 0 THEN
+             round(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE), 6)
+           END AS rate_click,
+           CASE WHEN n_click > 0 THEN
+             round(CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE), 6)
+           END AS rate_purchase
+    FROM c
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Strict-order first-touch funnel view -> click -> purchase: a
+    user converts at stage k only if a step-k event strictly follows
+    their stage-(k-1) anchor — chained conditional-min aggregations
+    equi-joined on the user key
+    (operators/behavior.py:funnel_counts)."""
+    from timeseries_spark.operators.behavior import funnel_counts
+
+    events = load(spark, sf_dir, "events")
+    return funnel_counts(
+        events, "user_id", "event_type", "ts",
+        steps=["view", "click", "purchase"],
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id AS u, day(ts) AS day FROM events
+    ),
+    coh AS (SELECT u, min(day) AS cohort FROM acts GROUP BY u)
+    SELECT coh.cohort AS cohort_day,
+           CAST(acts.day - coh.cohort AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM acts JOIN coh USING (u)
+    WHERE acts.day - coh.cohort <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts_q(spark, sf_dir):
+    """Retention triangle: users cohorted by first active day, counted
+    on each return day up to offset 7 — distinct activity, per-user min
+    day, one user-keyed join back
+    (operators/behavior.py:retention_cohorts)."""
+    from timeseries_spark.operators.behavior import retention_cohorts
+
+    events = load(spark, sf_dir, "events")
+    return retention_cohorts(
+        events, "user_id", F.dayofmonth("ts"), max_offset=7
+    )
