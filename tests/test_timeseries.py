@@ -284,3 +284,53 @@ def test_trend_acf_plans_single_pass(spark):
         p = _plan(spark, name)
         assert "SinglePartition" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_psi_zero_for_identical_halves_large_for_shifted(spark):
+    from timeseries_spark.operators.timeseries import psi_drift
+
+    # identical distribution both sides -> PSI exactly 0 (p == q per bin)
+    same = [("a", float(v % 10) * 10, s) for v in range(100) for s in (0, 1)]
+    # shifted: baseline all low bin, compare all high bin
+    shifted = [("b", 5.0, 0)] * 50 + [("b", 95.0, 1)] * 50
+    df = spark.createDataFrame(
+        same + shifted, "k string, v double, side int"
+    )
+    got = {
+        r["k"]: r
+        for r in psi_drift(
+            df, ["k"], "v", F.col("side"), lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert got["a"]["psi"] == 0.0
+    assert got["b"]["psi"] > 1.0  # way past the 0.25 'shifted' bar
+    assert got["b"]["n_baseline"] == 50 and got["b"]["n_compare"] == 50
+    with pytest.raises(ValueError):
+        psi_drift(df, ["k"], "v", F.col("side"), 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        psi_drift(df, ["k"], "v", F.col("side"), 0.0, 100.0, 10, smoothing=0)
+
+
+def test_seasonal_naive_eval_prefers_true_season(spark):
+    from timeseries_spark.operators.timeseries import seasonal_naive_eval
+
+    # period-3 sawtooth: seasonal (lag-3) forecast is exact, naive is not
+    vals = [10.0, 20.0, 30.0] * 4
+    df = spark.createDataFrame(
+        [("a", t + 1, v) for t, v in enumerate(vals)],
+        "k string, t int, v double",
+    )
+    out = seasonal_naive_eval(df, ["k"], "t", "v", season=3).collect()[0]
+    assert out["mae_seasonal"] == 0.0
+    assert out["mae_naive"] > 0
+    assert out["seasonal_vs_naive"] == 0.0
+    assert out["n_scored"] == 9  # rows where both lags exist
+    with pytest.raises(ValueError):
+        seasonal_naive_eval(df, ["k"], "t", "v", season=1)
+
+
+def test_drift_eval_plans_keyed(spark):
+    for name in ("psi_value_drift", "seasonal_naive_eval"):
+        p = _plan(spark, name)
+        assert "SinglePartition" not in p, name
+        assert "CartesianProduct" not in p, name

@@ -431,3 +431,106 @@ def rolling_median(
     )
     xs = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
     return df.withColumn(out_col, _array_median(xs))
+
+
+def psi_drift(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    split_col: Column,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a comparison
+    slice of each series: PSI = Σ_bins (p̂_i - q̂_i)·ln(p̂_i/q̂_i) over a
+    fixed value grid, the standard drift monitor for feature / score
+    distributions (PSI < 0.1 stable, > 0.25 shifted). ``split_col``
+    must evaluate to 0 (baseline) or 1 (comparison). Shares are add-k
+    smoothed so empty bins stay finite and the statistic is defined
+    even for disjoint supports. One (keys, bin) hash aggregation with
+    conditional sums, then a per-key reduction over ≤ n_bins rows —
+    the same mergeable-sketch scale shape as histogram_counts.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError(
+            f"need hi > lo and n_bins >= 1, got [{lo}, {hi}) x {n_bins}"
+        )
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - lo) / width).cast("int")
+    b = F.when(b < 0, 0).when(b > n_bins - 1, n_bins - 1).otherwise(b)
+    side = split_col.cast("int")
+    bins = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(*keys, b.alias("__bin"), side.alias("__side"))
+        .groupBy(*keys, "__bin")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__n0"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__n1"),
+        )
+    )
+    tot = Window.partitionBy(*keys)
+    k = float(smoothing)
+    denom0 = F.sum("__n0").over(tot).cast("double") + F.lit(k * n_bins)
+    denom1 = F.sum("__n1").over(tot).cast("double") + F.lit(k * n_bins)
+    p = (F.col("__n0").cast("double") + F.lit(k)) / denom0
+    q = (F.col("__n1").cast("double") + F.lit(k)) / denom1
+    terms = bins.select(
+        *keys,
+        F.col("__n0"),
+        F.col("__n1"),
+        ((p - q) * F.log(p / q)).alias("__term"),
+    )
+    return terms.groupBy(*keys).agg(
+        F.round(F.sum("__term"), 6).alias("psi"),
+        F.sum("__n0").alias("n_baseline"),
+        F.sum("__n1").alias("n_compare"),
+    )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    season: int,
+) -> DataFrame:
+    """Forecast-baseline evaluation: per key, the mean absolute error
+    of the naive forecast (yesterday's value) and the seasonal-naive
+    forecast (the value one season ago), plus their ratio — the MASE
+    denominator/numerator pair that tells an engineer whether a series
+    even HAS exploitable seasonality before any model is fit. Only
+    ticks where BOTH forecasts exist are scored, so the two MAEs
+    compare on identical rows. Two lag windows over one key sort.
+    """
+    if season < 2:
+        raise ValueError(f"season must be >= 2, got {season}")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    naive = F.lag(x, 1).over(w)
+    seasonal = F.lag(x, season).over(w)
+    scored = df.select(
+        *keys,
+        F.when(
+            naive.isNotNull() & seasonal.isNotNull(),
+            F.abs(x - naive),
+        ).alias("__e1"),
+        F.when(
+            naive.isNotNull() & seasonal.isNotNull(),
+            F.abs(x - seasonal),
+        ).alias("__es"),
+    )
+    mae1 = F.sum("__e1") / F.count("__e1")
+    maes = F.sum("__es") / F.count("__es")
+    return scored.groupBy(*keys).agg(
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(maes, 6).alias("mae_seasonal"),
+        F.round(
+            F.when(mae1 > 0, maes / mae1), 6
+        ).alias("seasonal_vs_naive"),
+        F.count("__e1").alias("n_scored"),
+    )

@@ -712,3 +712,106 @@ def acf_daily(spark, sf_dir):
         snap(F.corr("total", "l3")).alias("acf3"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(value / 50.0) AS INT), 0), 9)
+               AS bin,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS side
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    c AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1
+      FROM b GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT *, sum(n0) OVER (PARTITION BY event_type) AS t0,
+                sum(n1) OVER (PARTITION BY event_type) AS t1
+      FROM c
+    )
+    SELECT event_type,
+           round(sum(
+             ((CAST(n0 AS DOUBLE) + 0.5) / (CAST(t0 AS DOUBLE) + 5.0)
+              - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))
+             * ln(((CAST(n0 AS DOUBLE) + 0.5) / (CAST(t0 AS DOUBLE) + 5.0))
+                  / ((CAST(n1 AS DOUBLE) + 0.5)
+                     / (CAST(t1 AS DOUBLE) + 5.0)))), 6) AS psi,
+           CAST(sum(n0) AS BIGINT) AS n_baseline,
+           CAST(sum(n1) AS BIGINT) AS n_compare
+    FROM t GROUP BY event_type
+    """,
+)
+def psi_value_drift(spark, sf_dir):
+    """Population Stability Index of each type's value distribution,
+    first half of the month vs second — the standard drift monitor
+    (PSI < 0.1 stable), computed on a fixed 10-bin grid with add-0.5
+    smoothing (operators/timeseries.py:psi_drift)."""
+    from timeseries_spark.operators.timeseries import psi_drift
+
+    events = load(spark, sf_dir, "events")
+    return psi_drift(
+        events,
+        keys=["event_type"],
+        value_col="value",
+        split_col=F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1),
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )
+
+
+@query(
+    "seasonal_naive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    lagd AS (
+      SELECT event_type, total,
+             lag(total, 1) OVER w AS f1,
+             lag(total, 7) OVER w AS fs
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type,
+             CASE WHEN f1 IS NOT NULL AND fs IS NOT NULL
+                  THEN abs(total - f1) END AS e1,
+             CASE WHEN f1 IS NOT NULL AND fs IS NOT NULL
+                  THEN abs(total - fs) END AS es
+      FROM lagd
+    )
+    SELECT event_type,
+           round(sum(e1) / count(e1), 6) AS mae_naive,
+           round(sum(es) / count(es), 6) AS mae_seasonal,
+           round(CASE WHEN sum(e1) / count(e1) > 0 THEN
+             (sum(es) / count(es)) / (sum(e1) / count(e1)) END, 6)
+             AS seasonal_vs_naive,
+           count(e1) AS n_scored
+    FROM scored GROUP BY event_type
+    """,
+)
+def seasonal_naive_eval_q(spark, sf_dir):
+    """Forecast-baseline scorecard per daily series: MAE of the naive
+    (lag-1) and seasonal-naive (lag-7) forecasts on the same rows,
+    plus their ratio — whether a series has exploitable weekly
+    structure before any model is fit
+    (operators/timeseries.py:seasonal_naive_eval)."""
+    from timeseries_spark.operators.timeseries import seasonal_naive_eval
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return seasonal_naive_eval(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        season=7,
+    )
