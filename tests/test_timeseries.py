@@ -334,3 +334,48 @@ def test_drift_eval_plans_keyed(spark):
         p = _plan(spark, name)
         assert "SinglePartition" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_holt_matches_recurrence_and_catches_trend(spark):
+    from timeseries_spark.operators.timeseries import holt_linear
+
+    xs = [4043.85, 3989.69, 2904.04, 4001.68, 2671.88]
+    df = spark.createDataFrame(
+        [("a", i + 1, x) for i, x in enumerate(xs)], "k string, t int, v double"
+    )
+    got = {
+        r["t"]: r
+        for r in holt_linear(df, ["k"], "t", "v", 0.5, 0.3).collect()
+    }
+    import math
+
+    l, b = xs[0], 0.0
+    snap = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert got[1]["level"] == snap(l) and got[1]["trend"] == 0.0
+    for t, x in enumerate(xs[1:], start=2):
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+        assert got[t]["level"] == snap(l), t
+        assert got[t]["trend"] == snap(b), t
+        assert got[t]["forecast_next"] == snap(l + b), t
+
+    # a perfectly linear ramp: trend converges toward the true slope
+    # and the forecast tracks the next value far better than an EMA
+    ramp = spark.createDataFrame(
+        [("r", t, float(10 * t)) for t in range(1, 21)],
+        "k string, t int, v double",
+    )
+    out = {r["t"]: r for r in holt_linear(ramp, ["k"], "t", "v", 0.5, 0.3).collect()}
+    assert abs(out[20]["trend"] - 10.0) < 1.0
+    assert abs(out[20]["forecast_next"] - 210.0) < 3.0
+    with pytest.raises(ValueError):
+        holt_linear(ramp, ["k"], "t", "v", 0.0, 0.3)
+    with pytest.raises(ValueError):
+        holt_linear(ramp, ["k"], "t", "v", 0.5, 1.5)
+
+
+def test_holt_plan_stays_keyed(spark):
+    p = _plan(spark, "holt_daily")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p

@@ -534,3 +534,54 @@ def seasonal_naive_eval(
         ).alias("seasonal_vs_naive"),
         F.count("__e1").alias("n_scored"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    gamma: float,
+) -> DataFrame:
+    """Holt's double-exponential smoothing: level l_t = α·x_t +
+    (1-α)·(l_{t-1} + b_{t-1}) and trend b_t = γ·(l_t - l_{t-1}) +
+    (1-γ)·b_{t-1}, seeded l_1 = x_1, b_1 = 0 — the one-step-ahead
+    forecaster (l_t + b_t) for trending series that a plain EMA lags
+    behind. Like ``ema``, the two-variable recurrence is a left fold
+    over the ordered prefix array with a struct accumulator — plain
+    double ops in a fixed order (no libm), so any engine replaying
+    the fold is bit-identical; state is bounded by series length
+    (apply at series grain). Values must be non-null (densify first).
+    Output columns: level, trend, forecast_next (4dp floor-snapped).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < gamma <= 1.0:
+        raise ValueError(f"gamma must be in (0, 1], got {gamma}")
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, g = float(alpha), float(gamma)
+    # the new level appears inside the trend update too — inline it
+    # verbatim so the oracle fold replays the exact same double ops
+    new_l = f"({a} * e + {1.0 - a} * (acc.l + acc.b))"
+    fold = (
+        "aggregate(__xs, "
+        "cast(null as struct<x: double, l: double, b: double>), "
+        "(acc, e) -> CASE WHEN acc IS NULL THEN "
+        "named_struct('x', e, 'l', e, 'b', cast(0.0 as double)) "
+        "ELSE named_struct('x', e, "
+        f"'l', {new_l}, "
+        f"'b', {g} * ({new_l} - acc.l) + {1.0 - g} * acc.b) END)"
+    )
+    snap = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    res = F.expr(fold)
+    return (
+        df.withColumn("__xs", xs)
+        .withColumn("level", snap(res["l"]))
+        .withColumn("trend", snap(res["b"]))
+        .withColumn("forecast_next", snap(res["l"] + res["b"]))
+        .drop("__xs")
+    )

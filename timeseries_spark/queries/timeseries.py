@@ -815,3 +815,62 @@ def seasonal_naive_eval_q(spark, sf_dir):
         daily, keys=["event_type"], order_col="day", value_col="total",
         season=7,
     )
+
+
+@query(
+    "holt_daily",
+    # NOTE the oracle replays the recurrence as a RECURSIVE CTE, not a
+    # list_reduce struct fold: DuckDB 1.0.0's list_reduce mutates the
+    # accumulator in place during field evaluation, so a later struct
+    # field reading acc.l sees the NEW level — coupled two-variable
+    # recurrences silently corrupt (repro: tr := acc.lv after
+    # lv := acc.lv + x returns the updated lv). The CTE steps the exact
+    # same double ops one rank at a time, bit-identical to the fold.
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    ranked AS (
+      SELECT event_type, day, total,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT event_type, rn, day, total,
+             total::DOUBLE AS l, 0.0::DOUBLE AS b
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.total,
+             0.5 * d.total + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * d.total + 0.5 * (r.l + r.b)) - r.l)
+               + 0.7 * r.b
+      FROM rec r JOIN ranked d
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1
+    )
+    SELECT event_type, day, total,
+           floor(l * 10000 + 0.5) / 10000 AS level,
+           floor(b * 10000 + 0.5) / 10000 AS trend,
+           floor((l + b) * 10000 + 0.5) / 10000 AS forecast_next
+    FROM rec
+    """,
+)
+def holt_daily(spark, sf_dir):
+    """Holt double-exponential smoothing (alpha=0.5, gamma=0.3) of the
+    daily per-type totals: level + trend recurrence as a struct-fold
+    over the ordered prefix, with the one-step forecast level+trend —
+    fold-for-fold identical to the oracle's list_reduce
+    (operators/timeseries.py:holt_linear)."""
+    from timeseries_spark.operators.timeseries import holt_linear
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return holt_linear(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        alpha=0.5, gamma=0.3,
+    )
