@@ -50,6 +50,9 @@ HEADLINE = [
     "pagerank_parts_suppliers",  # round-5b: 3-round link analysis
     "token_cooccurrence_topk",  # round-5b: pair mining (bounded self-join)
     "logreg_quality_train",  # round-5b: in-engine GD training loop
+    "source_divergence",  # round-5c: token-grain entropy/KL mix diagnostics
+    "downsample_m4",  # round-5c: min_by/max_by M4 downsample at event grain
+    "funnel_view_click_purchase",  # round-5c: chained conditional-min funnel
 ]
 
 

@@ -379,3 +379,26 @@ def test_holt_plan_stays_keyed(spark):
     p = _plan(spark, "holt_daily")
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_winsorize_clamps_only_tails(spark):
+    from timeseries_spark.operators.timeseries import winsorize
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, i int, v double"
+    )
+    out = {r["v"]: r for r in winsorize(df, ["k"], "v", 0.05, 0.95).collect()}
+    # p05 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+    assert out[1.0]["clamped"] == 5.95 and out[1.0]["was_clipped"] is True
+    assert out[100.0]["clamped"] == 95.05 and out[100.0]["was_clipped"] is True
+    assert out[50.0]["clamped"] == 50.0 and out[50.0]["was_clipped"] is False
+    assert sum(1 for r in out.values() if r["was_clipped"]) == 10
+    with pytest.raises(ValueError):
+        winsorize(df, ["k"], "v", 0.5, 0.5)
+
+
+def test_winsorize_plan_broadcasts_bands(spark):
+    p = _plan(spark, "winsorized_values")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -585,3 +585,40 @@ def holt_linear(
         .withColumn("forecast_next", snap(res["l"] + res["b"]))
         .drop("__xs")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+) -> DataFrame:
+    """Group-wise winsorization: clamp each value into its own group's
+    [p_lo, p_hi] percentile band — the robust outlier treatment that
+    keeps row count intact (unlike a filter) while bounding the moments
+    a downstream mean/stddev sees. Two passes over the data sharing one
+    key grain: an exact-percentile aggregate per key (at 100 TB swap
+    ``percentile`` for ``approx_percentile``'s mergeable t-digest, the
+    same opt-in as the exact distinct counts), broadcast back onto the
+    rows when the key cardinality is dimension-sized. Adds ``clamped``
+    and ``was_clipped``.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    bands = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {p_lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {p_hi})").alias("__hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bands), list(keys))
+        .withColumn(
+            "clamped",
+            F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 4),
+        )
+        .withColumn(
+            "was_clipped", (v < F.col("__lo")) | (v > F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

@@ -874,3 +874,35 @@ def holt_daily(spark, sf_dir):
         daily, keys=["event_type"], order_col="day", value_col="total",
         alpha=0.5, gamma=0.3,
     )
+
+
+@query(
+    "winsorized_values",
+    oracle="""
+    WITH bands AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(least(greatest(e.value, b.lo), b.hi), 4) AS clamped,
+           e.value < b.lo OR e.value > b.hi AS was_clipped
+    FROM events e JOIN bands b USING (event_type)
+    """,
+)
+def winsorized_values(spark, sf_dir):
+    """Group-wise winsorization of the event values at each type's own
+    [p05, p95] band — outlier clamping that keeps row count intact;
+    exact percentiles per key broadcast back onto the rows
+    (operators/timeseries.py:winsorize)."""
+    from timeseries_spark.operators.timeseries import winsorize
+
+    events = load(spark, sf_dir, "events")
+    return winsorize(
+        events.select("event_id", "event_type", "value"),
+        keys=["event_type"],
+        value_col="value",
+        p_lo=0.05,
+        p_hi=0.95,
+    )
