@@ -1192,3 +1192,21 @@ def test_source_divergence_hand_checked(spark):
                               "doc_id long, text string, source string")
     ).collect()[0]
     assert solo["kl_vs_corpus"] == 0.0
+
+
+def test_rank_normalize_ties_and_singletons(spark):
+    from timeseries_spark.extensions.text import rank_normalize
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40), (5, "a", 50),
+        (6, "b", 999),  # singleton stratum -> rank 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, m long")
+    got = {
+        r["doc_id"]: r["pct_rank"]
+        for r in rank_normalize(df, "source", F.col("m")).collect()
+    }
+    assert got[1] == 0.0 and got[5] == 1.0
+    assert got[2] == got[3] == 0.25  # ties share (rank-1)/(n-1)
+    assert got[4] == 0.75
+    assert got[6] == 0.0

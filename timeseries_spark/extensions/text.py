@@ -656,3 +656,30 @@ def encode_tokens(
             F.transform("pt", lambda t: t["tid"]).alias("token_ids"),
         )
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    strata_col: str = "source",
+    metric: Column | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Quantile-normalize a quality metric WITHIN each stratum: replace
+    the raw value by its percent rank (0 = stratum minimum, 1 = maximum)
+    so scores are comparable across sources whose raw scales don't
+    transfer — the rank twin of relative_quality_filter's cutoff (keep
+    that for filtering; use this when a downstream mixer wants a
+    continuous, uniformly-distributed score). Ties share a rank (both
+    engines define percent_rank as (rank-1)/(n-1)), so the output is
+    deterministic under any row order; a single-row stratum scores 0.
+    One keyed window sort — no SinglePartition, no value collection.
+    """
+    metric = metric if metric is not None else F.size(ws_tokens(F.col("text")))
+    w = Window.partitionBy(strata_col).orderBy(F.col("__metric"))
+    return (
+        df.withColumn("__metric", metric)
+        .withColumn(
+            out_col, F.round(F.percent_rank().over(w), 6)
+        )
+        .withColumnRenamed("__metric", "metric_value")
+    )

@@ -585,3 +585,27 @@ def source_divergence_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return source_divergence(docs)
+
+
+@query(
+    "rank_normalized_length",
+    oracle="""
+    SELECT doc_id, source, n_chars AS metric_value,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+    FROM documents
+    """,
+)
+def rank_normalized_length(spark, sf_dir):
+    """Cross-source score calibration: each doc's length mapped to its
+    percent rank WITHIN its source (0 = shortest, 1 = longest there) —
+    the uniform score a mixer thresholds when raw scales don't transfer
+    across sources (extensions/text.py:rank_normalize)."""
+    from timeseries_spark.extensions.text import rank_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    return rank_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        strata_col="source",
+        metric=F.col("n_chars"),
+    ).drop("n_chars")
