@@ -1210,3 +1210,20 @@ def test_rank_normalize_ties_and_singletons(spark):
     assert got[2] == got[3] == 0.25  # ties share (rank-1)/(n-1)
     assert got[4] == 0.75
     assert got[6] == 0.0
+
+
+def test_distinctive_tokens_flags_exclusive_vocab(spark):
+    from timeseries_spark.extensions.text import distinctive_tokens
+
+    rows = [
+        (1, "alpha alpha alpha common common", "A"),
+        (2, "beta beta beta common common", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = distinctive_tokens(df, top_k=1).collect()
+    top = {r["source"]: r["token"] for r in got}
+    assert top == {"A": "alpha", "B": "beta"}
+    for r in got:
+        assert r["log_odds"] > 0 and r["rn"] == 1
+    with pytest.raises(ValueError):
+        distinctive_tokens(df, top_k=0)

@@ -683,3 +683,63 @@ def rank_normalize(
         )
         .withColumnRenamed("__metric", "metric_value")
     )
+
+
+def distinctive_tokens(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """The top-k tokens that DISTINGUISH each source from the rest of
+    the corpus, ranked by add-k-smoothed log-odds ratio: lo(t) =
+    ln((n_st + k)/(N_s - n_st + k)) - ln((n_rt + k)/(N_r - n_rt + k)),
+    where r is everything outside s — the Monroe et al. "fightin'
+    words" statistic that, unlike raw TF-IDF, is symmetric and finite
+    for tokens absent elsewhere. The companion diagnostic to
+    source_divergence: KL says HOW off-distribution a source is, this
+    says WHICH tokens carry it. Same plan skeleton: one token-grain
+    shuffle, broadcast totals, then a per-source top-k window over
+    vocab-sized groups (ties broken by token for engine-stable ranks).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    k = float(smoothing)
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    cnt = toks.groupBy("__g", "token").agg(F.count(F.lit(1)).alias("n"))
+    per_source = cnt.groupBy("__g").agg(F.sum("n").alias("__st"))
+    pooled = cnt.groupBy("token").agg(F.sum("n").alias("__gn"))
+    grand = per_source.groupBy().agg(F.sum("__st").alias("__grand"))
+    n_st = F.col("n").cast("double")
+    st = F.col("__st").cast("double")
+    n_rt = (F.col("__gn") - F.col("n")).cast("double")
+    rt = (F.col("__grand") - F.col("__st")).cast("double")
+    lo = F.log((n_st + k) / (st - n_st + k)) - F.log(
+        (n_rt + k) / (rt - n_rt + k)
+    )
+    scored = (
+        cnt.join(pooled, "token")
+        .join(F.broadcast(per_source), "__g")
+        .crossJoin(F.broadcast(grand))
+        .select("__g", "token", "n", F.round(lo, 6).alias("log_odds"))
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("log_odds").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            F.col("__g").alias(group_col),
+            "token",
+            F.col("n").alias("n_in_source"),
+            "log_odds",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -609,3 +609,50 @@ def rank_normalized_length(spark, sf_dir):
         strata_col="source",
         metric=F.col("n_chars"),
     ).drop("n_chars")
+
+
+@query(
+    "distinctive_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, count(*) AS n FROM toks GROUP BY source, token
+    ),
+    per_source AS (SELECT source, sum(n) AS st FROM cnt GROUP BY source),
+    pooled AS (SELECT token, sum(n) AS gn FROM cnt GROUP BY token),
+    grand AS (SELECT sum(st) AS g FROM per_source),
+    scored AS (
+      SELECT c.source, c.token, c.n,
+             round(
+               ln((CAST(c.n AS DOUBLE) + 0.5)
+                  / (CAST(ps.st AS DOUBLE) - CAST(c.n AS DOUBLE) + 0.5))
+               - ln((CAST(p.gn AS DOUBLE) - CAST(c.n AS DOUBLE) + 0.5)
+                    / ((CAST(gr.g AS DOUBLE) - CAST(ps.st AS DOUBLE))
+                       - (CAST(p.gn AS DOUBLE) - CAST(c.n AS DOUBLE))
+                       + 0.5)), 6) AS log_odds
+      FROM cnt c
+      JOIN per_source ps USING (source)
+      JOIN pooled p USING (token)
+      CROSS JOIN grand gr
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY log_odds DESC, token) AS rn
+      FROM scored
+    )
+    SELECT source, token, n AS n_in_source, log_odds, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def distinctive_tokens_q(spark, sf_dir):
+    """'Fightin' words': per source, the 5 tokens with the highest
+    smoothed log-odds of appearing there vs the rest of the corpus —
+    WHICH vocabulary carries the divergence source_divergence measures
+    (extensions/text.py:distinctive_tokens)."""
+    from timeseries_spark.extensions.text import distinctive_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return distinctive_tokens(docs)
