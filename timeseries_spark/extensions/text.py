@@ -523,7 +523,14 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # the unigram table is consumed twice (model totals + doc scoring)
+    # while its lineage is a full corpus explode — without a persist the
+    # corpus is re-scanned and re-exploded per consumer (measured: 3
+    # parquet scans). The cache entry is vocab-sized, the same bounded
+    # footprint argument as bm25_topk's matched postings.
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
     # totals are INTEGER aggregates (sum of counts, vocab size) — order-
     # independent by associativity, so no sorted-fold pinning is needed
     # and the vocabulary never funnels into a one-row collected array

@@ -451,11 +451,15 @@ def heavy_hitters_cms(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
     counters = cms_counters(toks, "token", depth=4, width=256)
+    # exact is consumed twice (probe keys + the comparison join) and its
+    # lineage is a full corpus explode — persist the 20-row result so
+    # the sketch-vs-exact diagnostic costs two corpus reads, not three
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), "token")
         .limit(20)
+        .persist()
     )
     est = cms_estimate(
         exact.select("token"), counters, "token", depth=4, width=256
