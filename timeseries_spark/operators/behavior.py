@@ -41,12 +41,18 @@ def funnel_counts(
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {list(steps)}")
     u = F.col(user_col)
-    # stage k's cohort is the anchor chain cut at k; count each cut
+    # stage k's cohort is the anchor chain cut at k; count each cut.
+    # Each cut is PERSISTED (one (user, ts) row per surviving user, the
+    # bounded footprint) because it is consumed twice — by the next
+    # stage's join and by its own count — and without the cache stage
+    # k's lineage re-scans the event table k times (measured: 6 scans
+    # for a 3-step funnel, vs one filtered scan per step with it).
     counts = []
     cohort = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(u.alias("__u"))
         .agg(F.min(ts_col).alias("__t"))
+        .persist()
     )
     counts.append(cohort.agg(F.count(F.lit(1)).alias(f"n_{steps[0]}")))
     for step in steps[1:]:
@@ -58,6 +64,7 @@ def funnel_counts(
             .filter(F.col("__ts") > F.col("__t"))
             .groupBy("__u")
             .agg(F.min("__ts").alias("__t"))
+            .persist()
         )
         counts.append(cohort.agg(F.count(F.lit(1)).alias(f"n_{step}")))
     out = counts[0]
