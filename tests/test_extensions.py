@@ -1227,3 +1227,34 @@ def test_distinctive_tokens_flags_exclusive_vocab(spark):
         assert r["log_odds"] > 0 and r["rn"] == 1
     with pytest.raises(ValueError):
         distinctive_tokens(df, top_k=0)
+
+
+def test_bigram_logprob_hand_checked(spark):
+    """Exact hand computation on a 3-doc corpus, plus the ranking
+    property: a doc repeating the corpus's dominant transition outscores
+    one whose transitions are each unique; single-token docs vanish."""
+    import math
+
+    from timeseries_spark.extensions.text import bigram_logprob
+
+    rows = [
+        (1, "a b a b a b"),  # transitions: ab ba ab ba ab
+        (2, "c d"),          # one transition, unique
+        (3, "x"),            # no transitions -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(got) == {1, 2}
+    # corpus bigrams: (a,b)x3 (b,a)x2 (c,d)x1; contexts a=3 b=2 c=1; V=5
+    k, V = 0.5, 5.0
+    lp_ab = math.log((3 + k) / (3 + k * V))
+    lp_ba = math.log((2 + k) / (2 + k * V))
+    lp_cd = math.log((1 + k) / (1 + k * V))
+    m1 = (3 * lp_ab + 2 * lp_ba) / 5
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["mean_logprob"] == round(m1, 6)
+    assert got[1]["perplexity"] == round(math.exp(-m1), 6)
+    assert got[2]["mean_logprob"] == round(lp_cd, 6)
+    assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
+    with pytest.raises(ValueError, match="smoothing"):
+        bigram_logprob(df, smoothing=-1.0)

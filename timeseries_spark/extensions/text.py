@@ -565,6 +565,92 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean bigram log-probability and perplexity under the
+    corpus's own add-k-smoothed bigram model — the KenLM-style quality
+    filter one step up from :func:`unigram_logprob`: a doc whose token
+    *transitions* are unusual (shuffled text, boilerplate keyword
+    stuffing) scores low even when its unigrams look fluent. Model:
+    p(cur|prev) = (c(prev,cur) + k) / (c(prev,·) + k·|V|), with |V| the
+    unigram vocabulary so unseen continuations stay finite.
+
+    Determinism discipline matches unigram_logprob: the per-doc sum
+    folds transitions in POSITION order (collect_list sorted by pos →
+    left fold), never an order-dependent float groupBy; perplexity is
+    exp(-mean) of the *unrounded* mean so both engines round once.
+    Docs with <2 tokens have no transitions and are absent from the
+    output (same rule in the oracle).
+
+    Plan shape: one doc-keyed window builds the transition stream (lag
+    over pos), the bigram table is one (prev,cur) shuffle with its
+    context totals as a window sum over the table itself (bigram-vocab-
+    bounded state, no corpus re-scan), |V| is a one-row broadcast from
+    a flat second pass, and scoring joins the transition stream back to
+    the persisted bigram table — the corpus text is read twice, every
+    other exchange is vocabulary-sized.
+
+    Output: (id, n_bigrams, mean_logprob 6dp, perplexity 6dp)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.select(
+            "id",
+            "pos",
+            F.lag("token").over(w_doc).alias("prev"),
+            F.col("token").alias("cur"),
+        )
+        .where(F.col("prev").isNotNull())
+    )
+    # bigram table consumed twice (context sums + scoring join) over an
+    # exploded-corpus lineage — persist the vocab²-bounded counts, same
+    # argument as unigram_logprob's cached unigram table
+    cnt = (
+        big.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cn", F.sum("n").over(Window.partitionBy("prev")))
+        .persist()
+    )
+    vocab = toks.agg(F.countDistinct("token").alias("__v"))
+    lp = (
+        big.join(cnt, ["prev", "cur"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "pos",
+            F.log(
+                (F.col("n").cast("double") + F.lit(smoothing))
+                / (
+                    F.col("cn").cast("double")
+                    + F.lit(smoothing) * F.col("__v").cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    mean = F.aggregate(
+        "ps", F.lit(0.0), lambda a, t: a + t["lp"]
+    ) / F.size("ps")
+    return (
+        lp.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("ps"))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("ps").cast("bigint").alias("n_bigrams"),
+            F.round(mean, 6).alias("mean_logprob"),
+            F.round(F.exp(-mean), 6).alias("perplexity"),
+        )
+    )
+
+
 def _token_stats(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

@@ -512,6 +512,65 @@ def unigram_logprob_q(spark, sf_dir):
 
 
 @query(
+    "bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT id, g.i AS pos, ts[g.i] AS token
+      FROM (SELECT doc_id AS id, string_split(text, ' ') AS ts
+            FROM documents),
+           unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    vocab AS (
+      SELECT count(DISTINCT token) AS v FROM toks
+    ),
+    big AS (
+      SELECT id, pos,
+             lag(token) OVER (PARTITION BY id ORDER BY pos) AS prev,
+             token AS cur
+      FROM toks
+      QUALIFY prev IS NOT NULL
+    ),
+    cnt AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM big GROUP BY prev, cur
+    ),
+    ctx AS (
+      SELECT prev, sum(n) AS cn FROM cnt GROUP BY prev
+    ),
+    lp AS (
+      SELECT b.id, b.pos,
+             ln((c.n::DOUBLE + 0.5)
+                / (x.cn::DOUBLE + 0.5 * v.v)) AS lp
+      FROM big b
+      JOIN cnt c ON b.prev = c.prev AND b.cur = c.cur
+      JOIN ctx x ON b.prev = x.prev
+      CROSS JOIN vocab v
+    ),
+    folded AS (
+      SELECT id, list(lp ORDER BY pos) AS ps FROM lp GROUP BY id
+    )
+    SELECT id AS doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(0.0::DOUBLE, ps),
+                             (a, b) -> a + b) / len(ps), 6) AS mean_logprob,
+           round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, ps),
+                                   (a, b) -> a + b) / len(ps))), 6)
+             AS perplexity
+    FROM folded
+    """,
+)
+def bigram_logprob_q(spark, sf_dir):
+    """KenLM-style quality filter: per-doc mean bigram log-probability
+    and perplexity under the corpus's own add-0.5-smoothed bigram model.
+    Catches unusual token *transitions* (shuffled text, keyword
+    stuffing) that unigram scoring misses. Transition sums fold in
+    position order in BOTH engines, so scores are exact matches."""
+    from timeseries_spark.extensions.text import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+@query(
     "tokenized_docs",
     oracle="""
     WITH vocab AS (
