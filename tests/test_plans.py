@@ -374,3 +374,19 @@ def test_late_round5_plan_shapes(plan):
     # the only SinglePartition input is the register aggregate (<=2^p
     # rows per group) — assert the value stream reduced first
     assert p.count("SortMergeJoin") == 0
+
+
+def test_bigram_logprob_plan_shape(plan):
+    """Bigram LM scoring keeps its claimed shape: the |V| total crosses
+    as a one-row broadcast (never a cartesian), the bigram table joins
+    back to the corpus-sized transition stream as a shuffle join on the
+    composite (prev,cur) key, and the whole pipeline stays within its
+    shuffle budget: doc window + bigram groupBy + context window +
+    scoring join + final fold. The transition stream is re-derived for
+    scoring rather than persisted (it is corpus-sized; only the vocab-
+    bounded bigram table caches), so the doc window runs twice — 7
+    exchanges total, all key-partitioned, none corpus-collecting."""
+    p = plan("bigram_logprob")
+    assert p.count("CartesianProduct") == 0
+    assert p.count("BroadcastNestedLoopJoin") // 2 <= 1  # the 1-row |V|
+    assert shuffles(p) <= 7
