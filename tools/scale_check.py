@@ -255,6 +255,52 @@ def main() -> None:
         "rows1": li1.count(), "rowsN": liN.count(),
     }))
 
+    # source_divergence: replicas get disjoint token prefixes AND their
+    # own source labels, so vocabulary, source count, and corpus size
+    # all scale Nx together — the honest analogue of onboarding N new
+    # crawl sources at once.
+    from timeseries_spark.extensions.text import source_divergence
+
+    sd1 = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    sdN = (
+        sd1.crossJoin(
+            F.broadcast(
+                spark.range(n_rep).select(F.col("id").alias("__r"))
+            )
+        )
+        .select(
+            (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(
+                        F.lit("r"), F.col("__r").cast("string"),
+                        F.lit("_"), t,
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            F.concat(
+                F.col("source"), F.lit("_r"), F.col("__r").cast("string")
+            ).alias("source"),
+        )
+        .localCheckpoint()
+    )
+    sd1 = sd1.localCheckpoint()
+
+    def sdiv(d):
+        return lambda: source_divergence(d).count()
+
+    t1 = time_warm(sdiv(sd1))
+    tN = time_warm(sdiv(sdN))
+    print(json.dumps({
+        "name": "source_divergence", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+        "rows1": sd1.count(), "rowsN": sdN.count(),
+    }))
+
 
 if __name__ == "__main__":
     main()
