@@ -53,6 +53,7 @@ HEADLINE = [
     "source_divergence",  # round-5c: token-grain entropy/KL mix diagnostics
     "downsample_m4",  # round-5c: min_by/max_by M4 downsample at event grain
     "funnel_view_click_purchase",  # round-5c: chained conditional-min funnel
+    "bigram_logprob",  # round-5d: bigram-LM perplexity quality filter
 ]
 
 
