@@ -1258,3 +1258,22 @@ def test_bigram_logprob_hand_checked(spark):
     assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
     with pytest.raises(ValueError, match="smoothing"):
         bigram_logprob(df, smoothing=-1.0)
+
+
+def test_bigram_logprob_row_order_invariant(spark):
+    """The position-order fold discipline must make scores independent
+    of corpus row order and partitioning — the property that lets the
+    oracle hash-match across engines: same corpus loaded in reversed
+    order and a different partition count yields byte-identical rows."""
+    from timeseries_spark.extensions.text import bigram_logprob
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(i % 6 + 2)))
+        for i in range(40)
+    ]
+    schema = "doc_id bigint, text string"
+    a = spark.createDataFrame(rows, schema).repartition(8)
+    b = spark.createDataFrame(rows[::-1], schema).repartition(3)
+    ra = sorted(map(tuple, bigram_logprob(a).collect()))
+    rb = sorted(map(tuple, bigram_logprob(b).collect()))
+    assert ra == rb
