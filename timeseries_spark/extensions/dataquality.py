@@ -1,0 +1,154 @@
+"""Declarative data-quality constraint suite (Deequ-style), compiled to
+a SINGLE aggregate scan.
+
+A 100 TB ingestion pipeline wants its validation pass to cost one read:
+every declared constraint — completeness, uniqueness, bounds, set
+membership, row count — lowers to an aggregate expression over the same
+``groupBy().agg(...)`` so the whole suite is ONE scan + ONE single-row
+reduce (the only SinglePartition exchange carries |constraints| partial
+aggregates, never data rows). Referential-integrity checks are the one
+shape that genuinely needs a second input; they compile to a left-anti
+equi join whose violation COUNT reduces map-side before the final
+single-row union.
+
+The output is the long-form report a quality dashboard ingests:
+``(check_name, metric, threshold, passed)`` — one row per declared
+constraint, metric rounded to 6dp so cross-engine replay is exact.
+
+The reference has no validation surface at all (its scripts trust their
+inputs; cf. the unchecked ``os.path.exists`` on gs:// discussed in
+SURVEY §2.1/S9) — this is part of the beyond-parity training-pipeline
+layer, modeled on the public Deequ/Great-Expectations check taxonomy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint: ``name`` labels the report row,
+    ``metric`` is the aggregate expression evaluated in the shared
+    single-pass agg, ``passed`` is a predicate over that metric's
+    value. ``threshold`` is echoed into the report for dashboards."""
+
+    name: str
+    metric: Column
+    threshold: float
+    # direction: metric >= threshold passes when ge=True, else <=
+    ge: bool = True
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of rows with a non-null ``col`` (0.0 for an empty
+    input, which fails any positive threshold — loud, not vacuous)."""
+    m = F.coalesce(
+        F.avg(F.when(F.col(col).isNotNull(), 1.0).otherwise(0.0)), F.lit(0.0)
+    )
+    return Check(f"completeness({col})", m, min_ratio)
+
+
+def uniqueness(col: str, min_ratio: float = 1.0) -> Check:
+    """count(distinct col) / count(col) over non-null values."""
+    m = F.when(F.count(col) == 0, 0.0).otherwise(
+        F.countDistinct(col).cast("double") / F.count(col)
+    )
+    return Check(f"uniqueness({col})", m, min_ratio)
+
+
+def min_value(col: str, at_least: float) -> Check:
+    return Check(f"min({col})", F.min(col).cast("double"), at_least)
+
+
+def max_value(col: str, at_most: float) -> Check:
+    return Check(f"max({col})", F.max(col).cast("double"), at_most, ge=False)
+
+
+def in_set(col: str, allowed: Sequence[str], min_ratio: float = 1.0) -> Check:
+    """Fraction of rows whose ``col`` is one of ``allowed`` (nulls
+    count as violations — declare a separate completeness check if
+    nulls are legal)."""
+    m = F.coalesce(
+        F.avg(F.when(F.col(col).isin(list(allowed)), 1.0).otherwise(0.0)),
+        F.lit(0.0),
+    )
+    return Check(f"in_set({col})", m, min_ratio)
+
+
+def row_count(at_least: int) -> Check:
+    return Check("row_count", F.count(F.lit(1)).cast("double"), float(at_least))
+
+
+def matches_regex(col: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    m = F.coalesce(
+        F.avg(
+            F.when(F.col(col).rlike(pattern), 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+    )
+    return Check(f"matches({col})", m, min_ratio)
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Compile every declared check into ONE aggregate pass and return
+    the long-form report. The wide→long unpivot happens on the single
+    aggregated row (|constraints| columns), so it is free at any scale.
+    """
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {sorted(names)}")
+    agged = df.agg(
+        *[c.metric.cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    rows = [
+        F.struct(
+            F.lit(c.name).alias("check_name"),
+            (F.round(F.col(f"__m{i}"), 6)).alias("metric"),
+            F.lit(float(c.threshold)).alias("threshold"),
+            (
+                F.col(f"__m{i}") >= F.lit(float(c.threshold))
+                if c.ge
+                else F.col(f"__m{i}") <= F.lit(float(c.threshold))
+            ).alias("passed"),
+        )
+        for i, c in enumerate(checks)
+    ]
+    return agged.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.check_name", "r.metric", "r.threshold", "r.passed")
+
+
+def referential_check(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential integrity as a report row: count of non-null child
+    keys with no matching parent (left-anti equi join — at 100 TB both
+    sides shuffle on the key once; no broadcast assumption because the
+    parent of a fact table is routinely large too). Passes iff zero
+    orphans. Same report schema as ``run_checks`` so callers union."""
+    label = name or f"referential({child_key})"
+    orphans = (
+        child.where(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            on=child_key,
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    )
+    return orphans.select(
+        F.lit(label).alias("check_name"),
+        F.round(F.col("__m"), 6).alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        (F.col("__m") <= 0.0).alias("passed"),
+    )

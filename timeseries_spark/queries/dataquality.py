@@ -1,0 +1,154 @@
+"""Data-quality / governance queries: the Deequ-style constraint suite
+and an SCD Type-2 history build. Both are beyond-reference surface (the
+reference trusts its inputs and rewrites outputs wholesale) but are the
+first two operators a production warehouse bolts onto any ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseries_spark.extensions.dataquality import (
+    completeness,
+    in_set,
+    matches_regex,
+    max_value,
+    min_value,
+    referential_check,
+    row_count,
+    run_checks,
+    uniqueness,
+)
+from timeseries_spark.queries import load, query
+from timeseries_spark.queries.timeseries import _epoch_us
+
+
+@query(
+    "dq_constraints",
+    oracle="""
+    WITH base AS (
+      SELECT
+        avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp,
+        CASE WHEN count(o_orderkey) = 0 THEN 0.0
+             ELSE CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                  / count(o_orderkey) END AS uniq,
+        CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        CAST(max(o_totalprice) AS DOUBLE) AS mx,
+        avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0
+                 ELSE 0.0 END) AS inset,
+        avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1.0 ELSE 0.0 END) AS rx,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM orders
+    ),
+    orph AS (
+      SELECT CAST(count(*) AS DOUBLE) AS v FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'completeness(o_custkey)' AS check_name, round(comp, 6) AS metric,
+           CAST(1.0 AS DOUBLE) AS threshold, comp >= 1.0 AS passed FROM base
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey)', round(uniq, 6), CAST(1.0 AS DOUBLE), uniq >= 1.0
+    FROM base
+    UNION ALL
+    SELECT 'min(o_totalprice)', round(mn, 6), CAST(0.0 AS DOUBLE), mn >= 0.0 FROM base
+    UNION ALL
+    SELECT 'max(o_totalprice)', round(mx, 6), CAST(1000000.0 AS DOUBLE), mx <= 1000000.0
+    FROM base
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)', round(inset, 6), CAST(1.0 AS DOUBLE), inset >= 1.0
+    FROM base
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', round(rx, 6), CAST(1.0 AS DOUBLE), rx >= 1.0 FROM base
+    UNION ALL
+    SELECT 'row_count', round(n, 6), CAST(1.0 AS DOUBLE), n >= 1.0 FROM base
+    UNION ALL
+    SELECT 'referential(o_custkey)', round(v, 6), CAST(0.0 AS DOUBLE), v <= 0.0 FROM orph
+    """,
+)
+def dq_constraints(spark, sf_dir):
+    """Declarative validation suite over ``orders``: seven constraints
+    compiled into ONE aggregate scan (extensions/dataquality.run_checks)
+    plus a referential-integrity anti-join against ``customer``, all
+    surfaced as one long-form report. The reference has no validation
+    layer (SURVEY §2.1/S9 documents it trusting ``os.path.exists`` on
+    gs://) — this is the guard a 100 TB ingest runs before anything
+    else, at the cost of one read of the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    report = run_checks(
+        orders,
+        [
+            completeness("o_custkey"),
+            uniqueness("o_orderkey"),
+            min_value("o_totalprice", 0.0),
+            max_value("o_totalprice", 1_000_000.0),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            matches_regex("o_orderpriority", "^[1-5]-"),
+            row_count(1),
+        ],
+    )
+    ref = referential_check(orders, "o_custkey", customer, "c_custkey")
+    return report.unionByName(ref)
+
+
+@query(
+    "scd2_user_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, tus AS valid_from_us
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us)
+             AS valid_to_us,
+           (lead(valid_from_us) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from_us) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_status(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 build: collapse each user's
+    event stream into validity intervals of its ``event_type`` state —
+    ``(user_id, event_type, valid_from_us, valid_to_us, is_current)``
+    with half-open intervals chained by lead(). One shuffle total: both
+    windows and the change-point filter share the user_id partitioning,
+    so at 100 TB the plan is scan → exchange(user_id) → two sorted
+    window passes with no second exchange. This is the standard CDC →
+    dimension-history materialization the reference's overwrite-only
+    sinks (SURVEY §2.1/S8) cannot express."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            _epoch_us("ts").alias("valid_from_us"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
