@@ -622,3 +622,83 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    delta: float,
+    period: int,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing: level
+    l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1}), trend
+    b_t = γ·(l_t − l_{t−1}) + (1−γ)·b_{t−1}, season
+    s_t = δ·(x_t − l_t) + (1−δ)·s_{t−m} — the classic forecaster for
+    series with both drift and a repeating weekly/daily shape that
+    Holt alone cannot track. Seeds follow the same convention as
+    ``holt_linear`` (l_1 = x_1, b_1 = 0) with a zero seasonal vector,
+    so the first ``period`` steps learn the season from scratch — a
+    deterministic rule both engines replay exactly.
+
+    The m seasonal components ride in the accumulator as a length-m
+    queue (oldest first): each step consumes q[1] as s_{t−m} and
+    appends s_t, so state is O(period) per row and the whole
+    recurrence stays one ordered fold per series — same single
+    key-grain exchange as ``ema``/``holt_linear``; no self-joins, no
+    iteration. Values must be non-null (densify first). Output
+    columns: level, trend, seasonal (s_t), forecast_next
+    (l_t + b_t + s_{t+1−m}), all 4dp floor-snapped.
+
+    The DuckDB oracle replays this as a RECURSIVE CTE carrying the
+    queue as a DOUBLE[] — NOT a list_reduce fold, for the same
+    in-place accumulator-mutation pitfall documented on
+    ``holt_linear``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < gamma <= 1.0:
+        raise ValueError(f"gamma must be in (0, 1], got {gamma}")
+    if not 0.0 < delta <= 1.0:
+        raise ValueError(f"delta must be in (0, 1], got {delta}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, g, d, m = float(alpha), float(gamma), float(delta), int(period)
+    # the new level feeds the trend AND season updates — inline it
+    # verbatim everywhere so the oracle replays identical double ops
+    new_l = (
+        f"({a} * (e - element_at(acc.q, 1)) "
+        f"+ {1.0 - a} * (acc.l + acc.b))"
+    )
+    new_s = f"({d} * (e - {new_l}) + {1.0 - d} * element_at(acc.q, 1))"
+    fold = (
+        "aggregate(__xs, "
+        "cast(null as struct<l: double, b: double, q: array<double>>), "
+        "(acc, e) -> CASE WHEN acc IS NULL THEN "
+        "named_struct('l', e, 'b', cast(0.0 as double), "
+        f"'q', array_repeat(cast(0.0 as double), {m})) "
+        "ELSE named_struct("
+        f"'l', {new_l}, "
+        f"'b', {g} * ({new_l} - acc.l) + {1.0 - g} * acc.b, "
+        f"'q', concat(slice(acc.q, 2, {m - 1}), array({new_s}))) END)"
+    )
+    snap = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    res = F.expr(fold)
+    return (
+        df.withColumn("__xs", xs)
+        .withColumn("level", snap(res["l"]))
+        .withColumn("trend", snap(res["b"]))
+        .withColumn("seasonal", snap(F.element_at(res["q"], m)))
+        .withColumn(
+            "forecast_next",
+            snap(res["l"] + res["b"] + F.element_at(res["q"], 1)),
+        )
+        .drop("__xs")
+    )

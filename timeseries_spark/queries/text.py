@@ -719,3 +719,71 @@ def distinctive_tokens_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return distinctive_tokens(docs)
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT source, w AS token, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY source, w
+    ),
+    ranked AS (
+      SELECT source, token, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, token) AS rnk
+      FROM freq
+    )
+    SELECT source,
+           floor(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS zipf_slope,
+           floor(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS zipf_intercept,
+           floor(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS zipf_r2,
+           count(*) AS n_tokens
+    FROM ranked WHERE rnk <= 100
+    GROUP BY source
+    """,
+)
+def zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per source: OLS of log(frequency) against
+    log(rank) over each source's top-100 tokens — the corpus-health
+    fingerprint (natural text sits near slope −1; spam, boilerplate,
+    and synthetic floods bend the curve). One explode + (source, token)
+    count shuffle — the same vocabulary-grain pass every other corpus
+    diagnostic rides — then a rank window and the built-in regression
+    aggregates at source grain; the corpus itself is scanned once and
+    everything after the count table is vocabulary-sized."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source", F.explode(ws_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    ranked = freq.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 100
+    )
+    snap = lambda c: (  # noqa: E731
+        F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6
+    )
+    lf = F.log(F.col("cnt").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.groupBy("source").agg(
+        snap(F.regr_slope(lf, lr)).alias("zipf_slope"),
+        snap(F.regr_intercept(lf, lr)).alias("zipf_intercept"),
+        snap(F.regr_r2(lf, lr)).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -906,3 +906,65 @@ def winsorized_values(spark, sf_dir):
         p_lo=0.05,
         p_hi=0.95,
     )
+
+
+# Holt-Winters oracle: the coupled level/trend/season recurrence with
+# the seasonal queue carried as a DOUBLE[] through a RECURSIVE CTE (see
+# the list_reduce pitfall note on holt_daily). The new level feeds every
+# other update, so its expression is inlined verbatim — built once here
+# to keep the three copies character-identical.
+_HW_NL = "(0.5 * (d.total - r.q[1]) + 0.5 * (r.l + r.b))"
+_HW_NS = f"(0.4 * (d.total - {_HW_NL}) + 0.6 * r.q[1])"
+_HW_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    ranked AS (
+      SELECT event_type, day, total,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT event_type, rn, day, total,
+             total::DOUBLE AS l, 0.0::DOUBLE AS b,
+             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS q
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.total,
+             {_HW_NL},
+             0.3 * ({_HW_NL} - r.l) + 0.7 * r.b,
+             r.q[2:7] || [{_HW_NS}]
+      FROM rec r JOIN ranked d
+        ON d.event_type = r.event_type AND d.rn = r.rn + 1
+    )
+    SELECT event_type, day, total,
+           floor(l * 10000 + 0.5) / 10000 AS level,
+           floor(b * 10000 + 0.5) / 10000 AS trend,
+           floor(q[7] * 10000 + 0.5) / 10000 AS seasonal,
+           floor((l + b + q[1]) * 10000 + 0.5) / 10000 AS forecast_next
+    FROM rec
+    """
+
+
+@query("holt_winters_daily", oracle=_HW_ORACLE)
+def holt_winters_daily(spark, sf_dir):
+    """Holt-Winters additive triple-exponential smoothing (alpha=0.5,
+    gamma=0.3, delta=0.4, weekly period m=7) of the daily per-type
+    totals: level + trend + a length-7 seasonal queue folded over the
+    ordered prefix — the drift-plus-weekly-shape forecaster Holt alone
+    cannot track (operators/timeseries.py:holt_winters_additive). One
+    key-grain exchange; O(period) state per row."""
+    from timeseries_spark.operators.timeseries import holt_winters_additive
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return holt_winters_additive(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        alpha=0.5, gamma=0.3, delta=0.4, period=7,
+    )
