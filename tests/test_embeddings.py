@@ -1,0 +1,115 @@
+"""Embedding covariance + JL projection (round 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.embeddings import (
+    covariance_pairs,
+    jl_sign,
+    random_projection,
+)
+
+
+def test_covariance_hand_checked(spark):
+    # x = [1,2,3,4], y = [2,1,4,3]: var(x)=var(y)=1.25, cov(x,y)=0.75
+    rows = [(0, [1.0, 2.0]), (1, [2.0, 1.0]), (2, [3.0, 4.0]), (3, [4.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_pairs(df, dims=2).collect()
+    }
+    assert got == {(0, 0): 1.25, (0, 1): 0.75, (1, 1): 1.25}
+
+
+def test_covariance_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        covariance_pairs(df, dims=3)._jdf.queryExecution(), "formatted"
+    )
+    n_shuffles = (p.count("Exchange") - p.count("BroadcastExchange")) // 2
+    assert n_shuffles <= 1  # only the (i, j)-grain aggregate exchange
+
+
+def test_random_projection_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = random_projection(df, dims=8, out_dims=4)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    (row,) = out.collect()
+    assert len(row["proj"]) == 4
+
+
+def test_jl_sign_is_balanced_and_deterministic(spark):
+    # the ±1 matrix should be near-balanced (a structural parity hash
+    # would alternate perfectly or collapse to rank 2)
+    df = spark.range(1).select(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda k: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: jl_sign(k, i),
+                ),
+            )
+        ).alias("signs")
+    )
+    (row,) = df.collect()
+    signs = row["signs"]
+    assert set(signs) == {-1.0, 1.0}
+    plus = sum(1 for s in signs if s > 0)
+    assert 0.35 < plus / len(signs) < 0.65
+    # determinism: re-evaluation yields the same matrix
+    (row2,) = df.collect()
+    assert row2["signs"] == signs
+
+
+def test_jl_preserves_norms_in_expectation(spark):
+    """JL contract: E[||proj||²] = ||x||² — check the mean ratio over
+    the sf0.001 embeddings is within 20%."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    proj = random_projection(emb, dims=64, out_dims=16)
+    orig = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        ).alias("n2"),
+    )
+    pn = proj.select(
+        "vec_id",
+        F.aggregate(
+            "proj", F.lit(0.0), lambda a, x: a + x * x
+        ).alias("p2"),
+    )
+    (row,) = (
+        orig.join(pn, "vec_id")
+        .agg((F.avg(F.col("p2") / F.col("n2"))).alias("ratio"))
+        .collect()
+    )
+    assert 0.8 < row["ratio"] < 1.2
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        covariance_pairs(df, dims=0)
+    with pytest.raises(ValueError):
+        random_projection(df, dims=1, out_dims=0)
+    # dims mismatch fails loudly (checked_dims raise_error contract)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
+        covariance_pairs(df, dims=3).collect()

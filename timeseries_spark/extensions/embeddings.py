@@ -1,0 +1,161 @@
+"""Embedding-matrix statistics and dimensionality reduction.
+
+Two operators a 100 TB embedding pipeline runs before/under its ANN
+stack (extensions/similarity.py):
+
+- ``covariance_pairs`` — the d×d covariance of the embedding cloud
+  (collapsed-dimension detection, whitening input, PCA precursor). The
+  O(n·d²) products are inherent to the statistic; what matters at scale
+  is the plan shape: pairs are generated per row inside one codegen'd
+  projection (no self-join of an exploded table — that shape reads and
+  shuffles the corpus twice), and the groupBy on (i, j) partial-
+  aggregates map-side, so the only exchange carries ≤ d(d+1)/2 rows per
+  task, never the corpus.
+
+- ``random_projection`` — Johnson–Lindenstrauss sign-matrix projection
+  d → k: y = R·x/√k with R[i][j] ∈ {−1, +1} derived from a
+  multiplicative integer hash, so the "matrix" is never materialized,
+  broadcast, or even stored — both engines (and every executor)
+  regenerate any entry from (k, i) alone. ZERO shuffles: the whole
+  reduction is a per-row codegen'd expression, the embarrassingly
+  parallel shape a corpus-scale dimensionality reduction must have.
+  Public background: Achlioptas (2003) database-friendly random
+  projections — ±1 entries suffice for the JL guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from timeseries_spark.functions.vectors import checked_dims
+
+# Knuth multiplicative constant; mixes the (component, output-dim) pair
+# before the parity extraction so signs don't follow the (i+j) parity
+# lattice a plain linear hash would produce.
+_JL_MULT = 2654435761
+_JL_STEP = 97
+_JL_MOD = 4294967296  # 2^32
+
+
+def jl_sign(k: Column | int, i: Column | int) -> Column:
+    """Deterministic ±1 for output dim k, input dim i — bit 16 of the
+    multiplicative hash (low bits of a mod-2^32 multiply are weak).
+    Pure 64-bit integer arithmetic + exact double floor-division, so
+    any engine reproduces it from the indices alone."""
+    h = F.pmod(
+        F.lit(k) * F.lit(_JL_MULT) + F.lit(i) * F.lit(_JL_STEP)
+        if isinstance(k, int)
+        else k * F.lit(_JL_MULT) + i * F.lit(_JL_STEP),
+        F.lit(_JL_MOD),
+    )
+    bit = F.pmod(F.floor(h / F.lit(65536)), F.lit(2))
+    return (bit * 2 - 1).cast("double")
+
+
+# the same hash as ANSI SQL, for DuckDB oracles (k, i are column names)
+JL_SIGN_SQL = (
+    "(CAST((CAST(floor(((({k} * 2654435761 + {i} * 97) % 4294967296)"
+    " + 4294967296) % 4294967296 / 65536) AS BIGINT) % 2) AS DOUBLE)"
+    " * 2 - 1)"
+)
+
+
+def covariance_pairs(
+    vectors: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle covariance of the embedding cloud as long-form
+    rows ``(i, j, cov)`` for i ≤ j, cov rounded to 6dp.
+
+    Single scan, single tiny shuffle: each row emits its i ≤ j products
+    carrying xi and xj alongside (within any (i, j) group, sum(xi) IS
+    the global per-dim sum S_i — every row contributes every pair), so
+    one hash aggregate yields Σxixj, Σxi, Σxj, n simultaneously and
+    cov = E[xy] − E[x]E[y] needs no second pass over the corpus."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    v = F.transform(
+        checked_dims(F.col(vec_col), dims, "covariance_pairs"),
+        lambda x: x.cast("double"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                v,
+                lambda xi, i: F.transform(
+                    v,
+                    lambda xj, j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        xi.alias("xi"),
+                        xj.alias("xj"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["i"] <= s["j"],
+    )
+    exploded = vectors.select(F.explode(pairs).alias("p")).select(
+        "p.i", "p.j", "p.xi", "p.xj"
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        exploded.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi") * F.col("xj")).alias("sij"),
+            F.sum("xi").alias("si"),
+            F.sum("xj").alias("sj"),
+            n.alias("n"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sij") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def random_projection(
+    vectors: DataFrame,
+    dims: int,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """JL sign-projection d → out_dims: proj[k] = Σ_i sign(k,i)·x_i /
+    √out_dims, each component rounded to 6dp. Per-row expression only —
+    no shuffle, no stored matrix, no fit step — so it composes in front
+    of any ANN/clustering operator as a free map stage."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if not 1 <= out_dims:
+        raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    scale = float(out_dims) ** 0.5
+    v = F.transform(
+        checked_dims(F.col(vec_col), dims, "random_projection"),
+        lambda x: x.cast("double"),
+    )
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dims - 1)),
+        lambda k: F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda x, i: x * jl_sign(k, i),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.lit(scale),
+            6,
+        ),
+    )
+    return vectors.select(F.col(id_col), proj.alias(out_col))

@@ -90,3 +90,4 @@ def _import_all() -> None:
     from timeseries_spark.queries import jsonl  # noqa: F401
     from timeseries_spark.queries import classifier  # noqa: F401
     from timeseries_spark.queries import dataquality  # noqa: F401
+    from timeseries_spark.queries import embeddings  # noqa: F401

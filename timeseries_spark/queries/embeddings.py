@@ -1,0 +1,84 @@
+"""Embedding-matrix statistics / dimensionality-reduction queries
+(extensions/embeddings.py): covariance of the embedding cloud and the
+JL sign projection. Beyond-reference surface for the embedding side of
+a training-data pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.embeddings import (
+    JL_SIGN_SQL,
+    covariance_pairs,
+    random_projection,
+)
+from timeseries_spark.queries import load, query
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH pairs AS (
+      SELECT ti.i - 1 AS i, tj.i - 1 AS j,
+             embedding[ti.i]::DOUBLE AS xi,
+             embedding[tj.i]::DOUBLE AS xj
+      FROM embeddings,
+           unnest(generate_series(1, 64)) AS ti(i),
+           unnest(generate_series(1, 64)) AS tj(i)
+      WHERE ti.i <= tj.i
+    )
+    SELECT i, j,
+           round(sum(xi * xj) / count(*)
+                 - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
+    FROM pairs GROUP BY i, j
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Upper-triangle 64×64 covariance of the embedding cloud as
+    long-form (i, j, cov) rows — collapsed-dimension detection /
+    whitening input for the ANN stack. One corpus scan: pairs are
+    generated per row in a codegen'd projection carrying xi and xj, so
+    a single hash aggregate yields Σxixj, Σxi, Σxj, n at once (within
+    any (i,j) group sum(xi) is the global per-dim sum) and the only
+    exchange carries ≤ 2080 partial rows per task
+    (extensions/embeddings.py:covariance_pairs)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = covariance_pairs(emb, dims=64)
+    return out.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "cov",
+    )
+
+
+_PROJ_SIGN = JL_SIGN_SQL.format(k="(g.k - 1)", i="(t.i - 1)")
+
+
+@query(
+    "embedding_projection",
+    oracle=f"""
+    WITH terms AS (
+      SELECT vec_id, g.k - 1 AS k,
+             embedding[t.i]::DOUBLE * {_PROJ_SIGN} AS term
+      FROM embeddings,
+           unnest(generate_series(1, 64)) AS t(i),
+           unnest(generate_series(1, 16)) AS g(k)
+    ),
+    sums AS (
+      SELECT vec_id, k, round(sum(term) / 4.0, 6) AS y
+      FROM terms GROUP BY vec_id, k
+    )
+    SELECT vec_id, list(y ORDER BY k) AS proj
+    FROM sums GROUP BY vec_id
+    """,
+)
+def embedding_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64 → 16 dims: proj[k] =
+    Σ_i sign(k,i)·x_i / √16 with the ±1 matrix regenerated from a
+    multiplicative integer hash — never stored, never broadcast, and
+    the whole reduction is a per-row codegen'd expression with ZERO
+    shuffles (the oracle's unnest/group replay is the quadratic shape
+    this plan exists to avoid; extensions/embeddings.py:
+    random_projection)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return random_projection(emb, dims=64, out_dims=16)
