@@ -1,0 +1,140 @@
+"""Distributed BPE (byte-pair-encoding) merge induction — tokenizer
+training inside the engine.
+
+The published BPE algorithm (Sennrich et al. 2016, public): start from
+characters, repeatedly (1) count adjacent symbol pairs across the
+corpus weighted by word frequency, (2) merge the most frequent pair
+everywhere. The trained artifact is the ordered merge list; applying it
+to text is the tokenizer.
+
+Scale shape — the part that matters at 100 TB: the corpus is scanned
+ONCE to build the (token, count) vocabulary; every merge round after
+that runs at VOCABULARY grain (pair counting shuffles |vocab|·avg_len
+rows with map-side partial aggregation, the winning pair is a one-row
+TakeOrdered reduce broadcast back, and the merge rewrite is a per-row
+string replace). Rounds follow the ``kmeans_fit`` /
+``connected_components`` discipline: a bounded driver loop whose state
+is eagerly ``localCheckpoint``-ed each round so the plan never grows
+(plan-size blowup, not data, is the failure mode of chained iterations).
+
+Determinism: ties on pair count break lexicographically on (left,
+right), so the same corpus always yields the same merge table — which
+is what lets a plain SQL engine replay the whole induction as chained
+CTE stages for the oracle.
+
+Representation: a word's segmentation is rendered as a bracket string
+``[h][e][l][l][o]``. Merging pair (l, l) is then the plain string
+replace ``[l][l] → [ll]`` — non-overlapping left-to-right replacement
+IS greedy BPE merging, identical in Spark and ANSI SQL, with no
+list-fold accumulator (and no DuckDB list_reduce mutation pitfall).
+Tokens are restricted to ``^[a-z0-9]+$`` so the brackets can never
+collide with symbol text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = "^[a-z0-9]+$"
+
+
+def _vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(token, cnt, s) at vocabulary grain; s = bracketed char split."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token").rlike(TOKEN_RE))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit("["),
+                F.array_join(F.split(F.col("token"), ""), "]["),
+                F.lit("]"),
+            ),
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair totals over the current segmentation, weighted by
+    word frequency: (a, b, total)."""
+    syms = F.split(
+        F.expr("substring(s, 2, length(s) - 2)"), r"\]\["
+    )
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+    )
+
+
+def induce_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``n_merges`` BPE merges on the corpus. Returns
+    ``(merges, words)``:
+
+    - merges: (step, pair_left, pair_right, merged, pair_count) — the
+      ordered merge table, the tokenizer artifact;
+    - words: (token, cnt, s) — the final vocabulary segmentation under
+      those merges (bracket rendering).
+
+    Stops early (fewer rows in ``merges``) if the vocabulary runs out
+    of adjacent pairs — single-character words can exhaust a toy corpus
+    before ``n_merges`` rounds.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = _vocab(docs, text_col).localCheckpoint(eager=True)
+    merge_rows: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("total"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        # metadata-only driver decision (0 or 1 row, already
+        # materialized by the eager checkpoint) — not a data collect
+        if best.isEmpty():
+            break
+        merge_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("pair_left"),
+                F.col("b").alias("pair_right"),
+                F.concat("a", "b").alias("merged"),
+                F.col("total").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit("["), F.col("a"), F.lit("]["), F.col("b"), F.lit("]"))
+        rep = F.concat(F.lit("["), F.col("a"), F.col("b"), F.lit("]"))
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .withColumn("s", F.replace(F.col("s"), pat, rep))
+            .select("token", "cnt", "s")
+            .localCheckpoint(eager=True)
+        )
+    merges = merge_rows[0]
+    for df in merge_rows[1:]:
+        merges = merges.unionByName(df)
+    return merges, words
+
+
+def segment_topk(words: DataFrame, k: int = 50) -> DataFrame:
+    """The k most frequent tokens with their final BPE segmentation —
+    the human-inspectable artifact (did the tokenizer learn 'the' as
+    one symbol?). Tie-break on token keeps the top-k set deterministic.
+    """
+    return (
+        words.orderBy(F.desc("cnt"), "token")
+        .limit(k)
+        .select("token", "cnt", F.col("s").alias("seg"))
+    )

@@ -91,3 +91,4 @@ def _import_all() -> None:
     from timeseries_spark.queries import classifier  # noqa: F401
     from timeseries_spark.queries import dataquality  # noqa: F401
     from timeseries_spark.queries import embeddings  # noqa: F401
+    from timeseries_spark.queries import bpe  # noqa: F401

@@ -1,0 +1,93 @@
+"""BPE tokenizer-induction queries (extensions/bpe.py). The oracle
+replays the full iterative induction as mechanically generated chained
+CTE stages — one (pairs → argmax → rewrite) triple per merge round —
+proving the distributed driver-loop implementation is exactly the
+sequential algorithm."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.bpe import induce_bpe, segment_topk
+from timeseries_spark.queries import load, query
+
+N_MERGES = 8
+
+
+def _bpe_ctes(n: int) -> str:
+    parts = [
+        """w0 AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+             '[' || array_to_string(string_split_regex(token, ''), '][')
+                 || ']' AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE regexp_matches(token, '^[a-z0-9]+$')
+      GROUP BY token
+    )"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(
+            f"""p{k} AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS total FROM (
+        SELECT t.sy[g.i] AS a, t.sy[g.i + 1] AS b, t.cnt
+        FROM (SELECT cnt, string_split(s[2:-2], '][') AS sy FROM w{k - 1}) t,
+             unnest(generate_series(1, len(t.sy) - 1)) AS g(i)
+      ) GROUP BY a, b
+    )"""
+        )
+        parts.append(
+            f"b{k} AS (SELECT a, b, total FROM p{k} "
+            "ORDER BY total DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""w{k} AS (
+      SELECT token, cnt,
+             replace(s, '[' || b.a || '][' || b.b || ']',
+                     '[' || b.a || b.b || ']') AS s
+      FROM w{k - 1}, b{k} b
+    )"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+_MERGES_ORACLE = (
+    _bpe_ctes(N_MERGES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS pair_left, b AS pair_right, "
+        f"a || b AS merged, total AS pair_count FROM b{k}"
+        for k in range(1, N_MERGES + 1)
+    )
+)
+
+_SEG_ORACLE = (
+    _bpe_ctes(N_MERGES)
+    + f"""
+    SELECT token, cnt, s AS seg FROM w{N_MERGES}
+    ORDER BY cnt DESC, token LIMIT 50
+    """
+)
+
+
+@query("bpe_merges", oracle=_MERGES_ORACLE)
+def bpe_merges(spark, sf_dir):
+    """Train 8 BPE merges on the documents corpus and return the
+    ordered merge table (step, pair_left, pair_right, merged,
+    pair_count) — tokenizer training as an engine operator. Corpus
+    scanned once into a (token, count) vocabulary; every round after is
+    vocabulary-grain: one pair-count shuffle with map-side combine, a
+    one-row TakeOrdered argmax broadcast back, a per-row string-replace
+    rewrite (extensions/bpe.py:induce_bpe)."""
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = induce_bpe(docs, n_merges=N_MERGES)
+    return merges
+
+
+@query("bpe_segmentation", oracle=_SEG_ORACLE)
+def bpe_segmentation(spark, sf_dir):
+    """The 50 most frequent tokens with their segmentation after the 8
+    trained merges — the inspectable artifact of ``bpe_merges`` (did
+    frequent words collapse to few symbols?)."""
+    docs = load(spark, sf_dir, "documents")
+    _, words = induce_bpe(docs, n_merges=N_MERGES)
+    return segment_topk(words, k=50)
