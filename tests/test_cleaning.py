@@ -87,3 +87,54 @@ def test_strip_plan_singlepartition_carries_only_stoplist(spark):
     # ONE SinglePartition node — the stoplist collapse — may appear;
     # documents funneling through one task would add more
     assert p.count("SinglePartition") <= 2
+
+
+def test_boilerplate_strip_hand_checked(spark):
+    from timeseries_spark.extensions.cleaning import (
+        boilerplate_grams,
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "q a b c d"),
+            (2, "a b c d"),
+            (3, "m n o p"),
+        ],
+        "doc_id bigint, text string",
+    )
+    grams = {r["gram"]: r["df"] for r in boilerplate_grams(docs, 4, 3).collect()}
+    assert grams == {"a b c d": 3}
+    out = {
+        r["doc_id"]: (r["n_boiler"], r["boiler_ratio"], r["text_clean"])
+        for r in strip_boilerplate(docs, 4, 3).collect()
+    }
+    assert out[0] == (4, 0.8, "e")
+    assert out[1] == (4, 0.8, "q")
+    assert out[2] == (4, 1.0, "")  # pure boilerplate survives, empty
+    assert out[3] == (0, 0.0, "m n o p")
+    assert len(out) == 4  # row count preserved
+
+
+def test_boilerplate_overlapping_spans_count_once(spark):
+    from timeseries_spark.extensions.cleaning import strip_boilerplate
+
+    # 'a a a a a' in 3 docs: grams at pos 0 and 1 overlap; covered
+    # positions are the distinct union (all 5), not 8
+    docs = spark.createDataFrame(
+        [(i, "a a a a a") for i in range(3)], "doc_id bigint, text string"
+    )
+    out = strip_boilerplate(docs, 4, 3).collect()
+    assert all(r["n_boiler"] == 5 and r["text_clean"] == "" for r in out)
+
+
+def test_boilerplate_validates(spark):
+    import pytest
+    from timeseries_spark.extensions.cleaning import boilerplate_grams
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        boilerplate_grams(docs, n=1)
+    with pytest.raises(ValueError):
+        boilerplate_grams(docs, min_df=1)

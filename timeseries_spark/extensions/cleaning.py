@@ -83,3 +83,118 @@ def strip_stop_tokens(
         .withColumn("n_stripped", (F.size(xs) - F.size(kept)).cast("bigint"))
         .drop("stop_tokens")
     )
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    n: int = 4,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate discovery (the C4/RefinedWeb move,
+    public: Raffel et al. 2020 strip spans repeated across documents):
+    word n-grams whose DOCUMENT frequency reaches ``min_df`` are
+    boilerplate — navigation chrome, license footers, templated
+    snippets. One explode + one (gram → distinct-doc count) shuffle
+    with map-side partial aggregation; output is gram-grain
+    (``(gram, df)``), bounded by the distinct-span count, never the
+    corpus."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    from timeseries_spark.extensions.dedup import shingles, tokens
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    n: int = 4,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token covered by any boilerplate n-gram occurrence
+    and report per-doc coverage: ``(id, n_tokens, n_boiler,
+    boiler_ratio, text_clean)`` — row count preserved (a doc that is
+    pure boilerplate survives with empty ``text_clean``).
+
+    Plan shape: grams explode once and feed BOTH the df-threshold
+    aggregate and the coverage join (gram-keyed equi join — NOT
+    broadcast by assumption: at 100 TB the boilerplate table is
+    routinely large, so both sides hash-partition on the gram). Covered
+    (doc, position) pairs dedup at doc grain, the keep-side anti-join
+    runs at token grain, and the ordered reassembly is one sorted
+    collect_list per doc — every shuffle is key-partitioned, none
+    collects the corpus to fewer keys than documents."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from timeseries_spark.extensions.dedup import shingles, tokens
+
+    toks = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles(toks, n)).alias("pos", "gram"),
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(boiler, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok_rows = docs.select(
+        id_col, F.posexplode(toks).alias("p", "token")
+    )
+    kept = (
+        tok_rows.join(covered, [id_col, "p"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("text_clean")
+        )
+    )
+    covn = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boiler")
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    return (
+        docs.select(id_col, n_tokens.alias("n_tokens"))
+        .join(covn, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("boiler_ratio"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
