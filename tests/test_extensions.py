@@ -1277,3 +1277,55 @@ def test_bigram_logprob_row_order_invariant(spark):
     ra = sorted(map(tuple, bigram_logprob(a).collect()))
     rb = sorted(map(tuple, bigram_logprob(b).collect()))
     assert ra == rb
+
+
+def test_resample_audio_hand_checked(spark):
+    """8000 -> 4000 Hz over a 4-sample clip [0, 10, 20, 30]: output
+    positions are exactly every other input sample; 8000 -> 12000 Hz
+    interpolates at thirds."""
+    from timeseries_spark.extensions.multimodal import (
+        _wav_payload,
+        resample_audio,
+    )
+    import struct
+
+    # hand-built WAV: samples 0,10,20,30 (PCM16 mono 8000 Hz)
+    data = struct.pack("<4h", 0, 10, 20, 30)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "image", bytearray(b"BMx"))],
+        "media_id bigint, kind string, payload binary",
+    )
+    down = {r["media_id"]: r for r in resample_audio(media, 4000).collect()}
+    assert list(down) == [1]  # images never cross the Python boundary
+    r = down[1]
+    # n_out = ((4-1)*4000)//8000 + 1 = 2 -> samples [0, 20]
+    assert (r["n_in"], r["n_out"]) == (4, 2)
+    assert (r["mean_out"], r["min_out"], r["max_out"]) == (10.0, 0.0, 20.0)
+    assert r["error"] is None
+
+    up = resample_audio(media, 12000).collect()[0]
+    # n_out = ((4-1)*12000)//8000 + 1 = 5 -> 0, 20/3, 40/3, 20, 80/3
+    assert up["n_out"] == 5
+    assert up["min_out"] == 0.0
+    assert up["max_out"] == round(80 / 3, 4)
+
+
+def test_resample_audio_corrupt_survives(spark):
+    from timeseries_spark.extensions.multimodal import resample_audio
+
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(b"RIFFxxxxWAVEgarbage"))],
+        "media_id bigint, kind string, payload binary",
+    )
+    (r,) = resample_audio(media, 6000).collect()
+    assert r["error"] is not None and r["n_out"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resample_audio(media, 0)

@@ -546,3 +546,84 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), dur - 1, F.lit(every_ms)),
         ).otherwise(F.array().cast("array<int>")),
     )
+
+
+RESAMPLED_SCHEMA = (
+    "media_id bigint, src_rate int, n_in bigint, n_out bigint, "
+    "mean_out double, min_out double, max_out double, error string"
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 6000) -> DataFrame:
+    """Real DSP over the audio payloads: linear-interpolation resampling
+    of the decoded PCM16 stream to ``target_rate`` Hz, reported as
+    per-clip stats. Output sample i sits at source position
+    x = i·src/target; with k = ⌊x⌋ and the remainder m = (i·src) mod
+    target, the value is s[k] + (s[k+1] − s[k])·(m/target) — kept in
+    that exact rational-arithmetic form (integer quotient/remainder,
+    ONE double division) so a SQL engine replays every interpolated
+    value bit-for-bit.
+
+    Runs as the same Arrow-batched ``mapInPandas`` contract as
+    ``decode_media``: the audio subset is filtered declaratively BEFORE
+    the Python boundary (payload bytes for images never cross), decode
+    errors survive as error rows, and per-clip state is bounded by clip
+    length. Output: (media_id, src_rate, n_in, n_out, mean_out,
+    min_out, max_out, error), stats 4dp-rounded plus the echoed
+    ``target_rate`` column appended Spark-side."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+    tgt = int(target_rate)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in it:
+            out = {c.split()[0]: [] for c in RESAMPLED_SCHEMA.split(", ")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"] = int(mid)
+                try:
+                    d = _decode_wav(bytes(payload))
+                    s = d["_values"].astype(np.int64)
+                    n, src = len(s), int(d["sample_rate"])
+                    if n < 1:
+                        raise ValueError("wav: empty stream")
+                    n_out = ((n - 1) * tgt) // src + 1
+                    i = np.arange(n_out, dtype=np.int64)
+                    num = i * src
+                    k = num // tgt
+                    m = num % tgt
+                    a = s[k].astype(np.float64)
+                    b = s[np.minimum(k + 1, n - 1)].astype(np.float64)
+                    v = a + (b - a) * (m / float(tgt))
+                    row.update(
+                        src_rate=src,
+                        n_in=n,
+                        n_out=int(n_out),
+                        mean_out=float(v.sum() / n_out),
+                        min_out=float(v.min()),
+                        max_out=float(v.max()),
+                    )
+                except ValueError as e:
+                    row["error"] = str(e)
+                for c, val in row.items():
+                    out[c].append(val)
+            yield _pd.DataFrame(out)
+
+    audio = ensure_parallelism(
+        media.where(F.col("kind") == "audio").select("media_id", "payload")
+    )
+    res = audio.mapInPandas(batches, schema=RESAMPLED_SCHEMA)
+    return res.select(
+        "media_id",
+        "src_rate",
+        F.lit(tgt).alias("target_rate"),
+        "n_in",
+        "n_out",
+        F.round("mean_out", 4).alias("mean_out"),
+        F.round("min_out", 4).alias("min_out"),
+        F.round("max_out", 4).alias("max_out"),
+        "error",
+    )

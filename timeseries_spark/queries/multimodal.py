@@ -187,3 +187,52 @@ def media_resize_rollup(spark, sf_dir):
         F.round(F.avg("target_width"), 4).alias("avg_target_width"),
         F.round(F.avg("target_height"), 4).alias("avg_target_height"),
     )
+
+
+@query(
+    "media_audio_resample",
+    oracle=f"""
+    WITH m AS ({_M}),
+    w AS (SELECT media_id, ns, ws, corrupt FROM m WHERE k = 2),
+    res AS (
+      SELECT media_id, ns, ws,
+             (i.i * 8000) // 6000 AS k, (i.i * 8000) % 6000 AS mm
+      FROM (SELECT * FROM w WHERE NOT corrupt),
+           unnest(generate_series(0, ((ns - 1) * 6000) // 8000)) AS i(i)
+    ),
+    vals AS (
+      SELECT media_id,
+             ((k + ws) % 512 - 256)
+             + (((least(k + 1, ns - 1) + ws) % 512 - 256)
+                - ((k + ws) % 512 - 256)) * (mm / 6000.0) AS v
+      FROM res
+    ),
+    agg AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_out,
+             round(avg(v), 4) AS mean_out,
+             round(min(v), 4) AS min_out,
+             round(max(v), 4) AS max_out
+      FROM vals GROUP BY media_id
+    )
+    SELECT w.media_id,
+           CAST(CASE WHEN corrupt THEN NULL ELSE 8000 END AS INT)
+             AS src_rate,
+           CAST(6000 AS INT) AS target_rate,
+           CAST(CASE WHEN corrupt THEN NULL ELSE ns END AS BIGINT) AS n_in,
+           agg.n_out, agg.mean_out, agg.min_out, agg.max_out,
+           CASE WHEN corrupt THEN 'wav: truncated data: expected '
+                  || CAST(2 * ns AS VARCHAR) || ' bytes, got '
+                  || CAST(ns AS VARCHAR) ELSE NULL END AS error
+    FROM w LEFT JOIN agg USING (media_id)
+    """,
+)
+def media_audio_resample(spark, sf_dir):
+    """Linear-interpolation resampling of every WAV clip 8000 → 6000 Hz
+    with per-clip output stats — real DSP over real decoded PCM16, the
+    rational-arithmetic form letting the oracle replay every
+    interpolated sample exactly; corrupt clips survive as error rows
+    (extensions/multimodal.py:resample_audio)."""
+    from timeseries_spark.extensions.multimodal import resample_audio
+
+    docs = load(spark, sf_dir, "documents")
+    return resample_audio(real_media(docs), target_rate=6000)
