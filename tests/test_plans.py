@@ -390,3 +390,66 @@ def test_bigram_logprob_plan_shape(plan):
     assert p.count("CartesianProduct") == 0
     assert p.count("BroadcastNestedLoopJoin") // 2 <= 1  # the 1-row |V|
     assert shuffles(p) <= 7
+
+
+def test_round6_dq_and_scd2_plan_shapes(plan):
+    """dq_constraints: one scan of orders compiles all seven aggregate
+    checks (the report explode runs on the single aggregated row) and
+    the referential anti-join stays an equi join — no cartesian, no
+    row-wise Python. scd2: both windows and the change filter share the
+    user_id partitioning — exactly one corpus exchange."""
+    p = plan("dq_constraints")
+    assert p.count("CartesianProduct") == 0
+    assert "Scan parquet" in p
+    # orders read once for the agg suite + once for the anti join
+    assert p.count("PushedFilters") >= 0 and shuffles(p) <= 4
+    p = plan("scd2_user_status")
+    assert shuffles(p) == 1
+    assert "SinglePartition" not in p
+
+
+def test_round6_embedding_plan_shapes(plan):
+    """Covariance: the only exchange is the (i, j)-grain aggregate —
+    pair generation is a codegen'd projection, never a self-join of the
+    exploded corpus. Projection: zero exchanges of any kind."""
+    p = plan("embedding_covariance")
+    assert shuffles(p) == 1
+    assert p.count("SortMergeJoin") == 0 and p.count("CartesianProduct") == 0
+    p = plan("embedding_projection")
+    assert "Exchange" not in p
+
+
+def test_round6_boilerplate_plan_shape(plan):
+    """Boilerplate strip: gram-keyed equi joins only (no broadcast
+    ASSUMPTION on the boilerplate table, no cartesian), and no
+    SinglePartition anywhere — every stage is key-partitioned."""
+    p = plan("boilerplate_strip")
+    assert p.count("CartesianProduct") == 0
+    assert "SinglePartition" not in p
+    p = plan("boilerplate_grams")
+    assert shuffles(p) <= 2  # gram-grain distinct-doc count (partial agg)
+
+
+def test_round6_zipf_and_hw_plan_shapes(plan):
+    """zipf_fit: one corpus explode feeding the (source, token) count;
+    everything after is vocabulary-grain (rank window + source-grain
+    regression agg). holt_winters: same single key-grain exchange as
+    ema/holt — the seasonal queue rides in the fold accumulator, never
+    a join."""
+    p = plan("zipf_fit")
+    assert shuffles(p) <= 3
+    assert "SinglePartition" not in p
+    p = plan("holt_winters_daily")
+    assert shuffles(p) <= 2  # daily agg + series window
+    assert "SinglePartition" not in p
+    assert p.count("CartesianProduct") == 0
+
+
+def test_round6_audio_resample_boundary(plan):
+    """The only Python boundary is the declared Arrow mapInPandas pair
+    (fixture generator + resampler), and image payloads are filtered
+    out BEFORE the second crossing (kind pushdown into the plan)."""
+    p = plan("media_audio_resample")
+    assert p.count("CartesianProduct") == 0
+    # generator + resampler: exactly two mapInPandas nodes
+    assert p.count("MapInPandas") // 2 == 2
