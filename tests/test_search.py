@@ -98,3 +98,31 @@ def test_duplicate_query_terms_count_once(spark):
     once = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["cat"], 4).collect()}
     twice = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["cat", "cat"], 4).collect()}
     assert once == twice
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    import math
+
+    from timeseries_spark.extensions.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    snap = lambda v: math.floor(v * 10000 + 0.5) / 10000  # noqa: E731
+    idf = lambda df: math.log(4.0 / (df + 1.0)) + 1.0  # noqa: E731
+    # doc 0: apple tf=2 df=1 -> 2*(ln(2)+1); banana tf=1 df=2
+    assert out[(0, 1)] == ("apple", snap(2 * idf(1)))
+    assert out[(0, 2)] == ("banana", snap(idf(2)))
+    # doc 2: single term
+    assert out[(2, 1)] == ("cherry", snap(idf(2)))
+    assert (2, 2) not in out
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, k=0)

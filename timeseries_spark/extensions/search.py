@@ -152,3 +152,61 @@ def boolean_search(
         excl = postings.join(F.broadcast(nq), "term").select("doc_id")
         hits = hits.join(excl, "doc_id", "left_anti")
     return hits
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Each document's k highest-TF-IDF terms — the classic keyword /
+    signature extraction (public formulation: smoothed
+    idf = ln((N + 1)/(df + 1)) + 1, the scikit-learn smoothing so no
+    term divides by zero and corpus-wide terms keep a positive floor).
+
+    Plan: postings build once (explode + hash agg); document frequency
+    is a term-grain aggregate of the SAME postings relation (Catalyst
+    reuses the exchange); N is a one-row broadcast; ranking is a
+    doc-grain row_number window with (score DESC, term) tie-break —
+    every shuffle is key-partitioned at term or doc grain. Scores are
+    4dp floor-snapped BEFORE ranking so the cut is
+    engine-reproducible. Output: (doc_id, term, tf, score, rnk)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    post = build_postings(docs, id_col, text_col)
+    dfs = post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        post.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.floor(
+                (
+                    F.col("tf")
+                    * (
+                        F.log(
+                            (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                        )
+                        + 1.0
+                    )
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000,
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -123,3 +123,35 @@ def token_cooccurrence_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return pairs.orderBy(F.desc("n"), "t1", "t2").limit(20)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH post AS ({_POSTINGS}),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+            GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT p.doc_id, p.term, p.tf,
+             floor(p.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                   * 10000 + 0.5) / 10000 AS score
+      FROM post p JOIN dfs d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, 4dp snap before
+    ranking) — keyword extraction over the postings relation; df reuses
+    the postings exchange, N is a one-row broadcast
+    (extensions/search.py:tfidf_top_terms)."""
+    from timeseries_spark.extensions.search import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.withColumn("tf", F.col("tf").cast("bigint"))
