@@ -70,3 +70,34 @@ def test_pagerank_plan_no_cartesian(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in p
+
+
+def test_label_propagation_two_cliques(spark):
+    from timeseries_spark.extensions.graph import label_propagation
+
+    # two triangles bridged by one weak edge: LPA should give each
+    # triangle one community, labeled by its smallest node id
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    und = [(s, d) for s, d in tri1 + tri2 + bridge]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=4).collect()
+    }
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == out["z"]
+    assert out["x"] != out["a"]
+
+
+def test_label_propagation_validates(spark):
+    import pytest
+
+    from timeseries_spark.extensions.graph import label_propagation
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        label_propagation(edges, n_iter=0)

@@ -27,7 +27,7 @@ Dangling nodes (outdeg 0) contribute no mass; with symmetric edge sets
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DAMPING = 0.85
 
@@ -104,3 +104,62 @@ def bipartite_edges(
     return fwd.unionByName(
         rel.select(rid.alias("src"), lid.alias("dst"))
     ).distinct()
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 3, persist: bool = True
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, public) over directed ``edges`` (src, dst): every node starts
+    as its own community (label = node id) and each round adopts the
+    most frequent label among its in-neighbors, ties broken to the
+    LEXICOGRAPHICALLY SMALLEST label — the determinism twist that makes
+    the algorithm engine-replayable (the published version breaks ties
+    randomly, which no oracle could reproduce). Isolated / sink nodes
+    keep their current label via the left join.
+
+    Per round: one |E|-grain equi join (neighbor labels) + one
+    (node, label)-grain count + one node-grain row_number pick — work
+    linear in edges, state linear in nodes, lineage truncated per round
+    with the same eager ``localCheckpoint`` discipline as ``pagerank``/
+    ``kmeans_fit``. Returns (node, community) after ``n_iter`` rounds.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if persist:
+        e = e.persist()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
+    for _ in range(n_iter):
+        picks = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("nbr_label", "label")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(picks, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -68,3 +68,58 @@ def pagerank_parts_suppliers(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     edges = bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S")
     return pagerank(edges, n_iter=_N_ITER, damping=_D)
+
+
+def _lpa_oracle(n_iter: int) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem
+    )""",
+        """edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs
+    )""",
+        """l0 AS (
+      SELECT node, node AS label FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    )""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT node, label FROM (
+        SELECT e.src AS node, l.label,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+      SELECT o.node, coalesce(p.label, o.label) AS label
+      FROM l{i - 1} o LEFT JOIN p{i} p USING (node)
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node, label AS community FROM l{n_iter}
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle(_N_ITER))
+def label_propagation_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds, ties to
+    the smallest label) over the same part↔supplier graph as PageRank —
+    community detection as a bounded iterative operator; per round one
+    |E|-grain join + (node, label) count + node-grain pick
+    (extensions/graph.py:label_propagation)."""
+    from timeseries_spark.extensions.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S")
+    return label_propagation(edges, n_iter=_N_ITER)
