@@ -54,6 +54,10 @@ HEADLINE = [
     "downsample_m4",  # round-5c: min_by/max_by M4 downsample at event grain
     "funnel_view_click_purchase",  # round-5c: chained conditional-min funnel
     "bigram_logprob",  # round-5d: bigram-LM perplexity quality filter
+    "boilerplate_strip",  # round-6: C4-style duplicated-span removal
+    "embedding_covariance",  # round-6: d x d single-scan pair aggregate
+    "bpe_merges",  # round-6: 8-round tokenizer induction (vocab-grain)
+    "scd2_user_status",  # round-6: single-shuffle CDC history build
 ]
 
 

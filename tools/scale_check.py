@@ -301,6 +301,71 @@ def main() -> None:
         "rows1": sd1.count(), "rowsN": sdN.count(),
     }))
 
+    # --- round 6 additions ---
+
+    # boilerplate_strip: replicas get disjoint token prefixes, so the
+    # 4-gram space (and the boilerplate table) scales Nx with the corpus
+    # while within-replica span structure mirrors the original.
+    from timeseries_spark.extensions.cleaning import strip_boilerplate
+
+    def boiler(d):
+        return lambda: strip_boilerplate(d, n=4, min_df=3).count()
+
+    t1 = time_warm(boiler(docs1))
+    tN = time_warm(boiler(docsN))
+    print(json.dumps({
+        "name": "boilerplate_strip", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
+    # BPE induction: corpus grows Nx with a CONSTANT vocabulary (plain
+    # replication, unprefixed text) — after the one corpus scan into the
+    # (token, count) table, every merge round is vocabulary-grain, so
+    # wall should stay nearly FLAT as the corpus grows.
+    from timeseries_spark.extensions.bpe import induce_bpe
+
+    def bpe(d):
+        return lambda: induce_bpe(d, n_merges=4)[0].count()
+
+    t1 = time_warm(bpe(d1))
+    tN = time_warm(bpe(dN))
+    print(json.dumps({
+        "name": "bpe_merges", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
+    # embedding covariance: corpus Nx, dims constant — the O(n * d^2)
+    # products scale linearly but reduce map-side; the shuffle stays
+    # 2080 rows per task at any N.
+    from timeseries_spark.extensions.embeddings import covariance_pairs
+
+    def cov(v):
+        return lambda: covariance_pairs(v, dims=64).count()
+
+    t1 = time_warm(cov(vecs1))
+    tN = time_warm(cov(vecsN))
+    print(json.dumps({
+        "name": "embedding_covariance", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
+    # label propagation: Nx disjoint graph replicas (nodes and edges
+    # both scale) — per-round join work Nx, rounds constant.
+    from timeseries_spark.extensions.graph import label_propagation
+
+    def lpa(li):
+        return lambda: label_propagation(
+            bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S"),
+            n_iter=3, persist=False,
+        ).count()
+
+    t1 = time_warm(lpa(li1))
+    tN = time_warm(lpa(liN))
+    print(json.dumps({
+        "name": "label_propagation", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
