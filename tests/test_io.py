@@ -170,3 +170,30 @@ def test_interval_join_left_and_broadcast(spark):
         ).collect()
     }
     assert bc == inner
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink: partitioned write, exact read-back, and the
+    same scan-pushdown contract as parquet (partition pruning + filter
+    into the file scan)."""
+    from timeseries_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "id bigint, part int, val string",
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by="part")
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.select("id", "part", "val").collect()} == {
+        tuple(r) for r in df.collect()
+    }
+    pruned = read_orc(spark, path, columns=["id", "part"]).where(
+        "part = 1 AND id > 3"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan orc" in plan
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
+    assert "val" not in plan.split("ReadSchema")[1][:120]  # column pruned

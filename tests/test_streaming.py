@@ -411,3 +411,42 @@ def test_stream_stream_attribution_matches_batch(spark, event_dir, tmp_path_fact
     s = {tuple(r) for r in got.collect()}
     assert b == s
     assert len(b) > 0
+
+
+def test_stream_dq_constraints_match_batch(spark, tmp_path_factory):
+    """Continuous data-quality monitoring: the declarative constraint
+    suite is one aggregate, so it runs on a stream in complete mode and
+    the final micro-batch report equals the batch report exactly."""
+    from timeseries_spark.extensions.dataquality import (
+        completeness,
+        min_value,
+        row_count,
+        run_checks,
+        uniqueness_approx,
+    )
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("dq_stream_r6"))
+    rows = [(i, None if i % 10 == 0 else f"t{i % 7}", float(i)) for i in range(200)]
+    spark.createDataFrame(rows, "id long, tag string, x double").write.mode(
+        "overwrite"
+    ).parquet(out)
+    batch_df = spark.read.parquet(out)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(out)
+
+    # exact uniqueness (countDistinct) is NOT streamable — the approx
+    # twin (HLL merge) is, and is exact at this cardinality
+    checks = [
+        completeness("tag", 0.95),
+        uniqueness_approx("id"),
+        min_value("x", 0.0),
+        row_count(200),
+    ]
+    b = {tuple(r) for r in run_checks(batch_df, checks).collect()}
+    s = run_available_now(
+        run_checks(stream_df, checks),
+        "dq_stream_r6",
+        spark,
+        output_mode="complete",
+    )
+    assert {tuple(r) for r in s.collect()} == b

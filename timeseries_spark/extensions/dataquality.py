@@ -60,6 +60,18 @@ def uniqueness(col: str, min_ratio: float = 1.0) -> Check:
     return Check(f"uniqueness({col})", m, min_ratio)
 
 
+def uniqueness_approx(col: str, min_ratio: float = 0.95) -> Check:
+    """approx_count_distinct(col) / count(col) — the STREAMABLE twin of
+    ``uniqueness`` (exact distinct aggregation is not supported on
+    streaming DataFrames; HLL merges are). Default threshold leaves
+    headroom for the sketch's ~2% relative error; at small
+    cardinalities the sketch is exact."""
+    m = F.when(F.count(col) == 0, 0.0).otherwise(
+        F.approx_count_distinct(col).cast("double") / F.count(col)
+    )
+    return Check(f"uniqueness_approx({col})", m, min_ratio)
+
+
 def min_value(col: str, at_least: float) -> Check:
     return Check(f"min({col})", F.min(col).cast("double"), at_least)
 

@@ -160,3 +160,37 @@ def cached(df: DataFrame):
         yield df
     finally:
         df.unpersist()
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC scan — the second columnar format large warehouses actually
+    hold (Hive-era lakes are ORC; a migration engine must read both).
+    Spark's native vectorized ORC reader gives the same pushdown /
+    pruning contract as parquet: pass ``columns`` to prune at the scan
+    (ReadSchema), and filters placed on the result push into the file
+    (PushedFilters) exactly as asserted for parquet in
+    tests/test_plans.py."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """ORC sink with optional Hive partitioning — same layout contract
+    as ``write_parquet`` (one directory level per partition column,
+    pruned by Catalyst on read-back)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = (
+            [partition_by] if isinstance(partition_by, str) else partition_by
+        )
+        w = w.partitionBy(*cols)
+    w.orc(path)
