@@ -872,3 +872,101 @@ def contrastive_pairs(spark, sf_dir):
         F.lit(0).alias("label"),
     )
     return pos.unionByName(neg)
+
+
+@query(
+    "lsh_quality_report",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shs FROM documents
+    ),
+    sig AS (SELECT id, {_SIG_SQL} AS sig FROM sh WHERE len(shs) > 0),
+    banded AS (
+      SELECT id, band,
+             md5(array_to_string(list_transform(
+               list_slice(sig, band * 4 + 1, band * 4 + 4),
+               v -> v::VARCHAR), ',')) AS digest
+      FROM sig, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    sent AS (SELECT id FROM sh WHERE len(shs) = 0),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest
+                   AND a.id < b.id
+      UNION ALL
+      SELECT m.id_a, s.id AS id_b
+      FROM sent s CROSS JOIN (SELECT min(id) AS id_a FROM sent) m
+      WHERE s.id > m.id_a
+    ),
+    shx AS (SELECT id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT id, count(*) AS n FROM shx GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM shx a JOIN shx b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
+    ),
+    j AS (
+      SELECT (c.id_a IS NOT NULL) AS is_cand,
+             (t.id_a IS NOT NULL) AS is_true
+      FROM cand c FULL JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_candidates,
+      CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hit,
+      round(CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 4)
+        AS pair_recall,
+      round(CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / nullif(sum(CASE WHEN is_cand THEN 1 ELSE 0 END), 0), 4)
+        AS candidate_precision
+    FROM j
+    """,
+)
+def lsh_quality_report(spark, sf_dir):
+    """Measure, don't guess: recall/precision of the MinHash-LSH
+    candidate generator against exact 3-gram Jaccard ≥ 0.5 ground truth
+    on the SAME corpus — the one-row report that tells an engineer
+    whether 32 hashes × 8 bands is enough before a 100 TB run. Both
+    pipelines are the already-oracled operators; the comparison is one
+    full-outer join of two pair tables + a single aggregate. (A full
+    exact-truth pass is affordable at sample scale — the intended use —
+    while LSH alone runs at corpus scale.)"""
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(docs, n=3, num_hashes=32, bands=8).withColumn(
+        "is_cand", F.lit(True)
+    )
+    truth = jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("is_true")
+    )
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa
+    agg = j.agg(
+        cnt(F.col("is_cand")).alias("n_candidates"),
+        cnt(F.col("is_true")).alias("n_true"),
+        cnt(F.col("is_cand") & F.col("is_true")).alias("n_hit"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(num) / F.col(den), 4)
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        ratio("n_hit", "n_true").alias("pair_recall"),
+        ratio("n_hit", "n_candidates").alias("candidate_precision"),
+    )
