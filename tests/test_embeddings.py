@@ -117,3 +117,45 @@ def test_validation(spark):
 
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
         covariance_pairs(df, dims=3).collect()
+
+
+def test_pca_matches_numpy_eigensolver(spark):
+    """Power iteration (6 rounds, snapped) should land on numpy's top
+    eigenvector of the same covariance matrix for a well-separated
+    spectrum, up to the snap/rounding tolerance."""
+    import numpy as np
+
+    from timeseries_spark.extensions.embeddings import pca_top_component
+
+    rng = np.random.RandomState(7)
+    # strongly anisotropic cloud: dominant direction = (3, 1, 0, 0)/|.|
+    base = rng.randn(400, 4) * np.array([0.05, 0.05, 0.02, 0.01])
+    spike = rng.randn(400, 1) * 1.0
+    data = base + spike * (np.array([3.0, 1.0, 0.0, 0.0]) / np.sqrt(10))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pca_top_component(df, dims=4, n_iter=6).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    lam = out[0]["eigenvalue"]
+
+    c = np.cov(data.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    assert abs(abs(float(np.dot(v, top))) - 1.0) < 1e-3
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-2
+    # all 4 rows carry the same eigenvalue
+    assert len({r["eigenvalue"] for r in out}) == 1
+
+
+def test_pca_validates(spark):
+    import pytest
+
+    from timeseries_spark.extensions.embeddings import pca_top_component
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pca_top_component(df, dims=2, n_iter=0)

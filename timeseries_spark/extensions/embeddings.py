@@ -183,3 +183,65 @@ def random_projection(
         ),
     )
     return vectors.select(F.col(id_col), proj.alias(out_col))
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    dims: int,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration on the covariance matrix — the first step of every
+    whitening / spectral-diagnostic pipeline, done WITHOUT a linear-
+    algebra library: v ← snap(C·v / ‖C·v‖) for ``n_iter`` rounds from
+    the uniform start v₀ = 1/√d (exactly representable for power-of-two
+    d). Returns (dim, loading, eigenvalue): loadings 6dp-rounded, the
+    eigenvalue is the final iterate's ‖C·v‖ (the Rayleigh quotient of a
+    unit vector under a symmetric PSD matrix).
+
+    Scale shape: the corpus is touched ONCE (by ``covariance_pairs``);
+    every iteration after runs on the d²-row matrix relation — a
+    matvec is one broadcast-state join + a d-row aggregate, with the
+    same bounded-driver-loop + eager localCheckpoint discipline as
+    ``pagerank``. Determinism: the matrix entries are the 6dp-rounded
+    covariance values BOTH engines already agree on exactly, each
+    iterate snaps half-up at 1e-10 (drift cannot accumulate), and the
+    fixed positive start vector pins the sign — so plain SQL replays
+    the whole iteration (chained CTEs), which no eigensolver call
+    could offer."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    snap = lambda c: F.floor(c * 1e10 + F.lit(0.5)).cast("double") / 1e10  # noqa: E731
+    upper = covariance_pairs(vectors, dims, id_col, vec_col)
+    cov = upper.unionByName(
+        upper.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    v = cov.select(F.col("i").alias("dim")).distinct().withColumn(
+        "x", F.lit(1.0 / float(dims) ** 0.5)
+    )
+    norm = None
+    for _ in range(n_iter):
+        w = (
+            cov.join(
+                v.select(F.col("dim").alias("j"), "x"), "j"
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
+        )
+        norm = w.agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("dim", snap(F.col("w") / F.col("nm")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(norm)).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("x", 6).alias("loading"),
+        F.round("nm", 6).alias("eigenvalue"),
+    )

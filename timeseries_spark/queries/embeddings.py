@@ -15,10 +15,11 @@ from timeseries_spark.extensions.embeddings import (
 from timeseries_spark.queries import load, query
 
 
-@query(
-    "embedding_covariance",
-    oracle="""
-    WITH pairs AS (
+# upper-triangle covariance as a reusable CTE body: (i, j, cov), i <= j,
+# 6dp-rounded — shared by the covariance gate and the power-iteration
+# replay so the two oracles can never drift
+_COV_UPPER = """
+    cpair AS (
       SELECT ti.i - 1 AS i, tj.i - 1 AS j,
              embedding[ti.i]::DOUBLE AS xi,
              embedding[tj.i]::DOUBLE AS xj
@@ -26,11 +27,20 @@ from timeseries_spark.queries import load, query
            unnest(generate_series(1, 64)) AS ti(i),
            unnest(generate_series(1, 64)) AS tj(i)
       WHERE ti.i <= tj.i
-    )
-    SELECT i, j,
-           round(sum(xi * xj) / count(*)
-                 - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
-    FROM pairs GROUP BY i, j
+    ),
+    covu AS (
+      SELECT i, j,
+             round(sum(xi * xj) / count(*)
+                   - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
+      FROM cpair GROUP BY i, j
+    )"""
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH {_COV_UPPER}
+    SELECT i, j, cov FROM covu
     """,
 )
 def embedding_covariance(spark, sf_dir):
@@ -82,3 +92,55 @@ def embedding_projection(spark, sf_dir):
     random_projection)."""
     emb = load(spark, sf_dir, "embeddings")
     return random_projection(emb, dims=64, out_dims=16)
+
+
+def _pca_oracle(n_iter: int) -> str:
+    ctes = [
+        _COV_UPPER.strip(),
+        """cov AS (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j, i, cov FROM covu WHERE i < j
+    )""",
+        """v0 AS (
+      SELECT CAST(t.i - 1 AS BIGINT) AS dim, 0.125::DOUBLE AS x
+      FROM unnest(generate_series(1, 64)) AS t(i)
+    )""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""w{t} AS (
+      SELECT c.i AS dim, sum(c.cov * v.x) AS w
+      FROM cov c JOIN v{t - 1} v ON v.dim = c.j GROUP BY c.i
+    )"""
+        )
+        ctes.append(
+            f"n{t} AS (SELECT sqrt(sum(w * w)) AS nm FROM w{t})"
+        )
+        ctes.append(
+            f"""v{t} AS (
+      SELECT dim, floor(w / nm * 1e10 + 0.5) / 1e10 AS x
+      FROM w{t}, n{t}
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS loading,
+           round(nm, 6) AS eigenvalue
+    FROM v{n_iter}, n{n_iter}
+    """
+
+
+@query("pca_top_component", oracle=_pca_oracle(6))
+def pca_top_component_q(spark, sf_dir):
+    """Top principal component of the embedding cloud: 6 power-method
+    rounds on the 6dp-exact covariance relation (v ← snap(C·v/‖C·v‖),
+    1e-10 half-up per round, uniform start) — iterative linear algebra
+    with NO eigensolver, replayed exactly by chained CTEs; the corpus
+    is touched once by the covariance pass, every round after runs on
+    the d²-row matrix (extensions/embeddings.py:pca_top_component)."""
+    from timeseries_spark.extensions.embeddings import pca_top_component
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, dims=64, n_iter=6)
