@@ -197,3 +197,55 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert "Scan orc" in plan
     assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
     assert "val" not in plan.split("ReadSchema")[1][:120]  # column pruned
+
+
+def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path):
+    """Data-skipping evidence: after a Z-order write on (a, b), each
+    file's min/max envelope covers a small RECTANGLE of the value
+    space, so the summed per-file range width in BOTH dimensions is far
+    below an unclustered write's (where every file spans nearly the
+    full range of at least one column)."""
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.sources.io import write_zordered
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.pmod(F.col("id") * 48271, F.lit(65537))).alias("a"),
+            (F.pmod(F.col("id") * 16807, F.lit(65537))).alias("b"),
+        )
+    )
+
+    def per_file_coverage(path):
+        back = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        row = (
+            back.groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a")).alias("ra"),
+                (F.max("b") - F.min("b")).alias("rb"),
+            )
+            .agg(F.avg("ra").alias("ma"), F.avg("rb").alias("mb"))
+            .collect()[0]
+        )
+        return row["ma"], row["mb"]
+
+    base = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(base)
+    zord = str(tmp_path / "zord")
+    write_zordered(df, zord, "a", "b", num_files=16)
+
+    pa, pb = per_file_coverage(base)
+    za, zb = per_file_coverage(zord)
+    # random layout: every file spans ~the full 65k range in both dims.
+    # 16 z-curve tiles: each file covers ~1/4 of each dimension.
+    assert za < pa * 0.5 and zb < pb * 0.5
+    # 16 range-partitioned z tiles ≈ a 4×4 grid, but partition
+    # boundaries don't align with tile edges — each file still covers
+    # well under half of each dimension (vs ~full range unclustered)
+    assert za < 32000 and zb < 32000
+    # and the data itself round-trips
+    assert spark.read.parquet(zord).count() == n

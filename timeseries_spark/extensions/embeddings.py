@@ -245,3 +245,41 @@ def pca_top_component(
         F.round("x", 6).alias("loading"),
         F.round("nm", 6).alias("eigenvalue"),
     )
+
+
+def pca_scores(
+    vectors: DataFrame,
+    dims: int,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the learned top component:
+    score = Σ_i loading_i · x_i (4dp-rounded) — the 1-D summary used
+    for spectral outlier screens and stratified sampling along the
+    dominant axis. The 64-row component folds to ONE broadcast array
+    row (array_agg ordered by dim — the sq8 stats idiom), so the
+    projection is a zero-shuffle map stage over the corpus."""
+    comp = pca_top_component(vectors, dims, n_iter, id_col, vec_col)
+    loadings = comp.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "loading"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda t: t["loading"]).alias("pc1")
+    )
+    v = F.transform(
+        checked_dims(F.col(vec_col), dims, "pca_scores"),
+        lambda x: x.cast("double"),
+    )
+    return vectors.crossJoin(F.broadcast(loadings)).select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.col("pc1"), lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            4,
+        ).alias("pc1_score"),
+    )

@@ -144,3 +144,31 @@ def pca_top_component_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return pca_top_component(emb, dims=64, n_iter=6)
+
+
+@query(
+    "pca_scores",
+    oracle=_pca_oracle(6).replace(
+        """
+    SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS loading,
+           round(nm, 6) AS eigenvalue
+    FROM v6, n6
+    """,
+        """
+    SELECT e.vec_id,
+           round(sum(e.embedding[v.dim + 1]::DOUBLE * v.x), 4)
+             AS pc1_score
+    FROM embeddings e, v6 v
+    GROUP BY e.vec_id
+    """,
+    ),
+)
+def pca_scores_q(spark, sf_dir):
+    """Per-vector projection onto the trained top principal component
+    (4dp) — the 64-row component folds to one broadcast array and the
+    projection is a zero-shuffle map over the corpus
+    (extensions/embeddings.py:pca_scores)."""
+    from timeseries_spark.extensions.embeddings import pca_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_scores(emb, dims=64, n_iter=6)

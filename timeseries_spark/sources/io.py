@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -194,3 +195,71 @@ def write_orc(
         )
         w = w.partitionBy(*cols)
     w.orc(path)
+
+
+def zorder_value(
+    x: Column, y: Column, x_min: Column, x_rng: Column,
+    y_min: Column, y_rng: Column, bits: int = 16,
+) -> Column:
+    """Morton (Z-curve) interleave of two min-max-normalized columns:
+    each value maps to a ``bits``-bit code via exact integer floor
+    scaling, then bit b of x lands at position 2b and bit b of y at
+    2b+1. Pure 64-bit integer expressions — codegen'd, no UDF."""
+    scale = (1 << bits) - 1
+    xc = F.floor(
+        (x - x_min) * scale / F.greatest(x_rng, F.lit(1e-12))
+    ).cast("bigint")
+    yc = F.floor(
+        (y - y_min) * scale / F.greatest(y_rng, F.lit(1e-12))
+    ).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(xc, b).bitwiseAND(F.lit(1)), 2 * b
+        ) + F.shiftleft(
+            F.shiftright(yc, b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    num_files: int = 16,
+    mode: str = "error",
+) -> None:
+    """Z-order clustered parquet write — the lakehouse layout move
+    (public: Databricks OPTIMIZE ZORDER, Iceberg sort orders) that
+    makes MULTI-dimensional predicates skippable from footer min/max
+    stats alone: rows near each other on the Z-curve are near each
+    other in BOTH columns, so each file covers a small rectangle of
+    (x, y) space instead of a full-width stripe.
+
+    Plan: one tiny min/max aggregate broadcast back (1 row), the Morton
+    code as a codegen'd projection, then ONE range repartition on the
+    code (a global sort boundary — the unavoidable shuffle any
+    clustering write pays) with files written in code order. The z
+    column itself is dropped before writing."""
+    stats = df.agg(
+        F.min(col_x).alias("xm"),
+        (F.max(col_x) - F.min(col_x)).alias("xr"),
+        F.min(col_y).alias("ym"),
+        (F.max(col_y) - F.min(col_y)).alias("yr"),
+    )
+    coded = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        zorder_value(
+            F.col(col_x).cast("double"), F.col(col_y).cast("double"),
+            F.col("xm").cast("double"), F.col("xr").cast("double"),
+            F.col("ym").cast("double"), F.col("yr").cast("double"),
+        ),
+    ).drop("xm", "xr", "ym", "yr")
+    (
+        coded.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
