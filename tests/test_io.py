@@ -249,3 +249,29 @@ def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path):
     assert za < 32000 and zb < 32000
     # and the data itself round-trips
     assert spark.read.parquet(zord).count() == n
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.sources.io import compact_table, table_bytes
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(5000).select(
+        "id", (F.col("id") % 7).alias("k")
+    ).repartition(64).write.parquet(src)
+    total = table_bytes(spark, src)
+    assert total > 0
+    # target half the table per file -> 2 files (+1 for rounding)
+    n = compact_table(spark, src, dst, target_file_bytes=total // 2 + 1)
+    assert n == 2
+    import glob
+
+    files = glob.glob(dst + "/part-*")
+    assert len(files) == 2
+    assert spark.read.parquet(dst).count() == 5000
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_table(spark, src, dst + "2", target_file_bytes=0)

@@ -263,3 +263,41 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive on-disk size of a table directory via the JVM Hadoop
+    FileSystem (scheme-aware — works for file://, hdfs://, gs://)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hadoop_path).getLength())
+
+
+def compact_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "error",
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``ceil(table_bytes / target_file_bytes)`` files — the maintenance
+    pass every streaming/incremental sink needs (a micro-batch sink
+    mints one file per trigger per partition; a year of 1-minute
+    triggers is half a million footers, and at 100 TB the NameNode/
+    listing cost dwarfs the data). Uses round-robin ``repartition(n)``
+    (no key assumption, even output sizes); callers that also want
+    multi-dimensional skipping compose ``write_zordered`` instead.
+    Writes to ``dst`` — production wraps this in an atomic
+    rename/metadata swap, which is an orchestration concern, not an
+    engine one. Returns the target file count."""
+    if target_file_bytes < 1:
+        raise ValueError(
+            f"target_file_bytes must be >= 1, got {target_file_bytes}"
+        )
+    total = table_bytes(spark, src)
+    n = max(1, -(-total // int(target_file_bytes)))
+    spark.read.parquet(src).repartition(n).write.mode(mode).parquet(dst)
+    return n
