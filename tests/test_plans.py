@@ -96,6 +96,7 @@ def test_python_boundary_only_in_multimodal(plan):
         "media_decode_stats",
         "media_feature_hist",
         "media_resize_rollup",
+        "media_audio_resample",
     }
     for name in all_queries():
         p = plan(name)
