@@ -314,3 +314,24 @@ def test_chunk_documents_covers_every_token(spark, n_tokens, chunk, overlap_frac
         covered.update(range(r["chunk_start"], r["chunk_start"] + len(toks)))
     # every token position 1..max(n,1) covered (empty text -> [''] = 1 tok)
     assert covered == set(range(1, max(n_tokens, 1) + 1))
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long doc: containment fires in
+    the quote's direction while Jaccard stays tiny."""
+    from timeseries_spark.extensions.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    (c,) = containment_pairs(docs, n=3, threshold=0.8).collect()
+    assert (c["id_a"], c["id_b"]) == (1, 2)
+    assert c["containment_a"] == 1.0  # every quote shingle is in doc 2
+    assert c["containment_b"] < 0.05
+    assert jaccard_pairs(docs, n=3, threshold=0.5).count() == 0

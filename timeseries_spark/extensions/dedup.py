@@ -751,3 +751,69 @@ def incremental_dedup(
         .withColumnRenamed("id", id_col)
     )
     return new_df.join(keep, id_col, "left_semi")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT c(A→B) = |A∩B| / |A| —
+    the statistic that catches quotes, excerpts, and wrapper pages that
+    symmetric Jaccard misses entirely (a 50-token quote inside a
+    5000-token page has Jaccard ≈ 0.01 but containment ≈ 1.0 in the
+    quote's direction; the standard formulation is Broder 1997's
+    resemblance/containment pair). Keeps pairs where EITHER direction
+    reaches ``threshold``; both directions are reported.
+
+    Same inverted-index plan (and the same ``max_doc_freq`` hot-shingle
+    cap) as ``jaccard_pairs`` — the only change is the denominator, so
+    the scale properties carry over unchanged. Output: (id_a, id_b,
+    n_common, containment_a, containment_b), ratios 6dp."""
+    df = ensure_parallelism(df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        ).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        sh = sh.join(
+            F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti"
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment_a", F.round(F.col("n_common") / F.col("sh_a"), 6)
+        )
+        .withColumn(
+            "containment_b", F.round(F.col("n_common") / F.col("sh_b"), 6)
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
+    )

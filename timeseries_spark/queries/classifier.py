@@ -134,3 +134,113 @@ def logreg_quality_scores(spark, sf_dir):
         ),
         (p > 0.5).alias("keep"),
     )
+
+
+def _scored_cte(n_iter: int, lr: float) -> str:
+    return f"""
+    WITH {_lr_ctes(n_iter, lr)},
+    scored AS (
+      SELECT doc_id, y, floor({_SIG} * 1e6 + 0.5) / 1e6 AS p
+      FROM f, w{n_iter}
+    )"""
+
+
+def _scores_df(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_metrics(docs, "text").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "stopword_ratio",
+        "punct_ratio",
+        (F.col("mean_word_len") / 10).alias("mwl10"),
+    ).persist()
+    w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
+    z = F.col("w_bias")
+    for c in _FEATS:
+        z = z + F.col(f"w_{c}") * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "y",
+        (F.floor(p * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias("p"),
+    )
+
+
+@query(
+    "classifier_confusion",
+    oracle=_scored_cte(_N_ITER, _LR)
+    + """
+    SELECT
+      CAST(sum(CASE WHEN p > 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(sum(CASE WHEN p > 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fp,
+      CAST(sum(CASE WHEN p <= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fn,
+      CAST(sum(CASE WHEN p <= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tn,
+      round(CAST(sum(CASE WHEN p > 0.5 AND y = 1.0 THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / nullif(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END), 0), 4)
+        AS prec,
+      round(CAST(sum(CASE WHEN p > 0.5 AND y = 1.0 THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / nullif(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0), 4)
+        AS recall
+    FROM scored
+    """,
+)
+def classifier_confusion(spark, sf_dir):
+    """Confusion matrix + precision/recall of the trained quality
+    classifier at the 0.5 decision threshold — the evaluation half of
+    the learned gate, one aggregate pass over the scored corpus (the
+    scoring pipeline is the already-oracled train-then-apply chain)."""
+    s = _scores_df(spark, sf_dir)
+    pos = F.col("p") > 0.5
+    y1 = F.col("y") == 1.0
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa
+    agg = s.agg(
+        c(pos & y1).alias("tp"),
+        c(pos & ~y1).alias("fp"),
+        c(~pos & y1).alias("fn"),
+        c(~pos & ~y1).alias("tn"),
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num / den, 4)
+    )
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+    )
+
+
+@query(
+    "classifier_calibration",
+    oracle=_scored_cte(_N_ITER, _LR)
+    + """
+    SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 4) AS mean_p,
+           round(avg(y), 4) AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+)
+def classifier_calibration(spark, sf_dir):
+    """Reliability diagram of the trained classifier: decile buckets of
+    predicted probability vs the observed positive rate — the standard
+    calibration check before a probability threshold is trusted at
+    corpus scale. One aggregate over the scored corpus."""
+    s = _scores_df(spark, sf_dir)
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_p"),
+            F.round(F.avg("y"), 4).alias("frac_pos"),
+        )
+    )

@@ -970,3 +970,37 @@ def lsh_quality_report(spark, sf_dir):
         ratio("n_hit", "n_true").alias("pair_recall"),
         ratio("n_hit", "n_candidates").alias("candidate_precision"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / sa.n_sh, 6) AS containment_a,
+           round(n_common / sb.n_sh, 6) AS containment_b
+    FROM pairs
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(n_common / sa.n_sh, 6) >= 0.4
+       OR round(n_common / sb.n_sh, 6) >= 0.4
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup (|A∩B|/|A| ≥ 0.4 in either
+    direction) — catches excerpt/quote relationships symmetric Jaccard
+    misses; same inverted-index plan
+    (extensions/dedup.py:containment_pairs)."""
+    from timeseries_spark.extensions.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.4
+    )
