@@ -1,6 +1,6 @@
 """Embedding-matrix statistics and dimensionality reduction.
 
-Two operators a 100 TB embedding pipeline runs before/under its ANN
+Operators a 100 TB embedding pipeline runs before/under its ANN
 stack (extensions/similarity.py):
 
 - ``covariance_pairs`` — the d×d covariance of the embedding cloud
@@ -21,6 +21,10 @@ stack (extensions/similarity.py):
   parallel shape a corpus-scale dimensionality reduction must have.
   Public background: Achlioptas (2003) database-friendly random
   projections — ±1 entries suffice for the JL guarantee.
+
+- ``pca_top_component`` / ``pca_scores`` — the dominant eigenvector by
+  power iteration on the covariance relation (no eigensolver, fully
+  SQL-replayable) and the corpus projection onto it.
 """
 
 from __future__ import annotations

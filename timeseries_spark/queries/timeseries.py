@@ -968,3 +968,83 @@ def holt_winters_daily(spark, sf_dir):
         daily, keys=["event_type"], order_col="day", value_col="total",
         alpha=0.5, gamma=0.3, delta=0.4, period=7,
     )
+
+
+@query(
+    "hw_residual_anomaly",
+    oracle=f"""
+    WITH base AS (
+      SELECT * FROM ({_HW_ORACLE})
+    ),
+    lagd AS (
+      SELECT event_type, day, total,
+             lag(forecast_next) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS fprev
+      FROM base
+    ),
+    r AS (
+      SELECT event_type, day, total, total - fprev AS resid
+      FROM lagd WHERE fprev IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, avg(resid) AS mu, stddev_samp(resid) AS sd
+      FROM r GROUP BY event_type
+    ),
+    z AS (
+      SELECT r.event_type, r.day, round(r.resid, 4) AS resid,
+             floor((r.resid - mu) / sd * 1e6 + 0.5) / 1e6 AS z
+      FROM r JOIN s USING (event_type)
+    )
+    SELECT event_type, day, resid, z, abs(z) > 3 AS is_anomaly FROM z
+    """,
+)
+def hw_residual_anomaly(spark, sf_dir):
+    """Seasonality-aware anomaly detection: z-score the Holt-Winters
+    ONE-STEP-AHEAD forecast errors (total_t − forecast made at t−1) —
+    a spike that is merely the weekly shape scores ~0 here while a
+    plain value z-score would flag it. Composes the oracle-exact HW
+    fold with one lag window + one per-series moment aggregate; all
+    three share the event_type key grain, so the whole detector adds
+    no corpus-grain exchange beyond the smoother's own."""
+    from pyspark.sql import Window
+
+    from timeseries_spark.operators.timeseries import holt_winters_additive
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    hw = holt_winters_additive(
+        daily, keys=["event_type"], order_col="day", value_col="total",
+        alpha=0.5, gamma=0.3, delta=0.4, period=7,
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = (
+        hw.withColumn("fprev", F.lag("forecast_next").over(w))
+        .where(F.col("fprev").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            (F.col("total") - F.col("fprev")).alias("resid"),
+        )
+    )
+    s = r.groupBy("event_type").agg(
+        F.avg("resid").alias("mu"), F.stddev_samp("resid").alias("sd")
+    )
+    zsnap = (
+        F.floor((F.col("resid") - F.col("mu")) / F.col("sd") * 1e6 + F.lit(0.5))
+        .cast("double")
+        / 1e6
+    )
+    return (
+        r.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round("resid", 4).alias("resid"),
+            zsnap.alias("z"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("z")) > 3)
+    )
