@@ -457,3 +457,26 @@ def test_round6_audio_resample_boundary(plan):
     assert p.count("CartesianProduct") == 0
     # generator + resampler: exactly two mapInPandas nodes
     assert p.count("MapInPandas") // 2 == 2
+
+
+def test_round6_late_plan_shapes(plan):
+    """Late round-6 operators keep their claimed shapes: TF-IDF's only
+    joins are the term-grain df join + one-row N broadcast (no
+    cartesian); LPA and PCA never funnel through a SinglePartition that
+    carries more than state rows (LPA state = nodes; PCA state = d
+    rows); containment shares jaccard's inverted-index plan (no
+    all-pairs); the classifier evaluations stay single-aggregate."""
+    for name in ("tfidf_top_terms", "dedup_containment_pairs"):
+        p = plan(name)
+        assert p.count("CartesianProduct") == 0, name
+    p = plan("label_propagation_communities")
+    assert p.count("CartesianProduct") == 0
+    p = plan("pca_top_component")
+    assert p.count("CartesianProduct") == 0
+    p = plan("lsh_quality_report")
+    assert p.count("CartesianProduct") == 0
+    # the only nested-loop is the sentinel star's one-row min-id
+    # broadcast inherited from lsh_candidates
+    assert p.count("BroadcastNestedLoopJoin") // 2 <= 1
+    p = plan("classifier_confusion")
+    assert shuffles(p) <= 4  # train rounds reuse the persisted features
