@@ -122,9 +122,19 @@ def induce_bpe(
             .select("token", "cnt", "s")
             .localCheckpoint(eager=True)
         )
-    merges = merge_rows[0]
-    for df in merge_rows[1:]:
-        merges = merges.unionByName(df)
+    if not merge_rows:
+        # a corpus of single-character words has no adjacent pairs at
+        # all — surface an EMPTY merge table (correct artifact), not an
+        # error (found by the round-6 property test)
+        merges = docs.sparkSession.createDataFrame(
+            [],
+            "step int, pair_left string, pair_right string, "
+            "merged string, pair_count bigint",
+        )
+    else:
+        merges = merge_rows[0]
+        for df in merge_rows[1:]:
+            merges = merges.unionByName(df)
     return merges, words
 
 
