@@ -154,10 +154,19 @@ def pca_top_component_q(spark, sf_dir):
            round(nm, 6) AS eigenvalue
     FROM v6, n6
     """,
+        # two sf0.1 lessons baked in (3 of 2000 rows sat exactly on a
+        # 4dp half-way boundary): (1) the dot product folds in DIM
+        # ORDER via list_reduce — an unordered sum() walks a different
+        # double-add sequence than Spark's sequential zip_with/
+        # aggregate fold (0.0 + t0 == t0, so the missing init changes
+        # nothing); (2) the multiplier is the 6dp-ROUNDED loading the
+        # Spark side broadcasts, not the raw 1e-10 iterate.
         """
     SELECT e.vec_id,
-           round(sum(e.embedding[v.dim + 1]::DOUBLE * v.x), 4)
-             AS pc1_score
+           round(list_reduce(
+                   list(e.embedding[v.dim + 1]::DOUBLE * round(v.x, 6)
+                        ORDER BY v.dim),
+                   (a, b) -> a + b), 4) AS pc1_score
     FROM embeddings e, v6 v
     GROUP BY e.vec_id
     """,
