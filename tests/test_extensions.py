@@ -1329,3 +1329,34 @@ def test_resample_audio_corrupt_survives(spark):
 
     with pytest.raises(ValueError):
         resample_audio(media, 0)
+
+
+def test_trigram_backoff_all_branches(spark):
+    """Every backoff tier fires and matches the hand-computed score:
+    seen trigram, bigram-only, unigram-only, and the OOV floor."""
+    import math
+
+    from timeseries_spark.extensions.text import trigram_backoff_logprob
+
+    # doc 0 (even -> train): transitions a b c / b c a / c a b ...
+    train_text = "a b c a b c a b"
+    # doc 1 (odd -> test): positions scored are (p2,p1,cur) triples
+    #   (a b c)  seen trigram
+    #   (b c x)  unseen trigram; bigram (c x)? unseen; unigram x? unseen -> OOV
+    #   (c x a)  unseen trigram, unseen bigram (x a), unigram a seen
+    #   (x a b)  unseen trigram (x a b), bigram (a b) seen
+    docs = spark.createDataFrame(
+        [(0, train_text), (1, "a b c x a b")],
+        "doc_id bigint, text string",
+    )
+    (row,) = trigram_backoff_logprob(docs).collect()
+    assert row["doc_id"] == 1 and row["n_scored"] == 4
+    n = 8  # train tokens
+    scores = [
+        math.log(2 / 2),              # (a,b)->c: n3=2, ctx (a,b)=2
+        math.log(0.4**3 / n),         # x is OOV
+        math.log(0.4**2 * 3 / n),     # unigram a: n1=3
+        math.log(0.4 * 3 / 3),        # bigram (a)->b: n2=3, ctx a=3
+    ]
+    want = sum(scores) / 4
+    assert abs(row["mean_logscore"] - round(want, 6)) < 2e-6

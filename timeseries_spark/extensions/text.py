@@ -846,3 +846,108 @@ def distinctive_tokens(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def trigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, public:
+    the web-scale LM that skips normalization): the corpus's EVEN docs
+    (id % 2 = 0) train the counts, the ODD docs are scored — a real
+    train/held-out split, so the backoff chain genuinely fires (a model
+    scored on its own training text never backs off, which would make
+    the operator a no-op demo). Score per position:
+
+        S(cur | p2, p1) = c3/ctx3          if the trigram was seen
+                        = β · c2/ctx2      else if the bigram was seen
+                        = β² · c1/N        else if the unigram was seen
+                        = β³ · 1/N         else (OOV floor — keeps the
+                                            log finite, documented rule)
+
+    with β = ``backoff``. Per-doc mean log-score folds in POSITION
+    order (the bigram_logprob discipline) so both engines round once
+    off identical doubles.
+
+    Plan shape: the two lag windows share one doc-keyed exchange; all
+    three count tables are vocabulary-bounded aggregates of the train
+    half; scoring left-joins the held-out transition stream through
+    trigram → bigram → unigram keys (each a key-partitioned equi join)
+    with N as a one-row broadcast. Output: (id, n_scored,
+    mean_logscore 6dp, perplexity 6dp)."""
+    if not 0.0 < backoff <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    b = float(backoff)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(id_col) % 2 == 0).alias("is_train"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    stream = toks.select(
+        "id",
+        "is_train",
+        "pos",
+        F.lag("token", 2).over(w_doc).alias("p2"),
+        F.lag("token", 1).over(w_doc).alias("p1"),
+        F.col("token").alias("cur"),
+    )
+    train = stream.where("is_train")
+    tri = (
+        train.where(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "cur")
+        .agg(F.count(F.lit(1)).alias("n3"))
+        .withColumn("c3", F.sum("n3").over(Window.partitionBy("p2", "p1")))
+    )
+    big = (
+        train.where(F.col("p1").isNotNull())
+        .groupBy("p1", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .withColumn("c2", F.sum("n2").over(Window.partitionBy("p1")))
+    )
+    uni = train.groupBy("cur").agg(F.count(F.lit(1)).alias("n1"))
+    n_total = train.agg(F.count(F.lit(1)).alias("nn"))
+    test = stream.where(~F.col("is_train") & F.col("p2").isNotNull())
+    scored = (
+        test.join(tri, ["p2", "p1", "cur"], "left")
+        .join(big, ["p1", "cur"], "left")
+        .join(uni, ["cur"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "id",
+            "pos",
+            F.when(
+                F.col("n3").isNotNull(),
+                F.log(F.col("n3").cast("double") / F.col("c3")),
+            )
+            .when(
+                F.col("n2").isNotNull(),
+                F.log(F.lit(b) * F.col("n2").cast("double") / F.col("c2")),
+            )
+            .when(
+                F.col("n1").isNotNull(),
+                F.log(
+                    F.lit(b * b) * F.col("n1").cast("double") / F.col("nn")
+                ),
+            )
+            .otherwise(
+                F.log(F.lit(b * b * b) / F.col("nn").cast("double"))
+            )
+            .alias("ls"),
+        )
+    )
+    mean = F.aggregate(
+        "ps", F.lit(0.0), lambda a, t: a + t["ls"]
+    ) / F.size("ps")
+    return (
+        scored.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ls"))).alias("ps"))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("ps").cast("bigint").alias("n_scored"),
+            F.round(mean, 6).alias("mean_logscore"),
+            F.round(F.exp(-mean), 6).alias("perplexity"),
+        )
+    )

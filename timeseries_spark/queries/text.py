@@ -787,3 +787,76 @@ def zipf_fit(spark, sf_dir):
         snap(F.regr_r2(lf, lr)).alias("zipf_r2"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@query(
+    "trigram_backoff",
+    oracle="""
+    WITH toks AS (
+      SELECT id, (id % 2 = 0) AS is_train, g.i AS pos, ts[g.i] AS token
+      FROM (SELECT doc_id AS id, string_split(text, ' ') AS ts
+            FROM documents),
+           unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    stream AS (
+      SELECT id, is_train, pos,
+             lag(token, 2) OVER w AS p2,
+             lag(token, 1) OVER w AS p1,
+             token AS cur
+      FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    tri AS (
+      SELECT p2, p1, cur, count(*) AS n3,
+             sum(count(*)) OVER (PARTITION BY p2, p1) AS c3
+      FROM stream WHERE is_train AND p2 IS NOT NULL
+      GROUP BY p2, p1, cur
+    ),
+    big AS (
+      SELECT p1, cur, count(*) AS n2,
+             sum(count(*)) OVER (PARTITION BY p1) AS c2
+      FROM stream WHERE is_train AND p1 IS NOT NULL
+      GROUP BY p1, cur
+    ),
+    uni AS (
+      SELECT cur, count(*) AS n1 FROM stream WHERE is_train GROUP BY cur
+    ),
+    nt AS (SELECT count(*) AS nn FROM stream WHERE is_train),
+    scored AS (
+      SELECT s.id, s.pos,
+             CASE
+               WHEN t.n3 IS NOT NULL
+                 THEN ln(t.n3::DOUBLE / t.c3)
+               WHEN b.n2 IS NOT NULL
+                 THEN ln(0.4 * b.n2::DOUBLE / b.c2)
+               WHEN u.n1 IS NOT NULL
+                 THEN ln(0.16000000000000003 * u.n1::DOUBLE / n.nn)
+               ELSE ln(0.06400000000000002 / n.nn::DOUBLE)
+             END AS ls
+      FROM stream s
+      LEFT JOIN tri t ON s.p2 = t.p2 AND s.p1 = t.p1 AND s.cur = t.cur
+      LEFT JOIN big b ON s.p1 = b.p1 AND s.cur = b.cur
+      LEFT JOIN uni u ON s.cur = u.cur
+      CROSS JOIN nt n
+      WHERE NOT s.is_train AND s.p2 IS NOT NULL
+    ),
+    folded AS (SELECT id, list(ls ORDER BY pos) AS ps FROM scored GROUP BY id)
+    SELECT id AS doc_id, CAST(len(ps) AS BIGINT) AS n_scored,
+           round(list_reduce(list_prepend(0.0::DOUBLE, ps),
+                             (a, b) -> a + b) / len(ps), 6) AS mean_logscore,
+           round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, ps),
+                                   (a, b) -> a + b) / len(ps))), 6)
+             AS perplexity
+    FROM folded
+    """,
+)
+def trigram_backoff_q(spark, sf_dir):
+    """Stupid-backoff trigram LM (β=0.4): even docs train the counts,
+    odd docs are scored, so the trigram → bigram → unigram → OOV-floor
+    backoff chain genuinely fires. Position-ordered fold in BOTH
+    engines; the β² / β³ literals in the oracle are the exact doubles
+    Python's 0.4*0.4 products produce
+    (extensions/text.py:trigram_backoff_logprob)."""
+    from timeseries_spark.extensions.text import trigram_backoff_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return trigram_backoff_logprob(docs)
