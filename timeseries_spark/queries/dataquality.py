@@ -152,3 +152,109 @@ def scd2_user_status(spark, sf_dir):
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                            1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+           round(pow(CAST(n AS DOUBLE) / total
+                     - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-numbers screen (public: Benford 1938; widely used in
+    fraud detection): observed vs expected log10(1 + 1/d) frequency per
+    leading digit, with the per-digit χ² contribution. One integer
+    projection + one 9-row aggregate; the total rides a one-row
+    broadcast. (TPC-H-style synthetic prices are roughly uniform, so
+    this corpus legitimately FAILS Benford — the diagnostic working as
+    intended.)"""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        # explicit floor: DuckDB's double->BIGINT cast ROUNDS half-even
+        # while Spark's truncates — a price near x999.5 would land its
+        # leading digit in different buckets (caught at sf0.01)
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    observed = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(observed - expected, 2) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "lang_source_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, count(*) AS n FROM documents
+      GROUP BY lang, source
+    ),
+    m AS (
+      SELECT o.lang, o.source, o.n,
+             sum(n) OVER (PARTITION BY lang) AS rl,
+             sum(n) OVER (PARTITION BY source) AS cs,
+             sum(n) OVER () AS t
+      FROM o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(n - rl * cs / CAST(t AS DOUBLE), 2)
+                     / (rl * cs / CAST(t AS DOUBLE))), 4) AS chi2,
+           CAST((count(DISTINCT lang) - 1)
+                * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+)
+def lang_source_chi2(spark, sf_dir):
+    """χ² independence test of the (lang × source) contingency table —
+    the corpus-mix diagnostic that flags when one crawl source skews
+    toward a language (expected cell = row·col/total under
+    independence). One (lang, source) aggregate; marginals are window
+    sums over the contingency cells themselves (never a corpus
+    re-scan), then a single reduce. NOTE: observed cells only — absent
+    (lang, source) combinations contribute their expected mass to dof
+    but not to the sum, the standard sparse-table convention."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        o.withColumn("rl", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("cs", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn(
+            "t", F.sum("n").over(Window.partitionBy())
+        )
+    )
+    exp = F.col("rl") * F.col("cs") / F.col("t").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+    )
