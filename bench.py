@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_covariance",  # round-6: d x d single-scan pair aggregate
     "bpe_merges",  # round-6: 8-round tokenizer induction (vocab-grain)
     "scd2_user_status",  # round-6: single-shuffle CDC history build
+    "pca_top_component",  # round-6: power iteration on the covariance
+    "trigram_backoff",  # round-6: stupid-backoff LM, held-out split
 ]
 
 
