@@ -129,3 +129,18 @@ def test_scd2_intervals_chain(spark):
     assert not u1[0]["is_current"] and not u1[1]["is_current"]
     (u2,) = by_user[2]
     assert u2["is_current"] and u2["event_type"] == "purchase"
+
+
+def test_min_max_empty_input_fails_not_null(spark):
+    # ADVICE r6: F.min/F.max over zero rows is NULL — the report must
+    # still FAIL the check (passed=False), keeping the NULL metric as
+    # the "no rows" signal rather than propagating NULL into passed
+    from timeseries_spark.extensions.dataquality import max_value, min_value
+
+    df = spark.createDataFrame([], "id bigint, v double")
+    rows = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in run_checks(df, [min_value("v", 0.0), max_value("v", 10.0)]).collect()
+    }
+    assert rows["min(v)"] == (None, False)
+    assert rows["max(v)"] == (None, False)

@@ -159,3 +159,20 @@ def test_pca_validates(spark):
     )
     with pytest.raises(ValueError):
         pca_top_component(df, dims=2, n_iter=0)
+
+
+def test_pca_degenerate_constant_cloud_zero_vector(spark):
+    # ADVICE r6: an all-constant cloud has an all-zero covariance, so
+    # ||C.v|| = 0 — the documented degenerate result is the zero vector
+    # with eigenvalue 0, never NULL loadings
+    from timeseries_spark.extensions.embeddings import pca_top_component
+
+    df = spark.createDataFrame(
+        [(i, [3.0, 3.0]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pca_top_component(df, dims=2, n_iter=3).collect()
+    assert len(out) == 2
+    assert all(r["loading"] == 0.0 for r in out)
+    assert all(r["eigenvalue"] == 0.0 for r in out)
+    assert all(r["loading"] is not None for r in out)

@@ -101,3 +101,35 @@ def test_label_propagation_validates(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         label_propagation(edges, n_iter=0)
+
+
+def test_label_propagation_unpersists_edge_cache(spark, monkeypatch):
+    # ADVICE r6: the edge DataFrame is persisted for the rounds but the
+    # returned labels are an eager checkpoint — the cache must be
+    # released before return (long-lived sessions would otherwise leak
+    # one cached relation per invocation). Spy on DataFrame.persist and
+    # assert every relation the operator cached is unpersisted by the
+    # time it returns (storage level drops to NONE).
+    from timeseries_spark.extensions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4 routes
+    # pyspark.sql.DataFrame to an abstract base; the session builds
+    # pyspark.sql.classic.dataframe.DataFrame)
+    cls = type(edges)
+    orig = cls.persist
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        cached.append(out)
+        return out
+
+    cached = []
+    monkeypatch.setattr(cls, "persist", spy)
+    out = label_propagation(edges, n_iter=2, persist=True)
+    assert out.count() == 3
+    assert cached, "persist=True must cache the edge relation"
+    assert all(not c.storageLevel.useMemory and not c.storageLevel.useDisk
+               for c in cached)

@@ -73,10 +73,14 @@ def uniqueness_approx(col: str, min_ratio: float = 0.95) -> Check:
 
 
 def min_value(col: str, at_least: float) -> Check:
+    """Empty input yields a NULL metric, which ``run_checks`` reports
+    as passed=false (the NULL metric is kept — it tells the dashboard
+    WHY: no rows, vs. a real bound violation)."""
     return Check(f"min({col})", F.min(col).cast("double"), at_least)
 
 
 def max_value(col: str, at_most: float) -> Check:
+    """Empty-input contract as ``min_value``: NULL metric, passed=false."""
     return Check(f"max({col})", F.max(col).cast("double"), at_most, ge=False)
 
 
@@ -123,10 +127,15 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             F.lit(c.name).alias("check_name"),
             (F.round(F.col(f"__m{i}"), 6)).alias("metric"),
             F.lit(float(c.threshold)).alias("threshold"),
-            (
-                F.col(f"__m{i}") >= F.lit(float(c.threshold))
-                if c.ge
-                else F.col(f"__m{i}") <= F.lit(float(c.threshold))
+            # NULL metric (e.g. min/max over zero rows) must FAIL, not
+            # propagate NULL — the suite's empty-input loud-fail contract
+            F.coalesce(
+                (
+                    F.col(f"__m{i}") >= F.lit(float(c.threshold))
+                    if c.ge
+                    else F.col(f"__m{i}") <= F.lit(float(c.threshold))
+                ),
+                F.lit(False),
             ).alias("passed"),
         )
         for i, c in enumerate(checks)

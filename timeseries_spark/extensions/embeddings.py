@@ -239,9 +239,22 @@ def pca_top_component(
         norm = w.agg(
             F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
         )
+        # nm=0 guard: an all-constant embedding cloud has an all-zero
+        # covariance, so C·v collapses and w/nm would be NULL (non-ANSI
+        # x/0) — silently nulling every loading. The documented
+        # degenerate result is the ZERO vector with eigenvalue 0: a
+        # deterministic, join-safe sentinel (callers see loading=0.0
+        # everywhere instead of a poisoned NULL cascade).
         v = (
             w.crossJoin(F.broadcast(norm))
-            .select("dim", snap(F.col("w") / F.col("nm")).alias("x"))
+            .select(
+                "dim",
+                snap(
+                    F.when(
+                        F.col("nm") > 0, F.col("w") / F.col("nm")
+                    ).otherwise(F.lit(0.0))
+                ).alias("x"),
+            )
             .localCheckpoint(eager=True)
         )
     return v.crossJoin(F.broadcast(norm)).select(

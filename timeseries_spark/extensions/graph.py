@@ -138,28 +138,37 @@ def label_propagation(
         eager=True
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
-    for _ in range(n_iter):
-        picks = (
-            e.join(
-                labels.select(
-                    F.col("node").alias("dst"),
-                    F.col("label").alias("nbr_label"),
-                ),
-                "dst",
+    try:
+        for _ in range(n_iter):
+            picks = (
+                e.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("label").alias("nbr_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumnRenamed("nbr_label", "label")
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", F.col("label").alias("new_label"))
             )
-            .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumnRenamed("nbr_label", "label")
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(picks, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
+            labels = (
+                labels.join(picks, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        # the final labels are an EAGER checkpoint, so the edge cache is
+        # dead weight the moment the loop ends — unpersisting here (not
+        # at the caller) keeps long-lived sessions from leaking a block
+        # per invocation (pagerank can't do this: its returned plan is
+        # lazy and still reads the cache when it finally executes)
+        if persist:
+            e.unpersist()
     return labels.select("node", F.col("label").alias("community"))

@@ -68,14 +68,21 @@ _PROJ_SIGN = JL_SIGN_SQL.format(k="(g.k - 1)", i="(t.i - 1)")
     "embedding_projection",
     oracle=f"""
     WITH terms AS (
-      SELECT vec_id, g.k - 1 AS k,
+      SELECT vec_id, g.k - 1 AS k, t.i AS i,
              embedding[t.i]::DOUBLE * {_PROJ_SIGN} AS term
       FROM embeddings,
            unnest(generate_series(1, 64)) AS t(i),
            unnest(generate_series(1, 16)) AS g(k)
     ),
     sums AS (
-      SELECT vec_id, k, round(sum(term) / 4.0, 6) AS y
+      -- dim-ORDERED fold, mirroring the pca_scores oracle: Spark's
+      -- F.aggregate walks dims sequentially, and an unordered sum()
+      -- takes a different double-add path — a value landing exactly on
+      -- a .xxxxx5 6dp boundary would then round differently
+      -- (0.0 + t0 == t0, so list_reduce's missing init changes nothing)
+      SELECT vec_id, k,
+             round(list_reduce(list(term ORDER BY i),
+                               (a, b) -> a + b) / 4.0, 6) AS y
       FROM terms GROUP BY vec_id, k
     )
     SELECT vec_id, list(y ORDER BY k) AS proj
