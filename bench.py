@@ -60,6 +60,8 @@ HEADLINE = [
     "scd2_user_status",  # round-6: single-shuffle CDC history build
     "pca_top_component",  # round-6: power iteration on the covariance
     "trigram_backoff",  # round-6: stupid-backoff LM, held-out split
+    "ann_ivf_staged",  # round-7: probe-only IVF from a staged quantizer
+    "semantic_dedup_staged",  # round-7: dedup from the same staged artifact
 ]
 
 

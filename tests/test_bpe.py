@@ -68,3 +68,85 @@ def test_segment_topk_deterministic(spark):
     _, words = induce_bpe(docs, n_merges=1)
     top = segment_topk(words, k=2).collect()
     assert [r["token"] for r in top] == ["aa", "bb"]
+
+
+def _rows(*tups):
+    return [{"a": a, "b": b, "total": t} for a, b, t in tups]
+
+
+def test_disjoint_prefix_stops_at_first_conflict():
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 10), ("b", "c", 9), ("c", "d", 8)), 16, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b")]
+
+
+def test_disjoint_prefix_enforces_strict_count_boundary():
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    # tie at the batch boundary: p2 and p3 both count 9 -> p2 must be
+    # dropped (sequential greedy could legally reach p3-or-a-new-pair
+    # first), leaving the strictly-dominant p1 alone
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 9)), 2, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b")]
+    # strictly decreasing counts keep the full prefix
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 8)), 16, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b"), ("c", "d")] or len(
+        batch
+    ) == 3
+
+
+def test_disjoint_prefix_conflicts_on_merged_output():
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    # merging (a,b) mints symbol "ab"; a later pair with an "ab"
+    # component must conflict even though {a,b} ∩ {ab,c} = ∅
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 10), ("ab", "c", 9), ("x", "y", 8)), 16, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b")]
+
+
+def test_disjoint_prefix_respects_remaining_cap():
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 8)), 16, 1
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b")]
+
+
+def test_batched_equals_sequential_on_fixture(spark):
+    from timeseries_spark.extensions.bpe import induce_bpe, induce_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["abab abab abc", "abc ab a b", "baba abab cc cc"] * 2
+        )],
+        "doc_id bigint, text string",
+    )
+    for bm in (1, 2, 16):
+        seq_m, seq_w = induce_bpe(docs, n_merges=5)
+        bat_m, bat_w = induce_bpe_batched(docs, n_merges=5, batch_max=bm)
+        assert sorted(map(tuple, seq_m.collect())) == sorted(
+            map(tuple, bat_m.collect())
+        ), f"batch_max={bm}"
+        assert sorted(map(tuple, seq_w.collect())) == sorted(
+            map(tuple, bat_w.collect())
+        ), f"batch_max={bm}"
+
+
+def test_batched_validates(spark):
+    from timeseries_spark.extensions.bpe import induce_bpe_batched
+
+    docs = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        induce_bpe_batched(docs, n_merges=0)
+    with pytest.raises(ValueError):
+        induce_bpe_batched(docs, n_merges=1, batch_max=0)

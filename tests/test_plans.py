@@ -125,7 +125,14 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
         # ReusedExchange and computes it once
         "dedup_minhash_lsh": 9,
         "dedup_simhash": 3,
-        "dedup_embedding_cosine": 2,
+        # 2 round-robin parallelism guards (one per self-join alias) +
+        # 2 EXPLICIT (block, salt) repartitions that pin the pair-join
+        # partitioning: user-numbered shuffles are exempt from AQE's
+        # byte-based coalescing, which otherwise serialized the cosine
+        # stage onto 1-2 tasks (round-7 event-log finding; the join
+        # itself adds no further exchange — its requirement is already
+        # satisfied)
+        "dedup_embedding_cosine": 4,
         # df-capped variants: + the hot-set aggregation, textually repeated
         # per shingle-subtree alias (ReusedExchange computes it once; the
         # hot side itself broadcasts — no extra join shuffle)

@@ -135,3 +135,29 @@ def test_zorder_interleave_is_bijective(spark, xs, ys):
         xd = sum(((z >> (2 * b)) & 1) << b for b in range(16))
         yd = sum(((z >> (2 * b + 1)) & 1) << b for b in range(16))
         assert (xd, yd) == (int(r["x"]), int(r["y"]))
+
+
+@SLOW
+@given(corpus=corpus, bm=st.sampled_from([2, 4, 16]))
+def test_batched_bpe_matches_sequential_reference(spark, corpus, bm):
+    """The strict-boundary disjoint-prefix batch is provably equal to
+    sequential greedy BPE — asserted against the same pure-Python
+    reference the sequential operator is pinned to, across batch
+    widths."""
+    from timeseries_spark.extensions.bpe import induce_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    want_merges, want_words = _bpe_reference(corpus, 4)
+    got_m, got_w = induce_bpe_batched(docs, n_merges=4, batch_max=bm)
+    got_merges = [
+        (r["step"], r["pair_left"], r["pair_right"], r["merged"], r["pair_count"])
+        for r in got_m.orderBy("step").collect()
+    ]
+    assert got_merges == want_merges
+    got_words = {r["token"]: r["s"] for r in got_w.collect()}
+    want_render = {
+        tok: "[" + "][".join(syms) + "]" for tok, syms in want_words.items()
+    }
+    assert got_words == want_render

@@ -1,0 +1,141 @@
+"""Staged quantizer (round 7): fit/serve split for IVF + semantic dedup.
+
+The contract under test: staging changes WHEN the quantizer trains,
+never what it answers — and the probe plan is a pure Catalyst tree
+(parquet scans + broadcasts) with no Lloyd subtree and no checkpointed
+lineage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.kmeans import (
+    assign_to_centroids,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture()
+def cloud(spark):
+    # 3 well-separated lumps in 2-D, deterministic
+    rows = [
+        (i, [float(base[0] + (i % 3)) / 10.0 + base[0], base[1] + (i % 2) / 10.0])
+        for i, base in enumerate(
+            [(0.0, 0.0), (5.0, 5.0), (0.0, 9.0)] * 7
+        )
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_assign_to_fit_centroids_reproduces_kmeans_assign(spark, cloud):
+    # kmeans_fit returns the centroids its FINAL assignment ranked
+    # against; assigning them back must reproduce kmeans_assign
+    # column-for-column (same distances, same tie-breaks)
+    direct = kmeans_assign(cloud, k=3, max_iter=4)
+    _, cents = kmeans_fit(cloud, k=3, max_iter=4)
+    staged = assign_to_centroids(cloud, cents)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+
+
+def test_assign_survives_parquet_round_trip(spark, cloud, tmp_path):
+    # doubles round-trip parquet bit-exactly: a staged centroid table
+    # answers identically to the in-memory one
+    _, cents = kmeans_fit(cloud, k=3, max_iter=4)
+    path = str(tmp_path / "cents")
+    cents.write.parquet(path)
+    from_disk = assign_to_centroids(cloud, spark.read.parquet(path))
+    in_mem = assign_to_centroids(cloud, cents)
+    assert sorted(map(tuple, in_mem.collect())) == sorted(
+        map(tuple, from_disk.collect())
+    )
+
+
+def test_assign_tie_breaks_to_lowest_cid(spark):
+    # a point equidistant from two centroids must take the LOWER cid —
+    # the (sq_dist, cid) struct-min ordering, same as Lloyd's window
+    pts = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (0, [0.0, 0.0])], "cid int, c array<double>"
+    )
+    row = assign_to_centroids(pts, cents).collect()[0]
+    assert row["cluster"] == 0 and row["sq_dist"] == 1.0
+
+
+def test_assign_plan_is_shuffle_free(spark, cloud, tmp_path):
+    # the probe-time assignment is a broadcast argmin PROJECTION: no
+    # |corpus|-grain Exchange, no window sort over vids
+    _, cents = kmeans_fit(cloud, k=3, max_iter=4)
+    path = str(tmp_path / "cents")
+    cents.write.parquet(path)
+    assigned = assign_to_centroids(cloud, spark.read.parquet(path))
+    p = _plan(spark, assigned)
+    assert "Window" not in p
+    # no key shuffle of the corpus: the only shuffle Exchange is the
+    # bounded k-row centroid fold (SinglePartition over k rows), and
+    # broadcasts don't move data by key either
+    assert "hashpartitioning" not in p
+    assert p.count(") Exchange") <= 1
+
+
+def test_staged_probe_plan_has_no_lloyd_subtree(spark, tmp_path, monkeypatch):
+    # build the FULL staged IVF probe against real sf0.001 data and
+    # assert the plan is declarative end-to-end: no checkpointed RDD
+    # scan (the in-plan Lloyd path materializes through localCheckpoint,
+    # which surfaces as "Scan ExistingRDD"), no per-dim posexplode
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.extensions.similarity import ivf_topk
+    from timeseries_spark.extensions.staging import staged_centroids
+    from timeseries_spark.queries import load
+    from timeseries_spark.queries.similarity import _queries_df
+
+    emb = load(spark, SF, "embeddings")
+    cents = staged_centroids(
+        spark, emb, f"{SF}/embeddings.parquet", k=4, max_iter=3
+    )
+    probe = ivf_topk(emb, _queries_df(spark, SF), k=5, centroids=cents)
+    p = _plan(spark, probe)
+    assert "ExistingRDD" not in p
+    assert "PosExplode" not in p and "posexplode" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_staged_equals_inplan_results(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries import all_queries
+
+    reg = all_queries()
+    inplan = {tuple(r) for r in reg["ann_ivf_topk"](spark, SF).collect()}
+    staged = {tuple(r) for r in reg["ann_ivf_staged"](spark, SF).collect()}
+    assert inplan == staged
+
+
+def test_stage_path_keyed_by_mtime(tmp_path):
+    # regenerating the dataset (same path, new mtime) must yield a new
+    # artifact key — stale centroids can never serve a changed corpus
+    import os
+    import time
+
+    from timeseries_spark.extensions.staging import centroid_stage_path
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_text("x")
+    p1 = centroid_stage_path(str(src), 4, 3)
+    os.utime(src, (time.time() + 100, time.time() + 100))
+    p2 = centroid_stage_path(str(src), 4, 3)
+    assert p1 != p2
+    assert centroid_stage_path(str(src), 5, 3) != p2

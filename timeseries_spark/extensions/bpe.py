@@ -148,3 +148,111 @@ def segment_topk(words: DataFrame, k: int = 50) -> DataFrame:
         .limit(k)
         .select("token", "cnt", F.col("s").alias("seg"))
     )
+
+
+def _disjoint_prefix(rows, batch_max: int, remaining: int):
+    """The exactness-preserving batch: the longest PREFIX of the
+    (total desc, a, b)-ordered pair list that is pairwise
+    symbol-disjoint, shrunk until the last member's count STRICTLY
+    exceeds the first unselected pair's (floor at 1 = plain greedy).
+
+    Why this equals sequential greedy BPE, merge for merge:
+    - prefix + first-conflict stop ⇒ every non-batch pair ranks at or
+      below the stopping pair, so its count <= count(p_{m+1});
+    - disjointness ⇒ merging p_i never changes the count of p_j (no
+      shared symbol, and adjacency of a disjoint pair is untouched by
+      a bracket rewrite elsewhere in the word);
+    - a NEW pair created by merging (a,b)->ab, say (x,ab), occurs at
+      most as often as the OLD pair (x,a) — which conflicts with the
+      batch and therefore ranks <= p_{m+1};
+    - the strict boundary count(p_m) > count(p_{m+1}) then puts every
+      competitor STRICTLY below every batch member, so sequential
+      greedy must pick exactly p_1..p_m in order (equal-count batch
+      members resolve by the same (a, b) lex tie-break in both).
+
+    "Symbol-disjoint" must include MERGED OUTPUTS, not just
+    components: merging (a,b) mints new "ab" symbols, so a later pair
+    with an "ab" component (possible when the vocabulary already
+    contains multi-char symbols from earlier rounds) would see its
+    count change mid-batch. Each selected pair therefore reserves
+    {a, b, a+b}, and a candidate conflicts if any of ITS three strings
+    is reserved.
+    """
+    batch: list = []
+    used: set[str] = set()
+    nxt = None
+    for r in rows:
+        if len(batch) >= min(batch_max, remaining):
+            nxt = r
+            break
+        if {r["a"], r["b"], r["a"] + r["b"]} & used:
+            nxt = r
+            break
+        batch.append(r)
+        used |= {r["a"], r["b"], r["a"] + r["b"]}
+    if nxt is not None:
+        while len(batch) > 1 and batch[-1]["total"] <= nxt["total"]:
+            nxt = batch.pop()
+    return batch
+
+
+def induce_bpe_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_max: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Sequential-exact BPE induction with BATCHED rounds: each corpus
+    round merges up to ``batch_max`` pairwise-disjoint pairs at once
+    (see ``_disjoint_prefix`` for the proof sketch), so a realistic
+    30k-merge vocabulary needs hundreds of Spark rounds instead of
+    30k sequential jobs. Output is identical to ``induce_bpe`` —
+    same merge table (steps, counts, order), same final segmentation —
+    which is what lets this share the sequential oracle.
+
+    Driver boundary: ONE bounded collect of <= batch_max + 1 tiny
+    (a, b, total) rows per round — the same metadata-only discipline as
+    the kmeans convergence aggregate, never a data collect. The batch
+    rewrite is a single chained literal replace per round (the merges
+    are disjoint, so replace order within the chain is immaterial)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_max < 1:
+        raise ValueError(f"batch_max must be >= 1, got {batch_max}")
+    spark = docs.sparkSession
+    words = _vocab(docs, text_col).localCheckpoint(eager=True)
+    merge_lits: list[tuple] = []
+    while len(merge_lits) < n_merges:
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("total"), "a", "b")
+            .limit(batch_max + 1)
+            .collect()
+        )
+        if not top:
+            break
+        batch = _disjoint_prefix(
+            top, batch_max, n_merges - len(merge_lits)
+        )
+        for r in batch:
+            merge_lits.append(
+                (len(merge_lits) + 1, r["a"], r["b"], r["a"] + r["b"], r["total"])
+            )
+        s = F.col("s")
+        for r in batch:
+            s = F.replace(
+                s,
+                F.lit(f"[{r['a']}][{r['b']}]"),
+                F.lit(f"[{r['a']}{r['b']}]"),
+            )
+        words = (
+            words.withColumn("s", s)
+            .select("token", "cnt", "s")
+            .localCheckpoint(eager=True)
+        )
+    merges = spark.createDataFrame(
+        merge_lits,
+        "step int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint",
+    )
+    return merges, words

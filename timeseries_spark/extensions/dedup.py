@@ -567,6 +567,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_iter: int = 20,
     carry_cols: tuple[str, ...] = ("source",),
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end semantic-dedup pipeline a 100 TB corpus actually
     runs, composed from the proven pieces: train a coarse quantizer
@@ -589,16 +590,33 @@ def semantic_dedup(
     individually oracle-gated elsewhere; the composed oracle replays
     quantize -> block -> pair -> closure -> keep-one in one recursive
     CTE."""
-    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids,
+        kmeans_assign,
+    )
     from timeseries_spark.extensions.similarity import embedding_near_dup
 
-    clusters = kmeans_assign(
-        vectors,
-        k=n_clusters,
-        max_iter=kmeans_iter,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if centroids is not None:
+        # staged-quantizer path: the blocker consumes a pre-trained
+        # (cid, c) centroid table — assignment is a broadcast argmin
+        # projection, and the plan has no Lloyd subtree (the fit ran
+        # once, offline; see extensions/staging.py). The assignment is
+        # materialized ONCE (eager checkpoint): both sides of the
+        # block self-join and the component seed consume it, and
+        # re-deriving the argmin per branch was measurably slower than
+        # the in-plan path it replaces (kmeans_assign checkpoints its
+        # assignments as a side effect of the Lloyd loop).
+        clusters = assign_to_centroids(
+            vectors, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+    else:
+        clusters = kmeans_assign(
+            vectors,
+            k=n_clusters,
+            max_iter=kmeans_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     blocked = vectors.join(clusters.select(id_col, "cluster"), id_col)
     pairs = embedding_near_dup(
         blocked,

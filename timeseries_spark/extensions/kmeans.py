@@ -137,3 +137,68 @@ def kmeans_assign(
     return assigned.select(
         F.col("vid").alias(id_col), "cluster", F.round("sq_dist", 6).alias("sq_dist")
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize ``vectors`` against a GIVEN centroid table (cid, c) —
+    the probe-time half of the fit/assign split a 100 TB deployment
+    actually runs: the quantizer is trained ONCE (``kmeans_fit``),
+    staged as a tiny parquet artifact, and every subsequent query is a
+    pure map stage — broadcast the k centroids, argmin per row — with
+    no Lloyd subtree anywhere in the plan.
+
+    Exactness contract: ``kmeans_fit`` returns the centroids its FINAL
+    assignment ranked against (the last round skips the update), the
+    distance fold and the (sq_dist, cid) tie-break here are the same
+    expressions, and doubles round-trip parquet bit-exactly — so
+    assigning staged centroids reproduces ``kmeans_assign``'s output
+    column-for-column. Output: (id_col, cluster, sq_dist 6dp).
+
+    Plan shape: the k centroids fold to ONE broadcast array row (a
+    bounded k-row SinglePartition aggregate, the sq8-stats idiom), so
+    the assignment itself is a ZERO-shuffle projection — per row,
+    ``array_min`` over (sq_dist, cid) structs, whose lexicographic
+    struct ordering IS the (distance, lowest-cid) tie-break the Lloyd
+    assignment window uses. Compare with ``kmeans_assign``: same
+    output, but no |corpus|-grain shuffle at all."""
+    pts = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    cent_arr = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cid").cast("int").alias("cid"),
+                    F.transform(
+                        F.col("c"), lambda x: x.cast("double")
+                    ).alias("c"),
+                )
+            )
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda cen: F.struct(
+                _sq_dist(F.col("v"), cen["c"]).alias("d"),
+                cen["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__best", best)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("__best.cid").alias("cluster"),
+            F.round(F.col("__best.d"), 6).alias("sq_dist"),
+        )
+    )

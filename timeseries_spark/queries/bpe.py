@@ -91,3 +91,20 @@ def bpe_segmentation(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     _, words = induce_bpe(docs, n_merges=N_MERGES)
     return segment_topk(words, k=50)
+
+
+@query("bpe_merges_batched", oracle=_MERGES_ORACLE)
+def bpe_merges_batched(spark, sf_dir):
+    """The SAME 8 merges as bpe_merges, induced with batched rounds:
+    each corpus round merges the longest strict-boundary disjoint
+    PREFIX of the pair ranking (up to 16 at once), which is provably
+    identical to sequential greedy BPE merge-for-merge
+    (extensions/bpe.py:_disjoint_prefix). Sharing bpe_merges' oracle
+    IS the claim: a 30k-merge production vocabulary trains in
+    ~hundreds of rounds instead of 30k sequential Spark jobs, with a
+    bit-identical merge table."""
+    from timeseries_spark.extensions.bpe import induce_bpe_batched
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = induce_bpe_batched(docs, n_merges=N_MERGES, batch_max=16)
+    return merges

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.similarity import brute_force_topk, ivf_topk
-from timeseries_spark.queries import load, query
+from timeseries_spark.queries import REGISTRY, load, query
 
 # DuckDB double left-fold cosine between embedding lists a and b
 _COS = (
@@ -749,3 +749,45 @@ def ann_ivf_pq(spark, sf_dir):
         kmeans_iter=3, m=2, dims=64, pq_clusters=4, pq_iter=2,
         rerank_factor=4,
     )
+
+
+@query("ann_ivf_staged", oracle=_ivf_kmeans_oracle(nprobe=1))
+def ann_ivf_staged(spark, sf_dir):
+    """IVF(nprobe=1) top-5 from a STAGED quantizer — the fit/serve
+    split the round-6 verdict asked for: the k-means centroid table is
+    trained once and persisted as a k-row parquet artifact
+    (extensions/staging.py), and this probe query's plan is a pure
+    Catalyst tree over two parquet sources — a zero-shuffle broadcast
+    argmin quantizes the corpus (extensions/kmeans.py:
+    assign_to_centroids), then routing + probe as in ann_ivf_topk.
+    Output is hash-identical to ann_ivf_topk (same oracle): staging
+    changes WHEN the quantizer trains, never what it answers."""
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = staged_centroids(
+        spark, emb, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3
+    )
+    return ivf_topk(emb, _queries_df(spark, sf_dir), k=5, centroids=cents)
+
+
+@query(
+    "semantic_dedup_staged",
+    oracle=REGISTRY["semantic_dedup"].oracle,
+)
+def semantic_dedup_staged(spark, sf_dir):
+    """Semantic dedup from the SAME staged quantizer artifact the IVF
+    probe uses (one clustering serves both the ANN index and the dedup
+    blocker): block by broadcast-argmin assignment against persisted
+    centroids, then pair -> connected components -> keep-one exactly as
+    semantic_dedup. Hash-identical to semantic_dedup; the Lloyd subtree
+    is gone from the per-run plan."""
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cents = staged_centroids(
+        spark, emb, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3
+    )
+    return sd(docs, emb, threshold=0.30, centroids=cents)
