@@ -791,3 +791,77 @@ def semantic_dedup_staged(spark, sf_dir):
         spark, emb, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3
     )
     return sd(docs, emb, threshold=0.30, centroids=cents)
+
+
+_RECALL_TIERS = (
+    "ann_hyperplane_topk",
+    "ann_hyperplane_multiprobe",
+    "ann_ivf_topk",
+    "ann_sq8_topk",
+    "ann_pq_topk",
+)
+
+
+def _recall_oracle() -> str:
+    """Recall@5 of every ANN tier against the brute-force ground truth,
+    composed from the ALREADY-VERIFIED per-tier oracles (each tier's
+    SQL is the registry string that hash-matches its Spark twin, nested
+    as a derived table)."""
+    brute = REGISTRY["ann_brute_force_topk"].oracle
+    parts = []
+    for t in _RECALL_TIERS:
+        parts.append(
+            f"""
+      SELECT '{t}' AS tier, CAST(count(*) AS BIGINT) AS hits
+      FROM ({REGISTRY[t].oracle}) a
+      JOIN truth USING (query_id, neighbor_id)"""
+        )
+    union = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({brute}) t),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth),
+    tiers AS ({union}
+    )
+    SELECT tier, hits, truth_n,
+           round(hits::DOUBLE / truth_n, 4) AS recall
+    FROM tiers, tn
+    """
+
+
+@query("ann_recall_report", oracle=_recall_oracle())
+def ann_recall_report(spark, sf_dir):
+    """Recall@5 per ANN tier vs the exact brute-force top-5 — pins the
+    accuracy/cost trade of EVERY approximate tier (hyperplane LSH ± 
+    multiprobe, trained IVF, SQ8 re-rank, PQ re-rank) as an
+    oracle-gated number, the way lsh_quality_report already pins
+    Jaccard-LSH. Ground truth is checkpointed once (5 tiers consume
+    it); each tier contributes one bounded semi-join + single-row
+    aggregate, so the report costs the tiers themselves plus
+    negligible glue. Reuses the REGISTERED tier callables verbatim, so
+    the measured operators are exactly the shipped ones."""
+    truth = (
+        REGISTRY["ann_brute_force_topk"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_n"))
+    tiers = None
+    for t in _RECALL_TIERS:
+        hits = (
+            REGISTRY[t]
+            .fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(F.lit(t).alias("tier"), "hits")
+        )
+        tiers = hits if tiers is None else tiers.unionByName(hits)
+    return tiers.crossJoin(F.broadcast(tn)).select(
+        "tier",
+        "hits",
+        "truth_n",
+        F.round(F.col("hits").cast("double") / F.col("truth_n"), 4).alias(
+            "recall"
+        ),
+    )
