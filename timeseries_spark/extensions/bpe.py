@@ -256,3 +256,47 @@ def induce_bpe_batched(
         "merged string, pair_count bigint",
     )
     return merges, words
+
+
+def encode_corpus(
+    docs: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a trained tokenizer to the corpus — the serve half of the
+    BPE train/apply split: the final vocabulary segmentation table
+    (token -> bracket rendering, as returned by ``induce_bpe`` /
+    ``induce_bpe_batched``) is broadcast, and tokenization is one
+    vocabulary equi join — the corpus never replays a merge. Returns
+    the per-doc tokenizer report: (doc_id, n_tokens, n_symbols,
+    n_chars, compression) where compression = chars per emitted BPE
+    symbol (the fertility metric tokenizer evaluations track).
+
+    Docs whose every token falls outside the induction alphabet
+    ([a-z0-9]+) produce no row — they contributed nothing to training
+    and have no segmentation to report."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token").rlike(TOKEN_RE))
+    seg = toks.join(F.broadcast(words.select("token", "s")), "token")
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.size(F.split(F.col("s"), r"\]\["))).cast("bigint").alias(
+                "n_symbols"
+            ),
+            F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_symbols",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_symbols"), 4
+            ).alias("compression"),
+        )
+    )

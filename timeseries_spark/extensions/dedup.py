@@ -835,3 +835,55 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
     )
+
+
+def semantic_decontaminate(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every TRAIN vector whose
+    cosine against ANY eval vector reaches ``threshold`` — the
+    paraphrase-leakage screen that n-gram decontamination
+    (``contamination_hits``) cannot catch, run before training on any
+    corpus that shares a domain with its benchmarks.
+
+    Plan shape mirrors ``brute_force_topk``, and for the same reason:
+    eval suites are SMALL (thousands of rows against a 100 TB corpus),
+    so the eval side broadcasts and the train side is scanned once,
+    partition-parallel, with a per-row fold — no shuffle of the corpus
+    at all; the only exchange is the per-train-id aggregate of the
+    surviving hits. Output: (vec_id, n_eval_hits, max_cos) per FLAGGED
+    train vector — the drop list plus the evidence an audit wants."""
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+    from timeseries_spark.functions.vectors import cosine_similarity
+
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    hits = (
+        ensure_parallelism(train_vecs)
+        .select(
+            F.col(id_col).alias("train_id"), as_d(F.col(vec_col)).alias("tv")
+        )
+        .crossJoin(
+            F.broadcast(
+                eval_vecs.select(
+                    F.col(id_col).alias("eval_id"),
+                    as_d(F.col(vec_col)).alias("ev"),
+                )
+            )
+        )
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(cosine_similarity(F.col("tv"), F.col("ev")), 6).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return hits.groupBy(F.col("train_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+        F.max("cos").alias("max_cos"),
+    )

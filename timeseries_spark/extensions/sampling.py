@@ -491,3 +491,91 @@ def negative_samples(
     return draws.join(partners, "neg_id").select(
         "anchor_id", "neg_idx", "neg_id"
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_per_source: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fill a per-source TOKEN budget deterministically: within each
+    source, docs are admitted in ``id_col`` order until their running
+    whitespace-token total exceeds the budget — the "N tokens per
+    domain" mixing step every pretraining recipe runs after weighting.
+
+    Scale shape: a naive per-source cumulative window puts a whole
+    source — possibly most of a 100 TB crawl — into ONE window task.
+    Instead the source is split into ``n_shards`` deterministic
+    md5 shards, each filling ``budget // n_shards`` tokens under its
+    own (source, shard) window; the admitted total is then within one
+    document of the target per shard (the same bounded-error contract
+    as any parallel quota fill), and parallelism is sources x shards.
+    Returns the audit grain a mixing report wants: (source, n_docs,
+    n_tokens) over the ADMITTED set.
+    """
+    if budget_per_source < 1:
+        raise ValueError(f"budget_per_source must be >= 1, got {budget_per_source}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard_budget = budget_per_source // n_shards
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        F.pmod(
+            md5_long(F.concat(F.lit("budget:"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        ).alias("__shard"),
+    )
+    w = (
+        Window.partitionBy("source", "__shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    admitted = toks.withColumn("__cum", F.sum("n_tok").over(w)).where(
+        F.col("__cum") <= shard_budget
+    )
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard assignment audit: every doc lands in
+    ``pmod(md5(doc_id), n_shards)`` — the engine-portable hash, so the
+    shard layout is reproducible anywhere — and the report carries what
+    a shard-balance dashboard needs: docs, whitespace tokens, and the
+    doc-id envelope per shard. One scan, one bounded (n_shards-row)
+    shuffle."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return (
+        docs.select(
+            F.pmod(
+                md5_long(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))),
+                F.lit(n_shards),
+            ).alias("shard_id"),
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "n_docs", "n_tokens", "min_doc", "max_doc",
+        )
+    )

@@ -108,3 +108,42 @@ def bpe_merges_batched(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     merges, _ = induce_bpe_batched(docs, n_merges=N_MERGES, batch_max=16)
     return merges
+
+
+_ENCODE_ORACLE = (
+    _bpe_ctes(N_MERGES)
+    + f""",
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    seg AS (
+      SELECT t.doc_id, t.token, w.s
+      FROM tok t JOIN w{N_MERGES} w USING (token)
+      WHERE regexp_matches(t.token, '^[a-z0-9]+$')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(s, ']['))) AS BIGINT) AS n_symbols,
+           CAST(sum(length(token)) AS BIGINT) AS n_chars,
+           round(sum(length(token))::DOUBLE
+                 / sum(len(string_split(s, ']['))), 4) AS compression
+    FROM seg GROUP BY doc_id
+    """
+)
+
+
+@query("bpe_encode_corpus", oracle=_ENCODE_ORACLE)
+def bpe_encode_corpus(spark, sf_dir):
+    """APPLY the trained 8-merge tokenizer to the whole corpus — the
+    serve half of the train/apply split: the final vocabulary
+    segmentation broadcasts and tokenization is ONE vocabulary equi
+    join per corpus token (the corpus never replays merges). Per-doc
+    report: token/symbol/char counts + compression (chars per BPE
+    symbol, the fertility metric). Training uses the batched inducer,
+    whose output is provably identical to sequential BPE
+    (extensions/bpe.py:encode_corpus)."""
+    from timeseries_spark.extensions.bpe import encode_corpus, induce_bpe_batched
+
+    docs = load(spark, sf_dir, "documents")
+    _, words = induce_bpe_batched(docs, n_merges=N_MERGES, batch_max=16)
+    return encode_corpus(docs, words)

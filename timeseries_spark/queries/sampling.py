@@ -340,3 +340,71 @@ def negative_samples_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return negative_samples(docs, k=4)
+
+
+_BUDGET = 4000
+_BUDGET_SHARDS = 4
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % {_BUDGET_SHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= {_BUDGET // _BUDGET_SHARDS}
+    GROUP BY source
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Per-source token-budget fill (4000 whitespace tokens per source,
+    4 deterministic md5 shards): docs admitted in id order until the
+    per-shard running total exceeds budget/shards — the "N tokens per
+    domain" mixing step, sharded so no window ever holds a whole source
+    (extensions/sampling.py:token_budget_mix). Report grain: admitted
+    (source, n_docs, n_tokens)."""
+    from timeseries_spark.extensions.sampling import token_budget_mix as tbm
+
+    docs = load(spark, sf_dir, "documents")
+    return tbm(docs, budget_per_source=_BUDGET, n_shards=_BUDGET_SHARDS)
+
+
+@query(
+    "training_shards",
+    oracle="""
+    WITH t AS (
+      SELECT ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 8 AS shard_id,
+             doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM t GROUP BY shard_id
+    """,
+)
+def training_shards(spark, sf_dir):
+    """Deterministic 8-way training-shard assignment audit: every doc
+    lands in pmod(md5(doc_id), 8) — engine-portable, so the shard
+    layout is reproducible anywhere — with per-shard doc/token counts
+    and id envelopes, the balance report a training-data export job
+    publishes next to its files
+    (extensions/sampling.py:shard_stats)."""
+    from timeseries_spark.extensions.sampling import shard_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return shard_stats(docs, n_shards=8)

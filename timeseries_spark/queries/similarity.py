@@ -865,3 +865,40 @@ def ann_recall_report(spark, sf_dir):
             "recall"
         ),
     )
+
+
+@query(
+    "semantic_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding AS evv
+      FROM embeddings WHERE vec_id < 40
+    ),
+    tr AS (
+      SELECT vec_id AS train_id, embedding AS tv
+      FROM embeddings WHERE vec_id >= 40
+    ),
+    hits AS (
+      SELECT train_id, {_COS.format(a="tv", b="evv")} AS cos
+      FROM tr CROSS JOIN ev
+      WHERE {_COS.format(a="tv", b="evv")} >= 0.32
+    )
+    SELECT train_id AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cos) AS max_cos
+    FROM hits GROUP BY train_id
+    """,
+)
+def semantic_decontaminate_q(spark, sf_dir):
+    """Embedding-space decontamination: flag train vectors (vec_id >=
+    40) whose cosine against ANY eval vector (vec_id < 40) reaches
+    0.32 — the paraphrase-leakage screen n-gram decontamination cannot
+    catch. Eval side broadcasts (benchmarks are small against a 100 TB
+    corpus); the train scan is one partition-parallel pass with a
+    per-row fold, and the only exchange is the flagged-id aggregate
+    (extensions/dedup.py:semantic_decontaminate)."""
+    from timeseries_spark.extensions.dedup import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 40)
+    tr = emb.filter(F.col("vec_id") >= 40)
+    return semantic_decontaminate(tr, ev, threshold=0.32)

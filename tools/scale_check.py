@@ -334,6 +334,44 @@ def main() -> None:
         "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
     }))
 
+    # batched BPE on the same Nx corpus: rounds collapse (disjoint-prefix
+    # batching merges many pairs per corpus pass), so the Nx ratio AND
+    # the absolute time should both beat sequential induction.
+    from timeseries_spark.extensions.bpe import induce_bpe_batched
+
+    def bpeb(d):
+        return lambda: induce_bpe_batched(d, n_merges=4, batch_max=16)[0].count()
+
+    t1 = time_warm(bpeb(d1))
+    tN = time_warm(bpeb(dN))
+    print(json.dumps({
+        "name": "bpe_merges_batched", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
+    # staged-quantizer IVF probe: the Nx corpus is quantized by
+    # broadcast argmin against PRE-STAGED centroids (fit off the clock,
+    # as production would) — probe cost scales with the probed cluster,
+    # not with quantizer training.
+    from timeseries_spark.extensions.kmeans import kmeans_fit
+
+    def ivf_staged(v):
+        _, cents = kmeans_fit(v, k=4, max_iter=3, id_col="vec_id",
+                              vec_col="embedding")
+        cents = cents.localCheckpoint(eager=True)
+
+        def run():
+            ivf_topk(v, queries, k=5, centroids=cents).count()
+
+        return run
+
+    t1 = time_warm(ivf_staged(vecs1))
+    tN = time_warm(ivf_staged(vecsN))
+    print(json.dumps({
+        "name": "ann_ivf_staged_probe", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
     # embedding covariance: corpus Nx, dims constant — the O(n * d^2)
     # products scale linearly but reduce map-side; the shuffle stays
     # 2080 rows per task at any N.
