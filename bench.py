@@ -62,6 +62,8 @@ HEADLINE = [
     "trigram_backoff",  # round-6: stupid-backoff LM, held-out split
     "ann_ivf_staged",  # round-7: probe-only IVF from a staged quantizer
     "semantic_dedup_staged",  # round-7: dedup from the same staged artifact
+    "bpe_merges_batched",  # round-7: disjoint-prefix batched induction
+    "bpe_encode_corpus",  # round-7: tokenizer APPLY via vocab broadcast join
 ]
 
 

@@ -659,12 +659,16 @@ def contamination_hits(
     no shuffle of the corpus at all; the only exchange is the per-doc
     hit-count groupBy, whose input is already filtered to matching
     shingles (tiny). Output: (id, n_eval_hits > 0 docs only)."""
-    ev = eval_df.select(
+    # parallelism guards on BOTH explode sides: the shingle expansion is
+    # per-row compute over possibly byte-small scans (round-7 event-log
+    # finding — the train-side explode of a single-split parquet ran its
+    # whole 1.6 s on one task inside corpus_prepare)
+    ev = ensure_parallelism(eval_df).select(
         F.explode(
             F.array_distinct(shingles(tokens(F.col(eval_text_col)), n))
         ).alias("sh")
     ).distinct()
-    tr = train.select(
+    tr = ensure_parallelism(train).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(shingles(tokens(F.col(text_col)), n))

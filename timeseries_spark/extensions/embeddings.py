@@ -101,13 +101,27 @@ def covariance_pairs(
             ),
         )
     )
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    # The eager checkpoint is load-bearing (round-7 event-log finding):
+    # `agg` is consumed by TWO branches (pair rows and dim sums), and
+    # Catalyst pushes each branch's pos-filter BELOW the aggregate —
+    # making the two exchange subtrees textually different, so AQE's
+    # ReusedExchange never fires and the full O(n·d²) corpus pass ran
+    # TWICE. Materializing the ≤ d(d+1)/2 + d row result once keeps the
+    # corpus pass single by construction, not by optimizer goodwill.
+    # ensure_parallelism matters for the same compute-vs-bytes reason as
+    # everywhere: a corpus that fits one parquet split would run the
+    # d²-per-row expansion on one core.
     agg = (
-        vectors.select(F.posexplode(F.concat(tri, v)).alias("pos", "val"))
+        ensure_parallelism(vectors)
+        .select(F.posexplode(F.concat(tri, v)).alias("pos", "val"))
         .groupBy("pos")
         .agg(
             F.sum("val").alias("sij"),
             F.count(F.lit(1)).cast("double").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     n_tri = dims * (dims + 1) // 2
     mapping = vectors.sparkSession.createDataFrame(

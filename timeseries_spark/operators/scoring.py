@@ -90,7 +90,16 @@ def association_score(
         .orderBy(year_col)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    cum = dense.withColumn(
+    # The explicit keyed repartition (vs. letting the window insert an
+    # ENSURE_REQUIREMENTS exchange) pins the stage's task count: the
+    # window's input is top-k arrays — few BYTES per key but real
+    # per-row flatten/harmonic compute — and AQE's byte-based
+    # coalescing was folding the 15k-key cumulative stage onto ONE task
+    # (round-7 event-log finding, same mismatch as embedding_near_dup).
+    # User-numbered shuffles are exempt, and hashpartitioning(keys)
+    # satisfies the window's distribution, so no exchange is added.
+    n_parts = spark.sparkContext.defaultParallelism
+    cum = dense.repartition(n_parts, *keys).withColumn(
         "cum_scores", F.flatten(F.collect_list("year_scores").over(w))
     )
 
