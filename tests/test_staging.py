@@ -139,3 +139,38 @@ def test_stage_path_keyed_by_mtime(tmp_path):
     p2 = centroid_stage_path(str(src), 4, 3)
     assert p1 != p2
     assert centroid_stage_path(str(src), 5, 3) != p2
+
+
+def test_pq_staged_encode_equals_inplan(spark, cloud, tmp_path):
+    # the persisted (centroid, mean) artifact must reproduce the
+    # in-plan encoding exactly: same codes, same reconstruction
+    from timeseries_spark.extensions.pq import pq_encode, pq_fit_books
+
+    vecs = cloud.withColumn(
+        "embedding",
+        F.flatten(F.array("embedding", "embedding")),
+    )  # 4 dims so m=2 splits evenly
+    inplan = pq_encode(vecs, m=2, dims=4, n_clusters=3, kmeans_iter=2)
+    books = pq_fit_books(vecs, m=2, dims=4, n_clusters=3, kmeans_iter=2)
+    path = str(tmp_path / "books")
+    books.write.parquet(path)
+    staged = pq_encode(
+        vecs, m=2, dims=4, n_clusters=3, kmeans_iter=2,
+        books=spark.read.parquet(path),
+    )
+    key = lambda r: r["vec_id"]  # noqa: E731
+    a = sorted(inplan.collect(), key=key)
+    b = sorted(staged.collect(), key=key)
+    assert [(r["vec_id"], r["codes"], r["dq"]) for r in a] == [
+        (r["vec_id"], r["codes"], r["dq"]) for r in b
+    ]
+
+
+def test_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries import all_queries
+
+    reg = all_queries()
+    inplan = {tuple(r) for r in reg["ann_pq_topk"](spark, SF).collect()}
+    staged = {tuple(r) for r in reg["ann_pq_staged"](spark, SF).collect()}
+    assert inplan == staged

@@ -82,6 +82,73 @@ def _pool_and_rerank(
     )
 
 
+def pq_fit_books(
+    vectors: DataFrame,
+    m: int = 2,
+    dims: int = 64,
+    n_clusters: int = 4,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the PQ artifact for staging: one row per (subspace,
+    cluster) carrying BOTH tables the probe path needs — ``cent``, the
+    Lloyd centroid the final assignment ranked against (re-assigning
+    new/old vectors by argmin against it reproduces the training
+    assignment exactly, see kmeans.assign_to_centroids), and ``mean``,
+    the per-cluster per-dim mean codebook entry used for
+    reconstruction. m*k tiny rows — the persistable fit/serve split for
+    PQ, exactly as staged_centroids is for IVF."""
+    if dims % m != 0:
+        raise ValueError(
+            f"dims must divide evenly into m subspaces, got dims={dims}"
+            f" m={m}"
+        )
+    sub_dims = dims // m
+    pts = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            checked_dims(F.col(vec_col), dims, "pq_fit_books").alias("v"),
+        )
+    )
+    parts = []
+    for s in range(m):
+        sub = pts.select(
+            "__id",
+            F.slice(F.col("v"), s * sub_dims + 1, sub_dims).alias("__sub"),
+        )
+        assigned, cents = kmeans_fit(
+            sub, k=n_clusters, max_iter=kmeans_iter,
+            id_col="__id", vec_col="__sub",
+        )
+        book = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("dm"), lambda t: t["m"]).alias("mean"),
+            )
+        )
+        parts.append(
+            cents.join(book, "cid", "left")
+            .select(
+                F.lit(s).alias("sub"),
+                F.col("cid").cast("int").alias("cid"),
+                F.col("c").alias("cent"),
+                # a cluster that received no points keeps its centroid
+                # as the reconstruction entry (it can never be assigned
+                # anyway; the coalesce only keeps the schema total)
+                F.coalesce("mean", "c").alias("mean"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def pq_encode(
     vectors: DataFrame,
     m: int = 2,
@@ -90,6 +157,7 @@ def pq_encode(
     kmeans_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Train ``m`` per-subspace codebooks and encode the corpus.
 
@@ -123,6 +191,36 @@ def pq_encode(
             "__id",
             F.slice(F.col("v"), s * sub_dims + 1, sub_dims).alias("__sub"),
         )
+        if books is not None:
+            # staged path: assign the slice against the PERSISTED Lloyd
+            # centroids (exactly the training assignment — see
+            # pq_fit_books) and reconstruct from the persisted means;
+            # no Lloyd subtree in the encode plan
+            from timeseries_spark.extensions.kmeans import (
+                assign_to_centroids,
+            )
+
+            bk = books.filter(F.col("sub") == s)
+            assigned = assign_to_centroids(
+                sub,
+                bk.select("cid", F.col("cent").alias("c")),
+                id_col="__id",
+                vec_col="__sub",
+            ).select(F.col("__id"), F.col("cluster"))
+            book = bk.select(
+                F.col("cid").alias("cluster"),
+                F.col("mean").alias(f"__p{s}"),
+            )
+            parts.append(
+                assigned.join(F.broadcast(book), "cluster")
+                .select(
+                    "__id",
+                    F.lit(s).alias("__sub"),
+                    F.col("cluster").cast("int").alias("__code"),
+                    F.col(f"__p{s}").alias("__p"),
+                )
+            )
+            continue
         assigned, _ = kmeans_fit(
             sub, k=n_clusters, max_iter=kmeans_iter,
             id_col="__id", vec_col="__sub",
@@ -185,6 +283,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     num_salts: int = 32,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN: rank on reconstructed-vector cosine, re-rank the top
     ``k * rerank_factor`` pool per query with exact cosine. Output:
@@ -197,6 +296,7 @@ def pq_topk(
     enc = pq_encode(
         vectors, m=m, dims=dims, n_clusters=n_clusters,
         kmeans_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
+        books=books,
     ).select(F.col(id_col).alias("neighbor_id"), "v", "dq")
     scored = (
         enc.crossJoin(

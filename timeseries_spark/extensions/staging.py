@@ -80,3 +80,33 @@ def staged_centroids(
         # k-row presentation move, not a data-plane collapse)
         centroids.coalesce(1).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def staged_pq_books(
+    spark: SparkSession,
+    vectors: DataFrame,
+    source_path: str,
+    m: int = 2,
+    dims: int = 64,
+    n_clusters: int = 4,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ twin of ``staged_centroids``: train the m per-subspace
+    (centroid, mean-codebook) tables once per (source mtime, params)
+    key, persist the m*k-row artifact, and always return a parquet read
+    of it — every later encode/probe is a pure Catalyst plan with no
+    Lloyd subtree."""
+    path = centroid_stage_path(
+        source_path, n_clusters, kmeans_iter, tag=f"pq{m}x{dims}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from timeseries_spark.extensions.pq import pq_fit_books
+
+        books = pq_fit_books(
+            vectors, m=m, dims=dims, n_clusters=n_clusters,
+            kmeans_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
+        )
+        books.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

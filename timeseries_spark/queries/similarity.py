@@ -902,3 +902,27 @@ def semantic_decontaminate_q(spark, sf_dir):
     ev = emb.filter(F.col("vec_id") < 40)
     tr = emb.filter(F.col("vec_id") >= 40)
     return semantic_decontaminate(tr, ev, threshold=0.32)
+
+
+@query("ann_pq_staged", oracle=REGISTRY["ann_pq_topk"].oracle)
+def ann_pq_staged(spark, sf_dir):
+    """PQ ANN from a STAGED codebook artifact: the m per-subspace
+    (Lloyd centroid, mean codebook) tables are trained once and
+    persisted (extensions/staging.py:staged_pq_books); encoding is then
+    a zero-shuffle broadcast argmin per subspace against the persisted
+    centroids — provably the training assignment — plus a broadcast
+    mean join for reconstruction. Hash-identical to ann_pq_topk (same
+    oracle); the per-query cost drops to encode+probe, with no Lloyd
+    subtree anywhere in the plan."""
+    from timeseries_spark.extensions.pq import pq_topk
+    from timeseries_spark.extensions.staging import staged_pq_books
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = staged_pq_books(
+        spark, emb, f"{sf_dir}/embeddings.parquet",
+        m=2, dims=64, n_clusters=4, kmeans_iter=2,
+    )
+    return pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, m=2, dims=64,
+        n_clusters=4, kmeans_iter=2, rerank_factor=4, books=books,
+    )
