@@ -174,3 +174,13 @@ def test_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
     inplan = {tuple(r) for r in reg["ann_pq_topk"](spark, SF).collect()}
     staged = {tuple(r) for r in reg["ann_pq_staged"](spark, SF).collect()}
     assert inplan == staged
+
+
+def test_ivf_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries import all_queries
+
+    reg = all_queries()
+    inplan = {tuple(r) for r in reg["ann_ivf_pq"](spark, SF).collect()}
+    staged = {tuple(r) for r in reg["ann_ivf_pq_staged"](spark, SF).collect()}
+    assert inplan == staged

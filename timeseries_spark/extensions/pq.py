@@ -343,6 +343,8 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     num_salts: int = 32,
+    centroids: DataFrame | None = None,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — a coarse k-means
     quantizer routes each query to its ``nprobe`` nearest clusters
@@ -363,12 +365,24 @@ def ivf_pq_topk(
         raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     if rerank_factor < 1:
         raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
-    from timeseries_spark.extensions.kmeans import kmeans_assign
-
-    clusters = kmeans_assign(
-        vectors, k=n_clusters, max_iter=kmeans_iter,
-        id_col=id_col, vec_col=vec_col,
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids,
+        kmeans_assign,
     )
+
+    if centroids is not None:
+        # staged coarse quantizer (see extensions/staging.py): the
+        # routing/blocking assignment is a broadcast argmin against the
+        # persisted centroid table — identical clusters, no Lloyd
+        # subtree. `books` stages the PQ half the same way below.
+        clusters = assign_to_centroids(
+            vectors, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        clusters = kmeans_assign(
+            vectors, k=n_clusters, max_iter=kmeans_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
     vecs_cl = vectors.join(clusters.select(id_col, "cluster"), id_col)
     reps = (
         vecs_cl.groupBy("cluster")
@@ -400,6 +414,7 @@ def ivf_pq_topk(
     enc = pq_encode(
         vectors, m=m, dims=dims, n_clusters=pq_clusters,
         kmeans_iter=pq_iter, id_col=id_col, vec_col=vec_col,
+        books=books,
     ).select(F.col(id_col), "v", "dq")
     encc = enc.join(clusters.select(id_col, "cluster"), id_col)
     scored = (

@@ -926,3 +926,30 @@ def ann_pq_staged(spark, sf_dir):
         emb, _queries_df(spark, sf_dir), k=5, m=2, dims=64,
         n_clusters=4, kmeans_iter=2, rerank_factor=4, books=books,
     )
+
+
+@query("ann_ivf_pq_staged", oracle=REGISTRY["ann_ivf_pq"].oracle)
+def ann_ivf_pq_staged(spark, sf_dir):
+    """IVF-PQ with BOTH quantizers staged — the full production serving
+    path: the coarse router reads persisted centroids (broadcast argmin
+    routing/blocking), the PQ encoder reads persisted
+    (centroid, mean-codebook) subspace tables, and the per-query plan
+    contains no training anywhere. Hash-identical to ann_ivf_pq (same
+    oracle)."""
+    from timeseries_spark.extensions.pq import ivf_pq_topk
+    from timeseries_spark.extensions.staging import (
+        staged_centroids,
+        staged_pq_books,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = f"{sf_dir}/embeddings.parquet"
+    cents = staged_centroids(spark, emb, src, k=4, max_iter=3)
+    books = staged_pq_books(
+        spark, emb, src, m=2, dims=64, n_clusters=4, kmeans_iter=2
+    )
+    return ivf_pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, nprobe=2, n_clusters=4,
+        kmeans_iter=3, m=2, dims=64, pq_clusters=4, pq_iter=2,
+        rerank_factor=4, centroids=cents, books=books,
+    )
