@@ -125,7 +125,10 @@ def embedding_near_dup(
     salt)."""
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
-    vectors = ensure_parallelism(vectors)
+    # no ensure_parallelism here: the keyed repartitions below already
+    # redistribute both sides across the cluster before the expensive
+    # cosine stage, so a round-robin pre-shuffle would just move the
+    # full vector payload one extra time (measured ~1 s at sf0.1)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     lhs = vectors.select(
         F.col(block_col).alias("block"),
