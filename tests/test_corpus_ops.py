@@ -120,3 +120,59 @@ def test_semantic_decontaminate_plan_broadcasts_eval(spark):
     assert "CartesianProduct" not in p
     # train side never shuffles except the final flagged-id aggregate
     assert p.count(") Exchange") <= 1
+
+
+def test_key_skew_report_hand_checked(spark):
+    from timeseries_spark.extensions.dataquality import key_skew_report
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "c"), (None, "c")],
+        "k bigint, t string",
+    )
+    out = {r["key_col"]: r for r in key_skew_report(df, ["k", "t"]).collect()}
+    # k: nulls excluded -> 4 rows, 2 distinct, top '1' x3, ratio 3/(4/2)
+    assert (out["k"]["n_rows"], out["k"]["n_distinct"]) == (4, 2)
+    assert (out["k"]["top_key"], out["k"]["top_count"]) == ("1", 3)
+    assert out["k"]["skew_ratio"] == 1.5
+    # t: 5 rows, 3 distinct, 'c' x3
+    assert (out["t"]["top_key"], out["t"]["top_count"]) == ("c", 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        key_skew_report(df, [])
+
+
+def test_event_transitions_hand_checked(spark):
+    from timeseries_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, 10, "view"), (2, 10, "click"), (3, 10, "buy"),
+        (4, 20, "view"), (5, 20, "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, event_type string")
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["prob"])
+        for r in event_transitions(
+            df, order_cols=("event_id",)
+        ).collect()
+    }
+    # user 10: view->click->buy; user 20: view->view
+    assert out[("view", "click")] == (1, 0.5)
+    assert out[("view", "view")] == (1, 0.5)
+    assert out[("click", "buy")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_trend_features_hand_checked(spark):
+    from timeseries_spark.extensions.features import trend_features
+
+    # key a: y = 2x + 1 exactly -> slope 2; key b: single year -> 0.0
+    rows = [("a", 2000, 4001.0), ("a", 2001, 4003.0), ("a", 2002, 4005.0),
+            ("b", 2010, 9.5), ("b", 2010, 10.5)]
+    df = spark.createDataFrame(rows, "key string, yr int, amt double")
+    out = {r["key"]: r for r in trend_features(df, "key", "yr", "amt").collect()}
+    assert out["a"]["slope"] == 2.0
+    assert out["a"]["y_total"] == 12009.0
+    assert out["a"]["x_first"] == 2000 and out["a"]["x_last"] == 2002
+    assert out["b"]["slope"] == 0.0
+    assert out["b"]["y_avg"] == 10.0

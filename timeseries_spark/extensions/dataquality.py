@@ -173,3 +173,50 @@ def referential_check(
         F.lit(0.0).alias("threshold"),
         (F.col("__m") <= 0.0).alias("passed"),
     )
+
+
+def key_skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Join/aggregation-key skew audit — the pre-flight a 100 TB
+    pipeline runs before keying a shuffle on a column: per key column,
+    row count, distinct count, the heaviest key with its frequency, and
+    ``skew_ratio`` = top count / mean count (1.0 = perfectly uniform;
+    the salting threshold in operators/skew.py is typically ~8-10).
+
+    One groupBy per audited column (each scan prunes to that single
+    column) and a TakeOrdered top-1 — no column's histogram is ever
+    collected. Ties on the top count break to the LARGEST key string
+    (struct-max ordering) so the report is deterministic."""
+    if not key_cols:
+        raise ValueError("key_skew_report requires at least one key column")
+    parts = []
+    for c in key_cols:
+        per_key = (
+            df.select(F.col(c).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        stats = per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max(F.struct(F.col("n"), F.col("k"))).alias("top"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(c).alias("key_col"),
+                "n_rows",
+                "n_distinct",
+                F.col("top.k").alias("top_key"),
+                F.col("top.n").cast("bigint").alias("top_count"),
+                F.round(
+                    F.col("top.n")
+                    * F.col("n_distinct")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

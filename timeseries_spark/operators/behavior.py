@@ -116,3 +116,48 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (src_type, dst_type, n, prob) where ``prob`` is row-normalized per
+    source state — the "what happens after a click" summary behind
+    next-event prediction features and funnel hypotheses.
+
+    Plan: ONE user-keyed shuffle for the lag window (the stream is
+    ordered inside each user partition by ``order_cols`` — the trailing
+    unique id makes the order total, so results are deterministic under
+    timestamp ties), then a (src, dst) count and a broadcast join of the
+    per-src totals (|event types|² rows — tiny at any corpus size)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    steps = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("src_type"),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("dst_type", F.lead("src_type").over(w))
+        .where(F.col("dst_type").isNotNull())
+    )
+    counts = steps.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("src_type").agg(
+        F.sum("n").cast("bigint").alias("__tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
+        )
+    )

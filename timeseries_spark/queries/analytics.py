@@ -601,3 +601,47 @@ def quantile_histogram_by_type(spark, sf_dir):
     return histogram_quantiles(
         bins, [0.5, 0.9], 0.0, 500.0, 50, keys=("event_type",)
     )
+
+
+@query(
+    "customer_order_features",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+             CAST(sum(year(o_orderdate)) AS BIGINT) AS sx,
+             CAST(sum(year(o_orderdate) * year(o_orderdate)) AS BIGINT)
+               AS sxx,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(year(o_orderdate) AS DECIMAL(18,2))) AS sxy,
+             CAST(min(year(o_orderdate)) AS INT) AS x_first,
+             CAST(max(year(o_orderdate)) AS INT) AS x_last
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           CAST(sy AS DOUBLE) AS y_total,
+           CAST(sy AS DOUBLE) / n AS y_avg,
+           x_first, x_last,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE (n * CAST(sxy AS DOUBLE)
+                      - sx * CAST(sy AS DOUBLE))
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+    FROM g
+    """,
+)
+def customer_order_features(spark, sf_dir):
+    """Per-customer feature-matrix row for downstream ML: order count,
+    exact spend totals, first/last active year, and the closed-form
+    least-squares spend trend — with every moment sum in DECIMAL so the
+    matrix is bit-identical on any partitioning (a double sum's value
+    depends on partial-agg order; no rounding fully masks that)
+    (extensions/features.py:trend_features)."""
+    from timeseries_spark.extensions.features import trend_features
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    return trend_features(
+        orders, key_col="o_custkey", x_col="o_year", y_col="o_totalprice"
+    )

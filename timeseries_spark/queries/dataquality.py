@@ -258,3 +258,81 @@ def lang_source_chi2(spark, sf_dir):
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH cols AS (
+      SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ),
+    per_key AS (
+      SELECT key_col, k, CAST(count(*) AS BIGINT) AS n
+      FROM cols WHERE k IS NOT NULL GROUP BY key_col, k
+    ),
+    top AS (
+      SELECT key_col, k AS top_key, n AS top_count FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY key_col ORDER BY n DESC, k DESC) AS rn
+        FROM per_key
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT key_col, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM per_key GROUP BY key_col
+    )
+    SELECT s.key_col, s.n_rows, s.n_distinct, t.top_key,
+           CAST(t.top_count AS BIGINT) AS top_count,
+           round(t.top_count * s.n_distinct / CAST(s.n_rows AS DOUBLE), 4)
+             AS skew_ratio
+    FROM stats s JOIN top t USING (key_col)
+    """,
+)
+def key_skew_report_q(spark, sf_dir):
+    """Shuffle-key skew audit over lineitem's three join keys: rows,
+    distinct keys, the heaviest key and its count, and top/mean ratio —
+    the pre-flight that decides whether a key needs salting
+    (extensions/dataquality.py:key_skew_report; operators/skew.py is
+    the mitigation it gates)."""
+    from timeseries_spark.extensions.dataquality import key_skew_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS src_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+      FROM events
+    ),
+    c AS (
+      SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+    ),
+    t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+          GROUP BY src_type)
+    SELECT c.src_type, c.dst_type, c.n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (src_type)
+    """,
+)
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (row-normalized next-event probabilities) — one user-keyed
+    lag window (order made total by the trailing event_id) + a tiny
+    (src, dst) count with broadcast row totals
+    (operators/behavior.py:event_transitions)."""
+    from timeseries_spark.operators.behavior import event_transitions
+
+    ev = load(spark, sf_dir, "events")
+    return event_transitions(ev)
