@@ -184,3 +184,15 @@ def test_ivf_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
     inplan = {tuple(r) for r in reg["ann_ivf_pq"](spark, SF).collect()}
     staged = {tuple(r) for r in reg["ann_ivf_pq_staged"](spark, SF).collect()}
     assert inplan == staged
+
+
+def test_assign_empty_centroid_table_fails_loud(spark):
+    # an empty/corrupt staged artifact must raise, not emit NULL
+    # clusters corpus-wide (guard lives inside the consumed expression;
+    # a bare count() legitimately prunes it away)
+    pts = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "cid int, c array<double>")
+    with pytest.raises(Exception, match="empty centroid table"):
+        assign_to_centroids(pts, empty).collect()

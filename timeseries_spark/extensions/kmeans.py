@@ -184,9 +184,20 @@ def assign_to_centroids(
             )
         ).alias("cents")
     )
+    # loud-fail on an empty/corrupt artifact: groupBy().collect_list over
+    # zero centroid rows still yields one row (empty array), and the
+    # argmin would then quietly emit NULL clusters corpus-wide. The
+    # guard lives INSIDE the consumed expression (a dropped assert
+    # column would be pruned away by Catalyst), costing one size()
+    # check per row against the broadcast array.
+    cents_checked = F.when(F.size("cents") > 0, F.col("cents")).otherwise(
+        F.raise_error(
+            F.lit("assign_to_centroids: empty centroid table")
+        ).cast("array<struct<cid:int,c:array<double>>>")
+    )
     best = F.array_min(
         F.transform(
-            F.col("cents"),
+            cents_checked,
             lambda cen: F.struct(
                 _sq_dist(F.col("v"), cen["c"]).alias("d"),
                 cen["cid"].alias("cid"),
