@@ -332,7 +332,13 @@ def test_decontaminate_single_corpus_exchange(plan):
         p = plan(name)
         assert p.count("SortMergeJoin") == 0, name
         assert p.count("BroadcastHashJoin") > 0, name
-        assert shuffles(p) <= 2, name
+        # 2 key-grain exchanges (eval distinct, per-doc hit groupBy) +
+        # 2 round-robin parallelism guards on the shingle explodes
+        # (round-7: the train-side explode of a single-split parquet ran
+        # 1.6 s on one task inside corpus_prepare; the guards are
+        # compute-parallelism, not data movement at scale — no-ops once
+        # the input already carries >= defaultParallelism partitions)
+        assert shuffles(p) <= 4, name
 
 
 def test_temperature_mix_broadcasts_weights_back(plan):

@@ -90,16 +90,17 @@ def association_score(
         .orderBy(year_col)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    # The explicit keyed repartition (vs. letting the window insert an
-    # ENSURE_REQUIREMENTS exchange) pins the stage's task count: the
-    # window's input is top-k arrays — few BYTES per key but real
-    # per-row flatten/harmonic compute — and AQE's byte-based
-    # coalescing was folding the 15k-key cumulative stage onto ONE task
-    # (round-7 event-log finding, same mismatch as embedding_near_dup).
-    # User-numbered shuffles are exempt, and hashpartitioning(keys)
-    # satisfies the window's distribution, so no exchange is added.
-    n_parts = spark.sparkContext.defaultParallelism
-    cum = dense.repartition(n_parts, *keys).withColumn(
+    # NOTE on AQE coalescing (round-7 event log): the window's input is
+    # top-k arrays — few BYTES per key but real flatten/harmonic
+    # compute — and AQE may coalesce the cumulative stage aggressively.
+    # An explicit keyed repartition here does NOT help: when its
+    # partitioning matches the window's requirement Catalyst replaces
+    # it with a plain ENSURE_REQUIREMENTS exchange (verified on the
+    # executed plan), and when the session's shuffle-partition count
+    # differs it survives as a REDUNDANT extra shuffle. The honest
+    # lever at deployment scale is advisoryPartitionSizeInBytes /
+    # coalescePartitions.minPartitionNum, not a plan-level pin.
+    cum = dense.withColumn(
         "cum_scores", F.flatten(F.collect_list("year_scores").over(w))
     )
 
