@@ -64,6 +64,7 @@ HEADLINE = [
     "semantic_dedup_staged",  # round-7: dedup from the same staged artifact
     "bpe_merges_batched",  # round-7: disjoint-prefix batched induction
     "bpe_encode_corpus",  # round-7: tokenizer APPLY via vocab broadcast join
+    "ann_pq_staged",  # round-7: PQ probe from staged codebooks
 ]
 
 
