@@ -196,3 +196,35 @@ def test_assign_empty_centroid_table_fails_loud(spark):
     empty = spark.createDataFrame([], "cid int, c array<double>")
     with pytest.raises(Exception, match="empty centroid table"):
         assign_to_centroids(pts, empty).collect()
+
+
+def test_cluster_cohesion_and_balanced_sample(spark, cloud):
+    from timeseries_spark.extensions.kmeans import (
+        cluster_balanced_sample,
+        cluster_cohesion,
+        kmeans_assign,
+    )
+
+    asn = kmeans_assign(cloud, k=3, max_iter=4)
+    rep = {r["cluster"]: r for r in cluster_cohesion(asn).collect()}
+    # conservation: members sum to the cloud size; inertia equals the
+    # exact decimal sum of the 6dp distances
+    assert sum(r["n_members"] for r in rep.values()) == cloud.count()
+    for r in rep.values():
+        assert r["mean_sq_dist"] == r["inertia"] / r["n_members"]
+        assert r["inertia"] >= 0.0
+    sample = cluster_balanced_sample(asn, n_per_cluster=2).collect()
+    per = {}
+    for r in sample:
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 2 for v in per.values())
+    # lowest ids win, rank starts at 1
+    full = {r["cluster"]: [] for r in asn.collect()}
+    for r in asn.collect():
+        full[r["cluster"]].append(r["vec_id"])
+    for c, ids in per.items():
+        assert ids == sorted(full[c])[: len(ids)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(asn, n_per_cluster=0)

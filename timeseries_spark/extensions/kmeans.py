@@ -213,3 +213,58 @@ def assign_to_centroids(
             F.round(F.col("__best.d"), 6).alias("sq_dist"),
         )
     )
+
+
+def cluster_cohesion(assignments: DataFrame) -> DataFrame:
+    """Quantizer-quality report over a (vec_id, cluster, sq_dist)
+    assignment table (from ``kmeans_assign`` or
+    ``assign_to_centroids``): per cluster — member count, inertia
+    (Σ sq_dist), and mean squared distance. The elbow/balance
+    diagnostic a curation pipeline reads before trusting a clustering
+    for blocking or diversity sampling.
+
+    Sums run in DECIMAL over the 6dp-rounded distances, so the report
+    is exact and order-independent — bit-identical on any partitioning
+    (a double sum would drift with partial-agg order)."""
+    d = F.col("sq_dist").cast("decimal(28,6)")
+    return (
+        assignments.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(d).alias("__inertia"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            F.col("__inertia").cast("double").alias("inertia"),
+            # IEEE double division of the EXACT decimal total — decimal
+            # division would follow engine-specific scale rules
+            (F.col("__inertia").cast("double") / F.col("n_members")).alias(
+                "mean_sq_dist"
+            ),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    assignments: DataFrame, n_per_cluster: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Diversity sampling: the ``n_per_cluster`` lowest-id members of
+    every cluster — the standard cluster-balanced draw that keeps every
+    region of embedding space represented in a curated subset (a flat
+    random sample over-draws the dense clusters). Deterministic by
+    construction (id order), one cluster-keyed window whose partitions
+    are cluster-sized (bounded by the quantizer's balance — checked by
+    ``cluster_cohesion``)."""
+    if n_per_cluster < 1:
+        raise ValueError(f"n_per_cluster must be >= 1, got {n_per_cluster}")
+    w = Window.partitionBy("cluster").orderBy(id_col)
+    return (
+        assignments.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_cluster)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col(id_col),
+            F.col("__rn").cast("int").alias("rank_in_cluster"),
+        )
+    )

@@ -953,3 +953,85 @@ def ann_ivf_pq_staged(spark, sf_dir):
         kmeans_iter=3, m=2, dims=64, pq_clusters=4, pq_iter=2,
         rerank_factor=4, centroids=cents, books=books,
     )
+
+
+@query(
+    "cluster_cohesion",
+    oracle=_KM_BODY
+    + f"""
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(round(sq_dist, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             AS inertia,
+           CAST(sum(CAST(round(sq_dist, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) AS mean_sq_dist
+    FROM {_KM_LAST} GROUP BY cluster
+    """,
+)
+def cluster_cohesion_q(spark, sf_dir):
+    """Quantizer-quality report for the trained k=4 clustering: per
+    cluster member count, inertia, and mean squared distance — the
+    balance/elbow diagnostic read before trusting the clustering for
+    IVF blocking or diversity sampling. Sums run in decimal over the
+    6dp distances, so the report is exact on any partitioning
+    (extensions/kmeans.py:cluster_cohesion)."""
+    from timeseries_spark.extensions.kmeans import (
+        cluster_cohesion,
+        kmeans_assign,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_cohesion(kmeans_assign(emb, k=4, max_iter=3))
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=_KM_BODY
+    + f"""
+    SELECT CAST(cluster AS INT) AS cluster, vid AS vec_id,
+           CAST(rn AS INT) AS rank_in_cluster
+    FROM (
+      SELECT cluster, vid, row_number() OVER (
+        PARTITION BY cluster ORDER BY vid) AS rn
+      FROM {_KM_LAST}
+    ) WHERE rn <= 10
+    """,
+)
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Diversity sampling: the 10 lowest-id members of every trained
+    cluster — cluster-balanced draws keep every region of embedding
+    space represented where a flat sample over-draws dense clusters
+    (extensions/kmeans.py:cluster_balanced_sample)."""
+    from timeseries_spark.extensions.kmeans import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        kmeans_assign(emb, k=4, max_iter=3), n_per_cluster=10
+    )
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle=f"""
+    SELECT n_members,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM ({REGISTRY["semantic_dedup"].oracle}) sd
+    GROUP BY n_members
+    """,
+)
+def dedup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution from the semantic-dedup
+    pipeline (how much of the corpus is singletons vs. 2-copies vs.
+    bigger near-dup families) — the audit number a dedup rollout
+    reports. One extra bounded aggregate over the kept-doc table."""
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kept = sd(docs, emb, threshold=0.30, n_clusters=4, kmeans_iter=3)
+    return kept.groupBy("n_members").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
