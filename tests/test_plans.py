@@ -495,3 +495,20 @@ def test_round6_late_plan_shapes(plan):
     # 4 GD-round gradient aggregates + the final confusion aggregate;
     # the persisted feature relation feeds all five without a re-scan
     assert shuffles(p) <= 5
+
+
+def test_pair_join_repartition_pin_survives_execution(spark):
+    """Round-7 regression pin: the explicit (block, salt) repartitions in
+    embedding_near_dup must survive into the EXECUTED plan as
+    REPARTITION_BY_NUM — Catalyst removes distribution-matching user
+    repartitions in some positions (it does before a Window; see
+    operators/scoring.py), and if it ever starts doing so here, AQE's
+    byte-based coalescing re-serializes the compute-bound cosine stage
+    onto 1-2 tasks (the 5x regression this fix removed)."""
+    q = all_queries()
+    df = q["dedup_embedding_cosine"](spark, SF)
+    df.count()
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "REPARTITION_BY_NUM" in p

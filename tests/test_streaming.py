@@ -450,3 +450,30 @@ def test_stream_dq_constraints_match_batch(spark, tmp_path_factory):
         output_mode="complete",
     )
     assert {tuple(r) for r in s.collect()} == b
+
+
+def test_stream_shard_stats_matches_batch(spark, tmp_path_factory):
+    """shard_stats is a pure hash-partition + aggregate, so the shard
+    balance report computes identically over a stream (complete-mode
+    groupBy) — an ingestion pipeline can publish per-shard counts live
+    while the batch export runs from the same code path."""
+    from timeseries_spark.extensions.sampling import shard_stats
+    from timeseries_spark.streaming import run_available_now
+
+    out = str(tmp_path_factory.mktemp("shard_stream"))
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1) + "end", "s") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.mode("overwrite").parquet(out)
+    batch_df = spark.read.parquet(out)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(out)
+
+    b = {tuple(r) for r in shard_stats(batch_df, n_shards=4).collect()}
+    s_out = run_available_now(
+        shard_stats(stream_df, n_shards=4),
+        "shard_stats_stream_test",
+        spark,
+        output_mode="complete",
+    )
+    assert b == {tuple(r) for r in s_out.collect()}
