@@ -176,3 +176,52 @@ def test_trend_features_hand_checked(spark):
     assert out["a"]["x_first"] == 2000 and out["a"]["x_last"] == 2002
     assert out["b"]["slope"] == 0.0
     assert out["b"]["y_avg"] == 10.0
+
+
+def test_token_budget_never_exceeds_budget_property(spark):
+    # property over a deterministic pseudo-random corpus: per source the
+    # admitted token total never exceeds the budget (each shard fills at
+    # most budget//n_shards), and raising the budget only admits more
+    import hashlib
+
+    rows = []
+    for i in range(120):
+        h = int(hashlib.md5(f"doc{i}".encode()).hexdigest()[:8], 16)
+        n_tok = h % 17 + 1
+        rows.append((i, " ".join(["w"] * n_tok), f"s{h % 4}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    for shards in (1, 4):
+        small = {
+            r["source"]: r["n_tokens"]
+            for r in token_budget_mix(docs, 60, n_shards=shards).collect()
+        }
+        big = {
+            r["source"]: r["n_tokens"]
+            for r in token_budget_mix(docs, 200, n_shards=shards).collect()
+        }
+        assert all(v <= 60 for v in small.values()), (shards, small)
+        assert all(v <= 200 for v in big.values())
+        for s in small:
+            assert big.get(s, 0) >= small[s]
+
+
+def test_trend_features_partition_invariant(spark):
+    # the decimal moment sums make the feature matrix identical under
+    # any partitioning / row order — the property the docstring claims
+    from timeseries_spark.extensions.features import trend_features
+
+    rows = [(f"k{i % 5}", 2000 + i % 7, 100.0 + i * 0.07) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, yr int, amt double")
+    a = sorted(map(tuple, trend_features(df, "key", "yr", "amt").collect()))
+    b = sorted(
+        map(
+            tuple,
+            trend_features(
+                df.repartition(13).sortWithinPartitions("amt"),
+                "key",
+                "yr",
+                "amt",
+            ).collect(),
+        )
+    )
+    assert a == b
