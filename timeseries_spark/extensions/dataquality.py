@@ -208,10 +208,14 @@ def key_skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
                 "n_distinct",
                 F.col("top.k").alias("top_key"),
                 F.col("top.n").cast("bigint").alias("top_count"),
+                # the ratio is computed in floating point: top_count *
+                # n_distinct as bigint*bigint wraps silently in
+                # non-ANSI Spark at the scales this report targets
+                # (top_count ~1e9 x ~1e10 distinct keys > 2^63)
                 F.round(
-                    F.col("top.n")
-                    * F.col("n_distinct")
-                    / F.col("n_rows"),
+                    F.col("top.n").cast("double")
+                    * F.col("n_distinct").cast("double")
+                    / F.col("n_rows").cast("double"),
                     4,
                 ).alias("skew_ratio"),
             )

@@ -27,8 +27,19 @@ def trend_features(
 
     One key-grain shuffle; the moment sums (Σx, Σy, Σxy, Σx²) are
     map-side partial aggregates in decimal, so the feature matrix is
-    bit-identical on any partitioning."""
-    x = F.col("__x").cast("bigint")
+    bit-identical on any partitioning.
+
+    Numeric contract: every x moment runs in DECIMAL, never bigint —
+    for a natural generic x such as epoch seconds, x² ≈ 4e18 and a
+    bigint Σx² silently wraps after a handful of rows in non-ANSI
+    Spark, yielding a garbage slope with no error. In decimal the
+    moments are exact for |x| ≤ ~1e9 (epoch-second scale) with up to
+    ~1e9 rows per key (Σx² ≤ 4e27, n·Σx² and (Σx)² ≤ 4e36 < 10^38);
+    beyond that decimal overflow surfaces as NULL, not a wrapped
+    value. y is quantized to decimal(18,2) on entry — callers feeding
+    finer-grained y should pre-round to 2 decimal places (the
+    quantization is what makes Σy order-independent across engines)."""
+    x = F.col("__x").cast("decimal(19,0)")
     y = F.col("__y").cast("decimal(18,2)")
     g = (
         df.select(
@@ -40,14 +51,20 @@ def trend_features(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(y).alias("sy"),
-            F.sum(x).cast("bigint").alias("sx"),
-            F.sum(x * x).cast("bigint").alias("sxx"),
-            F.sum(y * x.cast("decimal(18,2)")).alias("sxy"),
+            # decimal(29,0): exact for any realistic key cardinality
+            F.sum(x).alias("sx"),
+            # x*x is decimal(38,0) — exact up to 10^38, vs bigint's
+            # silent wrap at 9.2e18
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * x).alias("sxy"),
             F.min(x).cast("int").alias("x_first"),
             F.max(x).cast("int").alias("x_last"),
         )
     )
-    denom = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    denom = (
+        g["n"].cast("decimal(20,0)") * g["sxx"]
+        - g["sx"] * g["sx"]
+    )
     slope = F.when(denom == 0, F.lit(0.0)).otherwise(
         (
             g["n"].cast("double") * g["sxy"].cast("double")

@@ -375,9 +375,14 @@ def ivf_pq_topk(
         # routing/blocking assignment is a broadcast argmin against the
         # persisted centroid table — identical clusters, no Lloyd
         # subtree. `books` stages the PQ half the same way below.
+        # Materialized ONCE (eager checkpoint): vecs_cl/reps and the
+        # encoded-corpus branch all consume it, and without the
+        # checkpoint the corpus-wide argmin projection re-executes per
+        # consumer (the kmeans_assign path below is already
+        # materialized by kmeans_fit's per-round checkpoints).
         clusters = assign_to_centroids(
             vectors, centroids, id_col=id_col, vec_col=vec_col
-        )
+        ).localCheckpoint(eager=True)
     else:
         clusters = kmeans_assign(
             vectors, k=n_clusters, max_iter=kmeans_iter,

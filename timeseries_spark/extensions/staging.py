@@ -36,19 +36,49 @@ def _stage_root() -> str:
     )
 
 
+def _source_fingerprint(source_path: str) -> str:
+    """Content fingerprint of a dataset path for the stage cache key.
+
+    Whole-second directory mtime is NOT enough: a parquet directory's
+    mtime only changes on entry add/remove, and a dataset regenerated
+    in-place within the same second (common in tests/CI) would silently
+    serve a stale quantizer. Instead we hash, per data file, the
+    (relative name, size in bytes, st_mtime_ns) triple — nanosecond
+    mtime plus size changes whenever any part file is rewritten, and
+    the sorted walk makes the digest order-independent."""
+    entries = []
+    try:
+        if os.path.isdir(source_path):
+            for root, _dirs, files in os.walk(source_path):
+                for name in files:
+                    p = os.path.join(root, name)
+                    try:
+                        st = os.stat(p)
+                    except OSError:
+                        continue
+                    rel = os.path.relpath(p, source_path)
+                    entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+        else:
+            st = os.stat(source_path)
+            entries.append(f".|{st.st_size}|{st.st_mtime_ns}")
+    except OSError:
+        pass
+    entries.sort()
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+
+
 def centroid_stage_path(
     source_path: str, k: int, max_iter: int, tag: str = "ivf"
 ) -> str:
-    """Deterministic artifact path for one (source, params) key. The
-    source's mtime is folded into the key: regenerating the dataset
-    (same path, new contents) yields a NEW key, so a stale quantizer
-    can never silently serve a changed corpus."""
-    try:
-        mtime = int(os.path.getmtime(source_path))
-    except OSError:
-        mtime = 0
+    """Deterministic artifact path for one (source, params) key. A
+    per-file (name, size, nanosecond-mtime) fingerprint of the source
+    is folded into the key: regenerating the dataset (same path, new
+    contents — even within the same wall-clock second) yields a NEW
+    key, so a stale quantizer can never silently serve a changed
+    corpus."""
+    fp = _source_fingerprint(source_path)
     key = hashlib.sha256(
-        f"{os.path.abspath(source_path)}|{mtime}|{k}|{max_iter}|{tag}|v1".encode()
+        f"{os.path.abspath(source_path)}|{fp}|{k}|{max_iter}|{tag}|v1".encode()
     ).hexdigest()[:16]
     return os.path.join(_stage_root(), f"{tag}_k{k}_it{max_iter}_{key}")
 
