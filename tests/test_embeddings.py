@@ -176,3 +176,85 @@ def test_pca_degenerate_constant_cloud_zero_vector(spark):
     assert all(r["loading"] == 0.0 for r in out)
     assert all(r["eigenvalue"] == 0.0 for r in out)
     assert all(r["loading"] is not None for r in out)
+
+
+def test_pca_top_components_orthonormal_and_ranked(spark):
+    """Round-8 deflation properties: components pairwise orthogonal BY
+    CONSTRUCTION (GS runs inside the last iteration, before the final
+    normalize), unit-norm, eigenvalues non-increasing, and component 0
+    identical to pca_top_component."""
+    import numpy as np
+
+    from timeseries_spark.extensions.embeddings import (
+        pca_top_component,
+        pca_top_components,
+    )
+
+    rng = np.random.RandomState(11)
+    # three well-separated axes + isotropic noise
+    n = 300
+    data = (
+        rng.randn(n, 1) * 2.0 * np.array([[1.0, 0, 0, 0, 0, 0]])
+        + rng.randn(n, 1) * 1.0 * np.array([[0, 1.0, 0, 0, 0, 0]])
+        + rng.randn(n, 1) * 0.5 * np.array([[0, 0, 1.0, 0, 0, 0]])
+        + rng.randn(n, 6) * 0.05
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = pca_top_components(df, dims=6, n_components=3, n_iter=8).collect()
+    comps = {}
+    evs = {}
+    for c in range(3):
+        got = sorted(
+            (r for r in rows if r["component"] == c), key=lambda r: r["dim"]
+        )
+        comps[c] = np.array([r["loading"] for r in got])
+        evs[c] = got[0]["eigenvalue"]
+    # orthogonality is enforced by construction: bounded by snap/round
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert abs(float(np.dot(comps[a], comps[b]))) < 1e-5
+        assert abs(float(np.dot(comps[a], comps[a])) - 1.0) < 1e-5
+    assert evs[0] >= evs[1] >= evs[2] > 0
+    # vs numpy eigensolver on the same covariance
+    c = np.cov(data.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    for rank, comp in comps.items():
+        ref = evecs[:, -1 - rank]
+        assert abs(abs(float(np.dot(comp, ref))) - 1.0) < 5e-3
+        assert abs(evs[rank] - evals[-1 - rank]) / evals[-1 - rank] < 5e-2
+    # component 0 == single-component operator
+    single = {
+        r["dim"]: r["loading"]
+        for r in pca_top_component(df, dims=6, n_iter=8).collect()
+    }
+    assert all(
+        single[i] == comps[0][i] for i in range(6)
+    )
+
+
+def test_pca_whiten_scores_unit_variance(spark):
+    """Whitened scores have ~unit variance along every component and
+    near-zero cross-correlation — the point of whitening."""
+    import numpy as np
+
+    from timeseries_spark.extensions.embeddings import pca_whiten_scores
+
+    rng = np.random.RandomState(3)
+    n = 400
+    data = rng.randn(n, 4) * np.array([2.0, 1.0, 0.5, 0.25])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pca_whiten_scores(df, dims=4, n_components=3, n_iter=8).collect()
+    m = np.array([r["whitened"] for r in out])
+    assert m.shape == (n, 3)
+    centered = m - m.mean(axis=0)
+    cov = centered.T @ centered / n
+    for a in range(3):
+        assert abs(cov[a, a] - 1.0) < 0.05
+        for b in range(a + 1, 3):
+            assert abs(cov[a, b]) < 0.05

@@ -203,6 +203,107 @@ def random_projection(
     return vectors.select(F.col(id_col), proj.alias(out_col))
 
 
+def pca_top_components(
+    vectors: DataFrame,
+    dims: int,
+    n_components: int = 3,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-r principal components by sequential power iteration with
+    per-iteration Gram–Schmidt re-orthogonalization — the deflation
+    step of the whitening path, still with NO eigensolver and still
+    exactly SQL-replayable.
+
+    Component c repeats the ``pca_top_component`` loop, but after each
+    matvec the iterate is orthogonalized against the already-found
+    components IN ORDER (modified Gram–Schmidt: subtract the projection
+    onto component 0, then — from the residual — onto component 1, …)
+    before normalizing and snapping. Sequential-vs-classical GS matters
+    for cross-engine exactness: the two differ by O(ε) terms on the
+    1e-10-snapped components, so the oracle must (and does) replay the
+    SAME order. Orthogonality of the result is enforced by
+    construction — the final iterate is normalized AFTER the
+    subtraction — so pairwise dots are bounded by snap rounding
+    (≤ d·1e-10), regardless of how converged the iteration is.
+
+    Returns (component, dim, loading, eigenvalue): component 0 is
+    identical to ``pca_top_component``'s output; eigenvalue_c is the
+    final residual norm ‖GS(C·v)‖, non-increasing in c for a converged
+    iteration.
+
+    Scale shape: the corpus is touched ONCE (covariance_pairs); all
+    r·n_iter rounds run on the d²-row matrix relation with the bounded
+    driver-loop + eager localCheckpoint discipline. The GS corrections
+    are d-row broadcast joins — constant-size regardless of n."""
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    snap = lambda c: F.floor(c * 1e10 + F.lit(0.5)).cast("double") / 1e10  # noqa: E731
+    upper = covariance_pairs(vectors, dims, id_col, vec_col)
+    cov = upper.unionByName(
+        upper.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    dims_rel = (
+        cov.select(F.col("i").alias("dim")).distinct().localCheckpoint(eager=True)
+    )
+    start = F.lit(1.0 / float(dims) ** 0.5)
+    done = []  # (v_df(dim, x), norm_df(nm)) per found component
+    for _c in range(n_components):
+        v = dims_rel.withColumn("x", start)
+        norm = None
+        for _t in range(n_iter):
+            w = (
+                cov.join(v.select(F.col("dim").alias("j"), "x"), "j")
+                .groupBy(F.col("i").alias("dim"))
+                .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
+            )
+            for pv, _pn in done:
+                p = pv.select("dim", F.col("x").alias("px"))
+                dot = w.join(p, "dim").agg(
+                    F.sum(F.col("w") * F.col("px")).alias("dp")
+                )
+                w = (
+                    w.join(p, "dim")
+                    .crossJoin(F.broadcast(dot))
+                    .select(
+                        "dim",
+                        (F.col("w") - F.col("dp") * F.col("px")).alias("w"),
+                    )
+                )
+            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+            # nm=0 guard as in pca_top_component: once the cloud's rank
+            # is exhausted the residual collapses; emit the zero vector
+            # with eigenvalue 0 instead of a NULL cascade.
+            v = (
+                w.crossJoin(F.broadcast(norm))
+                .select(
+                    "dim",
+                    snap(
+                        F.when(
+                            F.col("nm") > 0, F.col("w") / F.col("nm")
+                        ).otherwise(F.lit(0.0))
+                    ).alias("x"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        done.append((v, norm))
+    out = None
+    for c, (v, norm) in enumerate(done):
+        part = v.crossJoin(F.broadcast(norm)).select(
+            F.lit(c).cast("int").alias("component"),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("x", 6).alias("loading"),
+            F.round("nm", 6).alias("eigenvalue"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def pca_top_component(
     vectors: DataFrame,
     dims: int,
@@ -275,6 +376,72 @@ def pca_top_component(
         F.col("dim").cast("bigint").alias("dim"),
         F.round("x", 6).alias("loading"),
         F.round("nm", 6).alias("eigenvalue"),
+    )
+
+
+def pca_whiten_scores(
+    vectors: DataFrame,
+    dims: int,
+    n_components: int = 3,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Whitened r-D summary of every vector: component c's score is
+    (x · v_c) / √λ_c — the projection onto the learned principal axes
+    rescaled to unit variance, the standard decorrelated input for
+    downstream distance/clustering stages. Returns (id, whitened)
+    with ``whitened`` an array<double> ordered by component.
+
+    The r components fold to ONE broadcast row (array of (pc, ev)
+    structs ordered by component), so the projection is a zero-shuffle
+    map stage over the corpus — same shape as ``pca_scores`` but r-wide.
+    Scores are emitted as RAW doubles: both engines fold the dot
+    product in dim order over identical 6dp inputs and divide by the
+    same √(6dp λ), so the IEEE results are bit-equal and rounding
+    would only add half-way-boundary hazards. A rank-exhausted
+    component (λ = 0) contributes 0.0, matching the zero-vector
+    sentinel upstream."""
+    comp = pca_top_components(
+        vectors, dims, n_components, n_iter, id_col, vec_col
+    )
+    per_comp = (
+        comp.groupBy("component")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "loading"))
+            ).alias("s"),
+            F.first("eigenvalue").alias("ev"),
+        )
+        .select(
+            "component",
+            F.transform("s", lambda t: t["loading"]).alias("pc"),
+            "ev",
+        )
+    )
+    one_row = per_comp.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("component", "pc", "ev"))
+        ).alias("comps")
+    )
+    v = F.transform(
+        checked_dims(F.col(vec_col), dims, "pca_whiten_scores"),
+        lambda x: x.cast("double"),
+    )
+    return vectors.crossJoin(F.broadcast(one_row)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("comps"),
+            lambda cc: F.when(
+                cc["ev"] > 0,
+                F.aggregate(
+                    F.zip_with(v, cc["pc"], lambda x, w: x * w),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                / F.sqrt(cc["ev"]),
+            ).otherwise(F.lit(0.0)),
+        ).alias("whitened"),
     )
 
 

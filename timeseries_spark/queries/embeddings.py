@@ -153,6 +153,139 @@ def pca_top_component_q(spark, sf_dir):
     return pca_top_component(emb, dims=64, n_iter=6)
 
 
+def _pca_multi_ctes(n_components: int, n_iter: int) -> str:
+    """Shared CTE chain for the multi-component oracles: per component
+    c, n_iter rounds of matvec → sequential (modified) Gram–Schmidt
+    against the FINAL iterate of every previous component → normalize →
+    1e-10 half-up snap. The subtraction order must match the Spark loop
+    exactly — classical GS differs by O(ε) on the snapped components,
+    enough to flip a 1e-10 snap boundary."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and this
+    # chain is re-referenced across components/iterations — inlining
+    # makes the plan tree (and the parquet re-opens) exponential in
+    # n_components. Materialization also matches Spark's per-iteration
+    # eager localCheckpoint semantics exactly.
+    ctes = [
+        _COV_UPPER.strip().replace("covu AS (", "covu AS MATERIALIZED ("),
+        """cov AS MATERIALIZED (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j, i, cov FROM covu WHERE i < j
+    )""",
+    ]
+    for c in range(n_components):
+        ctes.append(
+            f"""c{c}v0 AS MATERIALIZED (
+      SELECT CAST(t.i - 1 AS BIGINT) AS dim, 0.125::DOUBLE AS x
+      FROM unnest(generate_series(1, 64)) AS t(i)
+    )"""
+        )
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"""c{c}w{t}p0 AS MATERIALIZED (
+      SELECT c.i AS dim, sum(c.cov * v.x) AS w
+      FROM cov c JOIN c{c}v{t - 1} v ON v.dim = c.j GROUP BY c.i
+    )"""
+            )
+            cur = f"c{c}w{t}p0"
+            for p in range(c):
+                ctes.append(
+                    f"""c{c}d{t}p{p} AS MATERIALIZED (
+      SELECT sum(w.w * v.x) AS dp
+      FROM {cur} w JOIN c{p}v{n_iter} v ON v.dim = w.dim
+    )"""
+                )
+                nxt = f"c{c}w{t}p{p + 1}"
+                ctes.append(
+                    f"""{nxt} AS MATERIALIZED (
+      SELECT w.dim, w.w - d.dp * v.x AS w
+      FROM {cur} w JOIN c{p}v{n_iter} v ON v.dim = w.dim, c{c}d{t}p{p} d
+    )"""
+                )
+                cur = nxt
+            ctes.append(
+                f"c{c}n{t} AS MATERIALIZED "
+                f"(SELECT sqrt(sum(w * w)) AS nm FROM {cur})"
+            )
+            ctes.append(
+                f"""c{c}v{t} AS MATERIALIZED (
+      SELECT dim, CASE WHEN nm > 0
+                       THEN floor(w / nm * 1e10 + 0.5) / 1e10
+                       ELSE 0.0 END AS x
+      FROM {cur}, c{c}n{t}
+    )"""
+            )
+    return ",\n    ".join(ctes)
+
+
+def _pca_multi_oracle(n_components: int, n_iter: int) -> str:
+    parts = [
+        f"""SELECT {c} AS component, CAST(v.dim AS BIGINT) AS dim,
+           round(v.x, 6) AS loading, round(n.nm, 6) AS eigenvalue
+    FROM c{c}v{n_iter} v, c{c}n{n_iter} n"""
+        for c in range(n_components)
+    ]
+    return (
+        f"\n    WITH {_pca_multi_ctes(n_components, n_iter)}\n    "
+        + "\n    UNION ALL\n    ".join(parts)
+    )
+
+
+def _pca_whiten_oracle(n_components: int, n_iter: int) -> str:
+    parts = [
+        f"""SELECT e.vec_id, {c} AS component,
+           CASE WHEN (SELECT round(nm, 6) FROM c{c}n{n_iter}) > 0
+                THEN list_reduce(
+                       list(e.embedding[v.dim + 1]::DOUBLE
+                            * round(v.x, 6) ORDER BY v.dim),
+                       (a, b) -> a + b)
+                     / sqrt((SELECT round(nm, 6) FROM c{c}n{n_iter}))
+                ELSE 0.0 END AS s
+    FROM embeddings e, c{c}v{n_iter} v GROUP BY e.vec_id"""
+        for c in range(n_components)
+    ]
+    scores = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH {_pca_multi_ctes(n_components, n_iter)},
+    scores AS (
+    {scores}
+    )
+    SELECT vec_id, list(s ORDER BY component) AS whitened
+    FROM scores GROUP BY vec_id
+    """
+
+
+@query("pca_top3", oracle=_pca_multi_oracle(3, 6))
+def pca_top3(spark, sf_dir):
+    """Top-3 principal components by sequential power iteration with
+    per-iteration modified Gram–Schmidt against the previously found
+    components — deflation without an eigensolver, orthogonal BY
+    CONSTRUCTION (the final iterate is normalized after the
+    subtraction, so pairwise dots are bounded by the 1e-10 snap), and
+    replayed exactly by ~90 chained CTEs. Component 0 is identical to
+    pca_top_component; eigenvalues are non-increasing
+    (extensions/embeddings.py:pca_top_components)."""
+    from timeseries_spark.extensions.embeddings import pca_top_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_top_components(emb, dims=64, n_components=3, n_iter=6)
+
+
+@query("pca_whiten_scores", oracle=_pca_whiten_oracle(3, 6))
+def pca_whiten_scores_q(spark, sf_dir):
+    """Whitened 3-D summary of every embedding: (x · v_c) / √λ_c per
+    learned component — the decorrelated, unit-variance projection a
+    clustering / distance stage consumes. The three components fold to
+    ONE broadcast row, so the corpus pass is a zero-shuffle map; scores
+    are RAW doubles (dim-ordered folds over 6dp inputs make the IEEE
+    results bit-equal across engines, and the harness normalizes at
+    9dp) (extensions/embeddings.py:pca_whiten_scores)."""
+    from timeseries_spark.extensions.embeddings import pca_whiten_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_whiten_scores(emb, dims=64, n_components=3, n_iter=6)
+
+
 @query(
     "pca_scores",
     oracle=_pca_oracle(6).replace(
