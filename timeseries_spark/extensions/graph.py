@@ -92,6 +92,92 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    simple graph given as (src, dst) pairs (either or both directions;
+    loops and duplicates dropped). Returns (node, triangles) for every
+    node of the graph, 0 included.
+
+    Algorithm: degree-based edge orientation (the standard compact-
+    forward / Latapy 2008 trick, public): orient every edge from its
+    lower-(degree, id) endpoint to the higher one under that total
+    order. Each triangle then has exactly ONE node with two outgoing
+    oriented edges, so counting (a→b, a→c) wedges with ord(b) < ord(c)
+    closed by the oriented edge b→c counts every triangle exactly once
+    — and the wedge fan-out per node is bounded by its ORIENTED
+    out-degree, which is O(√|E|) for any graph. That bound is the
+    100 TB story: a hub with millions of undirected neighbors emits
+    almost no wedges because nearly all its edges point INTO it; the
+    naive unoriented wedge join would square the hub degree.
+
+    Plan shape: two |E|-grain equi joins (wedge build + closure probe)
+    and one explode + hash aggregate — no cartesian, no windows, all
+    shuffles keyed on node/edge ids."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ornt = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.col("u"),
+            ).otherwise(F.col("v")).alias("src"),
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.col("v"),
+            ).otherwise(F.col("u")).alias("dst"),
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.col("dv"),
+            ).otherwise(F.col("du")).alias("dst_d"),
+        )
+    )
+    e1 = ornt.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("dst_d").alias("bd"),
+    )
+    e2 = ornt.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("c"),
+        F.col("dst_d").alias("cd"),
+    )
+    wedges = e1.join(e2, "a").where(
+        F.struct(F.col("bd"), F.col("b")) < F.struct(F.col("cd"), F.col("c"))
+    )
+    closer = ornt.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        )
+    )
+
+
 def bipartite_edges(
     rel: DataFrame, left_col: str, right_col: str, left_tag: str, right_tag: str
 ) -> DataFrame:

@@ -560,3 +560,119 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    Goldstein 1998, public): from each query's exact top-``pool_k``
+    cosine pool, greedily select ``k`` results maximizing
+
+        mmr = lam * rel(q, d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    (empty selected set contributes 0, so step 1 picks argmax
+    lam*rel). Returns (query_id, step, neighbor_id, mmr_score) with
+    step 1..k; ties broken by neighbor id so the greedy trajectory is
+    total and engine-replayable.
+
+    Scale shape: the corpus is touched only by the pool phase
+    (brute_force_topk — salted two-phase top-k, broadcast queries).
+    Everything after runs on the pool relation: pairwise sims are
+    pool_k^2 rows per query (a BOUNDED self-join keyed on query_id,
+    never corpus-wide), eagerly checkpointed once since all k-1 greedy
+    rounds consume them; each round is an anti join + max-sim aggregate
+    + per-query row_number over <= pool_k rows. Driver loop is k-1
+    bounded iterations on tiny relations. mmr_score is emitted RAW:
+    both engines fold identical 6dp inputs with the same lam literals,
+    so the doubles are bit-equal and rounding would only add half-way
+    hazards."""
+    if pool_k < k:
+        raise ValueError(f"pool_k ({pool_k}) must be >= k ({k})")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    pool = brute_force_topk(
+        vectors, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
+    pv = pool.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("nv"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "nv")
+    psim = (
+        pv.alias("a")
+        .join(pv.alias("b"), "query_id")
+        .where(F.col("a.neighbor_id") != F.col("b.neighbor_id"))
+        .select(
+            "query_id",
+            F.col("a.neighbor_id").alias("a_id"),
+            F.col("b.neighbor_id").alias("b_id"),
+            F.round(
+                cosine_similarity(F.col("a.nv"), F.col("b.nv")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool = pool.localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), F.col("neighbor_id")
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    selected = (
+        pool.select(
+            "query_id",
+            "neighbor_id",
+            (lam_c * F.col("rel")).alias("mmr_score"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id", F.lit(1).cast("int").alias("step"),
+            "neighbor_id", "mmr_score",
+        )
+    )
+    for step in range(2, k + 1):
+        cand = pool.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            psim.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        selected = selected.unionByName(
+            cand.join(ms, ["query_id", "neighbor_id"], "left")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    lam_c * F.col("rel")
+                    - inv_c * F.coalesce(F.col("ms"), F.lit(0.0))
+                ).alias("mmr_score"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", F.lit(step).cast("int").alias("step"),
+                "neighbor_id", "mmr_score",
+            )
+        ).localCheckpoint(eager=True)
+    return selected

@@ -951,3 +951,94 @@ def trigram_backoff_logprob(
             F.round(F.exp(-mean), 6).alias("perplexity"),
         )
     )
+
+
+def token_label_mi(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+) -> DataFrame:
+    """Top-``top_k`` tokens by mutual information with the document
+    label — the information-gain feature selection statistic (Manning,
+    Raghavan & Schütze, IR book ch. 13, public):
+
+        MI(t; L) = Σ_c [ p(t, c)·ln(p(t, c)/(p(t)·p(c)))
+                       + p(¬t, c)·ln(p(¬t, c)/(p(¬t)·p(c))) ]
+
+    over document-level token PRESENCE (each doc counts once per
+    token). Returns (token, doc_freq, mi_nats) for the top_k tokens by
+    (6dp-rounded MI, token) — the rounded sort key plus id tiebreak
+    makes the cut deterministic across engines.
+
+    Scale shape: one corpus scan explodes distinct (doc, token)
+    presence; the statistic then lives on the (token × label) grid —
+    vocabulary-grain, never corpus-grain. The label table (handful of
+    rows) and the scalar total broadcast; the absent-class terms for
+    (token, label) pairs with zero joint count are materialized by the
+    vocab × labels broadcast cross join, NOT by a corpus pass (a
+    missing row still carries (n_c/N)·ln(N/(N−d_t)) of information).
+    The final top-k is orderBy+limit — Spark's distributed
+    TakeOrderedAndProject, no single-partition window."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pres = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(label_col).alias("lbl"),
+            F.explode(ws_tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    n_total = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_c = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("double").alias("nc")
+    )
+    d_tc = pres.groupBy("token", "lbl").agg(
+        F.count(F.lit(1)).cast("double").alias("ntc")
+    )
+    d_t = d_tc.groupBy("token").agg(F.sum("ntc").alias("nt"))
+    grid = (
+        d_t.crossJoin(F.broadcast(n_c))
+        .join(d_tc, ["token", "lbl"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "nt",
+            "n",
+            F.col("nc"),
+            F.coalesce("ntc", F.lit(0.0)).alias("ntc"),
+        )
+    )
+    present = F.when(
+        F.col("ntc") > 0,
+        (F.col("ntc") / F.col("n"))
+        * F.log(
+            F.col("n") * F.col("ntc") / (F.col("nt") * F.col("nc"))
+        ),
+    ).otherwise(F.lit(0.0))
+    absent = F.when(
+        (F.col("nc") - F.col("ntc") > 0) & (F.col("n") - F.col("nt") > 0),
+        ((F.col("nc") - F.col("ntc")) / F.col("n"))
+        * F.log(
+            F.col("n")
+            * (F.col("nc") - F.col("ntc"))
+            / ((F.col("n") - F.col("nt")) * F.col("nc"))
+        ),
+    ).otherwise(F.lit(0.0))
+    mi = (
+        grid.select("token", "nt", (present + absent).alias("term"))
+        .groupBy("token", "nt")
+        .agg(F.round(F.sum("term"), 6).alias("mi_nats"))
+    )
+    return (
+        mi.select(
+            "token",
+            F.col("nt").cast("bigint").alias("doc_freq"),
+            "mi_nats",
+        )
+        .orderBy(F.col("mi_nats").desc(), "token")
+        .limit(top_k)
+    )

@@ -5,6 +5,8 @@ identical per-round 1e-10 half-up snap, so the replay is exact."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from timeseries_spark.extensions.graph import bipartite_edges, pagerank
 from timeseries_spark.queries import load, query
 
@@ -123,3 +125,68 @@ def label_propagation_communities(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     edges = bipartite_edges(li, "l_partkey", "l_suppkey", "P", "S")
     return label_propagation(edges, n_iter=_N_ITER)
+
+
+@query(
+    "triangle_counts_parts",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    ornt AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+               AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+               AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+               AS dst_d
+      FROM und e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM ornt e1
+      JOIN ornt e2
+        ON e1.src = e2.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+      JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    per_node AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+)
+def triangle_counts_parts(spark, sf_dir):
+    """Per-part triangle counts of the co-order graph (parts are
+    adjacent when some order contains both): degree-oriented wedge
+    counting — each edge points from its lower-(degree, id) endpoint,
+    so wedge fan-out is bounded by the oriented out-degree O(√|E|) and
+    hub parts cannot square their degree; two |E|-grain equi joins plus
+    an explode/aggregate, no cartesian
+    (extensions/graph.py:triangle_counts)."""
+    from timeseries_spark.extensions.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(pairs)

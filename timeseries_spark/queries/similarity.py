@@ -1035,3 +1035,100 @@ def dedup_cluster_histogram(spark, sf_dir):
     return kept.groupBy("n_members").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
     )
+
+
+def _mmr_oracle(pool_k: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR replay. Every state CTE is MATERIALIZED —
+    DuckDB inlines plain CTEs and the sel chain is re-referenced three
+    times per step, which would make the plan tree exponential in k.
+    The lam literals are the reprs of the SAME Python doubles the Spark
+    side uses (1 - 0.7 is 0.30000000000000004 — writing '0.3' would
+    diverge)."""
+    lam_r, inv_r = repr(float(lam)), repr(1.0 - float(lam))
+    ctes = [
+        """q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 8)""",
+        f"""scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a="q.qv", b="e.embedding")} AS rel
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id
+    )""",
+        f"""pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+        ) AS rn FROM scored
+      ) WHERE rn <= {pool_k}
+    )""",
+        """pv AS (
+      SELECT p.query_id, p.neighbor_id, e.embedding
+      FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id
+    )""",
+        f"""psim AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             {_COS.format(a="a.embedding", b="b.embedding")} AS sim
+      FROM pv a JOIN pv b
+        ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    )""",
+        f"""sel1 AS MATERIALIZED (
+      SELECT query_id, 1 AS step, neighbor_id, mmr_score FROM (
+        SELECT query_id, neighbor_id, {lam_r} * rel AS mmr_score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ({lam_r} * rel) DESC, neighbor_id
+               ) AS rn FROM pool
+      ) WHERE rn = 1
+    )""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""ms{t} AS (
+      SELECT p.query_id, p.a_id AS neighbor_id, max(p.sim) AS ms
+      FROM psim p JOIN sel{t - 1} s
+        ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+      GROUP BY p.query_id, p.a_id
+    )""")
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1}
+      UNION ALL
+      SELECT query_id, {t} AS step, neighbor_id, mmr_score FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {lam_r} * c.rel - {inv_r} * coalesce(m.ms, 0.0)
+                 AS mmr_score,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY ({lam_r} * c.rel
+                           - {inv_r} * coalesce(m.ms, 0.0)) DESC,
+                          c.neighbor_id
+               ) AS rn
+        FROM pool c LEFT JOIN ms{t} m
+          ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{t - 1} s
+          WHERE s.query_id = c.query_id
+            AND s.neighbor_id = c.neighbor_id
+        )
+      ) WHERE rn = 1
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, step, neighbor_id, mmr_score FROM sel{k}
+    """
+
+
+@query("ann_mmr_rerank", oracle=_mmr_oracle(20, 5, 0.7))
+def ann_mmr_rerank(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversity top-5 for 8 query vectors
+    from their exact cosine top-20 pools: greedy lam*rel −
+    (1−lam)*max-sim-to-selected with id tiebreaks, every round a
+    bounded pool-relation op (the corpus is touched only by the salted
+    pool phase) (extensions/similarity.py:mmr_rerank)."""
+    from timeseries_spark.extensions.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, _queries_df(spark, sf_dir), pool_k=20, k=5, lam=0.7
+    )

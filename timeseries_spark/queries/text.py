@@ -860,3 +860,57 @@ def trigram_backoff_q(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return trigram_backoff_logprob(docs)
+
+
+@query(
+    "token_source_mi",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id AS doc, source AS lbl, token
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token != ''
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    ncl AS (
+      SELECT source AS lbl, CAST(count(*) AS DOUBLE) AS nc
+      FROM documents GROUP BY source
+    ),
+    dtc AS (
+      SELECT token, lbl, CAST(count(*) AS DOUBLE) AS ntc
+      FROM pres GROUP BY token, lbl
+    ),
+    dt AS (SELECT token, sum(ntc) AS nt FROM dtc GROUP BY token),
+    grid AS (
+      SELECT d.token, d.nt, t.n, c.nc, coalesce(j.ntc, 0.0) AS ntc
+      FROM dt d CROSS JOIN ncl c CROSS JOIN tot t
+      LEFT JOIN dtc j ON j.token = d.token AND j.lbl = c.lbl
+    ),
+    mi AS (
+      SELECT token, nt,
+             round(sum(
+               CASE WHEN ntc > 0
+                    THEN (ntc / n) * ln(n * ntc / (nt * nc))
+                    ELSE 0.0 END
+               + CASE WHEN nc - ntc > 0 AND n - nt > 0
+                      THEN ((nc - ntc) / n)
+                           * ln(n * (nc - ntc) / ((n - nt) * nc))
+                      ELSE 0.0 END), 6) AS mi_nats
+      FROM grid GROUP BY token, nt
+    )
+    SELECT token, CAST(nt AS BIGINT) AS doc_freq, mi_nats
+    FROM mi ORDER BY mi_nats DESC, token LIMIT 25
+    """,
+)
+def token_source_mi(spark, sf_dir):
+    """Top-25 tokens by mutual information with the document source —
+    the information-gain feature-selection statistic over doc-level
+    token presence; vocabulary-grain after one corpus scan, absent-
+    class terms materialized by a vocab × labels broadcast grid, final
+    cut via distributed TakeOrderedAndProject
+    (extensions/text.py:token_label_mi)."""
+    from timeseries_spark.extensions.text import token_label_mi
+
+    docs = load(spark, sf_dir, "documents")
+    return token_label_mi(docs, label_col="source", top_k=25)
