@@ -481,3 +481,71 @@ def pca_scores(
             4,
         ).alias("pc1_score"),
     )
+
+
+def standardize_embeddings(
+    vectors: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "standardized",
+) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding cloud:
+    out[i] = (x[i] − μ_i) / σ_i with population σ, the preprocessing
+    step in front of distance-based stages (k-means, cosine ANN over
+    heterogeneous-scale dims). A collapsed dimension (σ = 0) maps to
+    0.0 — a deterministic sentinel, not a NULL cascade.
+
+    Two passes over nothing but the corpus column: one posexplode scan
+    aggregates (Σx, Σx², n) per dim — map-side partial combine, the
+    only exchange carries d rows — then the d-row stats table folds to
+    ONE broadcast row and the rescale is a zero-shuffle codegen'd map.
+    μ and σ are snapped half-up at 1e-6 before use and each output
+    component at 1e-6 after, so both engines rescale with identical
+    constants and emit identical arrays (the unordered corpus sums
+    differ at ~1e-13; the snap absorbs it)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    v = F.transform(
+        checked_dims(F.col(vec_col), dims, "standardize_embeddings"),
+        lambda x: x.cast("double"),
+    )
+    stats = (
+        vectors.select(F.posexplode(v).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            "d",
+            snap6(F.col("sx") / F.col("n")).alias("mu"),
+            snap6(
+                F.sqrt(
+                    F.greatest(
+                        F.col("sxx") / F.col("n")
+                        - (F.col("sx") / F.col("n"))
+                        * (F.col("sx") / F.col("n")),
+                        F.lit(0.0),
+                    )
+                )
+            ).alias("sigma"),
+        )
+    )
+    one_row = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "mu", "sigma"))
+        ).alias("ms")
+    )
+    return vectors.crossJoin(F.broadcast(one_row)).select(
+        F.col(id_col),
+        F.zip_with(
+            v,
+            F.col("ms"),
+            lambda x, s: F.when(
+                s["sigma"] > 0, snap6((x - s["mu"]) / s["sigma"])
+            ).otherwise(F.lit(0.0)),
+        ).alias(out_col),
+    )

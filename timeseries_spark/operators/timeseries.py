@@ -702,3 +702,97 @@ def holt_winters_additive(
         )
         .drop("__xs")
     )
+
+
+def stl_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+    half_window: int = 3,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (classical moving-average
+    STL, Cleveland et al. lineage — the textbook `decompose`):
+
+        trend    = centered moving average of the series
+                   (RANGE ±half_window on the integer day index)
+        seasonal = phase means of the detrended series
+                   (phase = day % period), centered so Σ seasonal = 0
+        residual = value − trend − seasonal
+
+    Returns (keys…, day, value, trend, seasonal, residual).
+
+    Cross-engine exactness discipline (the snap-between-stages rule the
+    power-iteration kernels use): the trend average runs on
+    DECIMAL(18,2) sums (exact, order-independent) divided cast-to-
+    double; the detrended series is snapped half-up at 1e-6 and
+    re-quantized to decimal before the phase mean, so every later
+    stage consumes exact inputs and both engines produce bit-equal
+    doubles — residuals are emitted RAW.
+
+    Scale shape: one key-grain window for the trend (RANGE frame,
+    O(window) state per row), one (key, phase)-grain aggregate +
+    key-grain mean for the seasonal — all shuffles on the series keys,
+    nothing corpus-grain, no UDFs."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    keys = list(key_cols)
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    w_tr = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(day_col))
+        .rangeBetween(-half_window, half_window)
+    )
+    base = df.select(
+        *keys, F.col(day_col).alias("day"), F.col(value_col).alias("value")
+    ).withColumn(
+        "trend",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w_tr)
+        ).cast("double")
+        / F.count(F.lit(1)).over(w_tr),
+    ).withColumn(
+        "detr_q",
+        snap6(F.col("value") - F.col("trend")).cast("decimal(18,6)"),
+    ).withColumn("phase", F.pmod(F.col("day"), F.lit(period)))
+    phase_means = (
+        base.groupBy(*keys, "phase")
+        .agg(
+            (
+                F.sum("detr_q").cast("double")
+                / F.count(F.lit(1))
+            ).alias("pm_raw")
+        )
+        .withColumn("pm_q", snap6(F.col("pm_raw")).cast("decimal(18,6)"))
+    )
+    centers = phase_means.groupBy(*keys).agg(
+        (
+            F.sum("pm_q").cast("double") / F.count(F.lit(1))
+        ).alias("pm_center")
+    )
+    seasonal = (
+        phase_means.join(centers, keys)
+        .select(
+            *keys,
+            "phase",
+            snap6(
+                F.col("pm_q").cast("double") - F.col("pm_center")
+            ).alias("seasonal"),
+        )
+    )
+    return (
+        base.join(seasonal, [*keys, "phase"])
+        .select(
+            *keys,
+            "day",
+            "value",
+            "trend",
+            "seasonal",
+            (
+                F.col("value") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+    )

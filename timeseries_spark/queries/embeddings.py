@@ -321,3 +321,45 @@ def pca_scores_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return pca_scores(emb, dims=64, n_iter=6)
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, t.i - 1 AS d, embedding[t.i]::DOUBLE AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    stats AS (
+      SELECT d,
+             floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS mu,
+             floor(sqrt(greatest(
+                     sum(x * x) / count(*)
+                     - (sum(x) / count(*)) * (sum(x) / count(*)),
+                     0.0)) * 1e6 + 0.5) / 1e6 AS sigma
+      FROM xs GROUP BY d
+    ),
+    z AS (
+      SELECT xs.vec_id, xs.d,
+             CASE WHEN s.sigma > 0
+                  THEN floor((xs.x - s.mu) / s.sigma * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS zx
+      FROM xs JOIN stats s ON s.d = xs.d
+    )
+    SELECT vec_id, list(zx ORDER BY d) AS standardized
+    FROM z GROUP BY vec_id
+    """,
+)
+def embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding cloud
+    (population σ, 1e-6 snapped constants and components, σ=0 dims →
+    0.0): one d-row stats exchange from a single posexplode scan, then
+    a zero-shuffle broadcast rescale map — the preprocessing stage in
+    front of k-means / distance ANN
+    (extensions/embeddings.py:standardize_embeddings)."""
+    from timeseries_spark.extensions.embeddings import (
+        standardize_embeddings,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, dims=64)

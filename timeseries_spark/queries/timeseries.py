@@ -1048,3 +1048,68 @@ def hw_residual_anomaly(spark, sf_dir):
         )
         .withColumn("is_anomaly", F.abs(F.col("z")) > 3)
     )
+
+
+@query(
+    "stl_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    tr AS (
+      SELECT event_type, day, total,
+             CAST(sum(CAST(total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS trend
+      FROM daily WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detq AS (
+      SELECT *,
+             CAST(floor((total - trend) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(18,6)) AS detr_q,
+             day % 7 AS phase
+      FROM tr
+    ),
+    pm AS (
+      SELECT event_type, phase,
+             CAST(floor(CAST(sum(detr_q) AS DOUBLE) / count(*) * 1e6
+                        + 0.5) / 1e6 AS DECIMAL(18,6)) AS pm_q
+      FROM detq GROUP BY event_type, phase
+    ),
+    ctr AS (
+      SELECT event_type, CAST(sum(pm_q) AS DOUBLE) / count(*) AS pm_center
+      FROM pm GROUP BY event_type
+    ),
+    seas AS (
+      SELECT p.event_type, p.phase,
+             floor((CAST(p.pm_q AS DOUBLE) - c.pm_center) * 1e6 + 0.5)
+               / 1e6 AS seasonal
+      FROM pm p JOIN ctr c USING (event_type)
+    )
+    SELECT d.event_type, d.day, d.total AS value, d.trend, s.seasonal,
+           d.total - d.trend - s.seasonal AS residual
+    FROM detq d
+    JOIN seas s ON s.event_type = d.event_type AND s.phase = d.phase
+    """,
+)
+def stl_daily(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition of each daily
+    series: centered ±3-day moving-average trend (exact decimal sums),
+    weekly (day%7) phase means of the snapped detrended series as the
+    seasonal component (centered to sum 0), raw residuals — the
+    monitoring decomposition behind 'is this drop trend, seasonality,
+    or anomaly'. All shuffles at series/phase grain
+    (operators/timeseries.py:stl_decompose)."""
+    from timeseries_spark.operators.timeseries import stl_decompose
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return stl_decompose(
+        daily, ["event_type"], "day", "total", period=7, half_window=3
+    )
