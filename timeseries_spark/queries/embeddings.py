@@ -101,45 +101,131 @@ def embedding_projection(spark, sf_dir):
     return random_projection(emb, dims=64, out_dims=16)
 
 
-def _pca_oracle(n_iter: int) -> str:
+def _fold(terms: str) -> str:
+    """Ordered double left-fold with an explicit 0.0 init — the exact
+    replay of Spark's F.aggregate(..., lit(0.0), +)."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        + terms
+        + "), (a, b) -> a + b)"
+    )
+
+
+def _pca_multi_ctes(n_components: int, n_iter: int) -> str:
+    """Array-state power-iteration replay, mirroring the Spark
+    implementation exactly: the matrix folds to 64 ordered per-row
+    value lists and the iterate to ONE (vv list, nm) row; matvec, the
+    sequential (modified) Gram–Schmidt dots/subtractions, and the norm
+    are all dim-ORDERED folds, so the doubles are bit-identical across
+    engines by construction. Every CTE is MATERIALIZED — DuckDB inlines
+    plain CTEs, and this chain is re-referenced across components/
+    iterations, which would make the plan tree (and the parquet
+    re-opens) exponential in n_components."""
     ctes = [
-        _COV_UPPER.strip(),
-        """cov AS (
+        _COV_UPPER.strip().replace("covu AS (", "covu AS MATERIALIZED ("),
+        """cov AS MATERIALIZED (
       SELECT i, j, cov FROM covu
       UNION ALL
       SELECT j, i, cov FROM covu WHERE i < j
     )""",
-        """v0 AS (
-      SELECT CAST(t.i - 1 AS BIGINT) AS dim, 0.125::DOUBLE AS x
-      FROM unnest(generate_series(1, 64)) AS t(i)
+        """crow AS MATERIALIZED (
+      SELECT i, list(cov ORDER BY j) AS cvals FROM cov GROUP BY i
     )""",
     ]
-    for t in range(1, n_iter + 1):
+    matvec = _fold(
+        "list_transform(generate_series(1, 64), k -> r.cvals[k] * s.vv[k])"
+    )
+    for c in range(n_components):
         ctes.append(
-            f"""w{t} AS (
-      SELECT c.i AS dim, sum(c.cov * v.x) AS w
-      FROM cov c JOIN v{t - 1} v ON v.dim = c.j GROUP BY c.i
+            f"""c{c}v0 AS (
+      SELECT list_transform(generate_series(1, 64), k -> 0.125::DOUBLE)
+        AS vv
     )"""
         )
-        ctes.append(
-            f"n{t} AS (SELECT sqrt(sum(w * w)) AS nm FROM w{t})"
-        )
-        ctes.append(
-            f"""v{t} AS (
-      SELECT dim, floor(w / nm * 1e10 + 0.5) / 1e10 AS x
-      FROM w{t}, n{t}
+        for t in range(1, n_iter + 1):
+            ctes.append(
+                f"""c{c}w{t}p0 AS MATERIALIZED (
+      SELECT list(w ORDER BY i) AS wv FROM (
+        SELECT r.i AS i, {matvec} AS w
+        FROM crow r, c{c}v{t - 1} s)
     )"""
-        )
-    joined = ",\n    ".join(ctes)
+            )
+            cur = f"c{c}w{t}p0"
+            for pq in range(c):
+                dot = _fold(
+                    "list_transform(generate_series(1, 64), "
+                    "k -> w2.wv[k] * q2.vv[k])"
+                )
+                nxt = f"c{c}w{t}p{pq + 1}"
+                ctes.append(
+                    f"""{nxt} AS MATERIALIZED (
+      SELECT list_transform(generate_series(1, 64),
+               k -> w.wv[k] - d.dp * q.vv[k]) AS wv
+      FROM {cur} w, c{pq}v{n_iter} q,
+           (SELECT {dot} AS dp
+            FROM {cur} w2, c{pq}v{n_iter} q2) d
+    )"""
+                )
+                cur = nxt
+            norm = _fold("list_transform(wv, x -> x * x)")
+            ctes.append(
+                f"""c{c}n{t} AS MATERIALIZED (
+      SELECT sqrt({norm}) AS nm FROM {cur}
+    )"""
+            )
+            ctes.append(
+                f"""c{c}v{t} AS MATERIALIZED (
+      SELECT list_transform(wv, x -> CASE WHEN nm > 0
+               THEN floor(x / nm * 1e10 + 0.5) / 1e10
+               ELSE 0.0 END) AS vv
+      FROM {cur}, c{c}n{t}
+    )"""
+            )
+    return ",\n    ".join(ctes)
+
+
+def _pca_multi_oracle(n_components: int, n_iter: int) -> str:
+    parts = [
+        f"""SELECT {c} AS component, CAST(t.k - 1 AS BIGINT) AS dim,
+           round(v.vv[t.k], 6) AS loading, round(n.nm, 6) AS eigenvalue
+    FROM c{c}v{n_iter} v, c{c}n{n_iter} n,
+         unnest(generate_series(1, 64)) AS t(k)"""
+        for c in range(n_components)
+    ]
+    return (
+        f"\n    WITH {_pca_multi_ctes(n_components, n_iter)}\n    "
+        + "\n    UNION ALL\n    ".join(parts)
+    )
+
+
+def _pca_single_oracle(n_iter: int) -> str:
     return f"""
-    WITH {joined}
-    SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS loading,
-           round(nm, 6) AS eigenvalue
-    FROM v{n_iter}, n{n_iter}
+    WITH {_pca_multi_ctes(1, n_iter)}
+    SELECT CAST(t.k - 1 AS BIGINT) AS dim,
+           round(v.vv[t.k], 6) AS loading, round(n.nm, 6) AS eigenvalue
+    FROM c0v{n_iter} v, c0n{n_iter} n,
+         unnest(generate_series(1, 64)) AS t(k)
     """
 
 
-@query("pca_top_component", oracle=_pca_oracle(6))
+def _pca_scores_oracle(n_iter: int) -> str:
+    # the dot product folds in DIM ORDER (Spark's zip_with/aggregate
+    # walks the arrays sequentially) and the multiplier is the
+    # 6dp-ROUNDED loading the Spark side broadcasts, not the raw 1e-10
+    # iterate — both were sf0.1 lessons (3 of 2000 rows sat exactly on
+    # a 4dp half-way boundary)
+    dot = _fold(
+        "list_transform(generate_series(1, 64), "
+        "k -> e.embedding[k]::DOUBLE * round(v.vv[k], 6))"
+    )
+    return f"""
+    WITH {_pca_multi_ctes(1, n_iter)}
+    SELECT e.vec_id, round({dot}, 4) AS pc1_score
+    FROM embeddings e, c0v{n_iter} v
+    """
+
+
+@query("pca_top_component", oracle=_pca_single_oracle(6))
 def pca_top_component_q(spark, sf_dir):
     """Top principal component of the embedding cloud: 6 power-method
     rounds on the 6dp-exact covariance relation (v ← snap(C·v/‖C·v‖),
@@ -153,97 +239,21 @@ def pca_top_component_q(spark, sf_dir):
     return pca_top_component(emb, dims=64, n_iter=6)
 
 
-def _pca_multi_ctes(n_components: int, n_iter: int) -> str:
-    """Shared CTE chain for the multi-component oracles: per component
-    c, n_iter rounds of matvec → sequential (modified) Gram–Schmidt
-    against the FINAL iterate of every previous component → normalize →
-    1e-10 half-up snap. The subtraction order must match the Spark loop
-    exactly — classical GS differs by O(ε) on the snapped components,
-    enough to flip a 1e-10 snap boundary."""
-    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and this
-    # chain is re-referenced across components/iterations — inlining
-    # makes the plan tree (and the parquet re-opens) exponential in
-    # n_components. Materialization also matches Spark's per-iteration
-    # eager localCheckpoint semantics exactly.
-    ctes = [
-        _COV_UPPER.strip().replace("covu AS (", "covu AS MATERIALIZED ("),
-        """cov AS MATERIALIZED (
-      SELECT i, j, cov FROM covu
-      UNION ALL
-      SELECT j, i, cov FROM covu WHERE i < j
-    )""",
-    ]
-    for c in range(n_components):
-        ctes.append(
-            f"""c{c}v0 AS MATERIALIZED (
-      SELECT CAST(t.i - 1 AS BIGINT) AS dim, 0.125::DOUBLE AS x
-      FROM unnest(generate_series(1, 64)) AS t(i)
-    )"""
-        )
-        for t in range(1, n_iter + 1):
-            ctes.append(
-                f"""c{c}w{t}p0 AS MATERIALIZED (
-      SELECT c.i AS dim, sum(c.cov * v.x) AS w
-      FROM cov c JOIN c{c}v{t - 1} v ON v.dim = c.j GROUP BY c.i
-    )"""
-            )
-            cur = f"c{c}w{t}p0"
-            for p in range(c):
-                ctes.append(
-                    f"""c{c}d{t}p{p} AS MATERIALIZED (
-      SELECT sum(w.w * v.x) AS dp
-      FROM {cur} w JOIN c{p}v{n_iter} v ON v.dim = w.dim
-    )"""
-                )
-                nxt = f"c{c}w{t}p{p + 1}"
-                ctes.append(
-                    f"""{nxt} AS MATERIALIZED (
-      SELECT w.dim, w.w - d.dp * v.x AS w
-      FROM {cur} w JOIN c{p}v{n_iter} v ON v.dim = w.dim, c{c}d{t}p{p} d
-    )"""
-                )
-                cur = nxt
-            ctes.append(
-                f"c{c}n{t} AS MATERIALIZED "
-                f"(SELECT sqrt(sum(w * w)) AS nm FROM {cur})"
-            )
-            ctes.append(
-                f"""c{c}v{t} AS MATERIALIZED (
-      SELECT dim, CASE WHEN nm > 0
-                       THEN floor(w / nm * 1e10 + 0.5) / 1e10
-                       ELSE 0.0 END AS x
-      FROM {cur}, c{c}n{t}
-    )"""
-            )
-    return ",\n    ".join(ctes)
-
-
-def _pca_multi_oracle(n_components: int, n_iter: int) -> str:
-    parts = [
-        f"""SELECT {c} AS component, CAST(v.dim AS BIGINT) AS dim,
-           round(v.x, 6) AS loading, round(n.nm, 6) AS eigenvalue
-    FROM c{c}v{n_iter} v, c{c}n{n_iter} n"""
-        for c in range(n_components)
-    ]
-    return (
-        f"\n    WITH {_pca_multi_ctes(n_components, n_iter)}\n    "
-        + "\n    UNION ALL\n    ".join(parts)
-    )
-
-
 def _pca_whiten_oracle(n_components: int, n_iter: int) -> str:
-    parts = [
-        f"""SELECT e.vec_id, {c} AS component,
+    parts = []
+    for c in range(n_components):
+        dot = _fold(
+            "list_transform(generate_series(1, 64), "
+            "k -> e.embedding[k]::DOUBLE * round(v.vv[k], 6))"
+        )
+        parts.append(
+            f"""SELECT e.vec_id, {c} AS component,
            CASE WHEN (SELECT round(nm, 6) FROM c{c}n{n_iter}) > 0
-                THEN list_reduce(
-                       list(e.embedding[v.dim + 1]::DOUBLE
-                            * round(v.x, 6) ORDER BY v.dim),
-                       (a, b) -> a + b)
+                THEN {dot}
                      / sqrt((SELECT round(nm, 6) FROM c{c}n{n_iter}))
                 ELSE 0.0 END AS s
-    FROM embeddings e, c{c}v{n_iter} v GROUP BY e.vec_id"""
-        for c in range(n_components)
-    ]
+    FROM embeddings e, c{c}v{n_iter} v"""
+        )
     scores = "\n    UNION ALL\n    ".join(parts)
     return f"""
     WITH {_pca_multi_ctes(n_components, n_iter)},
@@ -286,32 +296,7 @@ def pca_whiten_scores_q(spark, sf_dir):
     return pca_whiten_scores(emb, dims=64, n_components=3, n_iter=6)
 
 
-@query(
-    "pca_scores",
-    oracle=_pca_oracle(6).replace(
-        """
-    SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS loading,
-           round(nm, 6) AS eigenvalue
-    FROM v6, n6
-    """,
-        # two sf0.1 lessons baked in (3 of 2000 rows sat exactly on a
-        # 4dp half-way boundary): (1) the dot product folds in DIM
-        # ORDER via list_reduce — an unordered sum() walks a different
-        # double-add sequence than Spark's sequential zip_with/
-        # aggregate fold (0.0 + t0 == t0, so the missing init changes
-        # nothing); (2) the multiplier is the 6dp-ROUNDED loading the
-        # Spark side broadcasts, not the raw 1e-10 iterate.
-        """
-    SELECT e.vec_id,
-           round(list_reduce(
-                   list(e.embedding[v.dim + 1]::DOUBLE * round(v.x, 6)
-                        ORDER BY v.dim),
-                   (a, b) -> a + b), 4) AS pc1_score
-    FROM embeddings e, v6 v
-    GROUP BY e.vec_id
-    """,
-    ),
-)
+@query("pca_scores", oracle=_pca_scores_oracle(6))
 def pca_scores_q(spark, sf_dir):
     """Per-vector projection onto the trained top principal component
     (4dp) — the 64-row component folds to one broadcast array and the
