@@ -586,93 +586,163 @@ def mmr_rerank(
 
     Scale shape: the corpus is touched only by the pool phase
     (brute_force_topk — salted two-phase top-k, broadcast queries).
-    Everything after runs on the pool relation: pairwise sims are
-    pool_k^2 rows per query (a BOUNDED self-join keyed on query_id,
-    never corpus-wide), eagerly checkpointed once since all k-1 greedy
-    rounds consume them; each round is an anti join + max-sim aggregate
-    + per-query row_number over <= pool_k rows. Driver loop is k-1
-    bounded iterations on tiny relations. mmr_score is emitted RAW:
-    both engines fold identical 6dp inputs with the same lam literals,
-    so the doubles are bit-equal and rounding would only add half-way
-    hazards."""
+    The pool then folds to ONE row per query (rank-ordered array of
+    (id, rel, vec) structs), and the ENTIRE greedy trajectory — the
+    candidate filter, the max-sim-to-selected cosine folds, the
+    argmax with id tiebreak — is a chain of per-row array expressions:
+    no pairwise-sim materialization, no driver loop, no shuffles after
+    the pool build, and every query's trajectory runs in parallel
+    wherever its row lives. Per-row work is bounded by
+    k * pool_k * k * dims regardless of corpus size.
+
+    Expression-size discipline: every value referenced more than once
+    (the selected array, the scored candidates, the argmax winner) is
+    bound through a single-element ``transform(array(x), v -> …)``
+    wrapper, so each greedy step's expression references the previous
+    step's EXACTLY ONCE — without this, optimizer inlining duplicates
+    the prior-state subtree per reference and the plan grows
+    exponentially in k (measured: a k=3 toy already shipped a 4.9 MiB
+    task binary and took 49 s; with binding the chain is linear).
+    mmr_score is emitted RAW: both engines fold identical 6dp inputs
+    with the same lam literals, so the doubles are bit-equal."""
     if pool_k < k:
         raise ValueError(f"pool_k ({pool_k}) must be >= k ({k})")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
     pool = brute_force_topk(
         vectors, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
-    pv = pool.join(
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("nv"),
-        ),
-        "neighbor_id",
-    ).select("query_id", "neighbor_id", "nv")
-    psim = (
-        pv.alias("a")
-        .join(pv.alias("b"), "query_id")
-        .where(F.col("a.neighbor_id") != F.col("b.neighbor_id"))
-        .select(
-            "query_id",
-            F.col("a.neighbor_id").alias("a_id"),
-            F.col("b.neighbor_id").alias("b_id"),
-            F.round(
-                cosine_similarity(F.col("a.nv"), F.col("b.nv")), 6
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    pool = pool.localCheckpoint(eager=True)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("mmr_score").desc(), F.col("neighbor_id")
-    )
-    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
-    selected = (
-        pool.select(
-            "query_id",
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"), "rank")
+    prow = (
+        pool.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("nv"),
+            ),
             "neighbor_id",
-            (lam_c * F.col("rel")).alias("mmr_score"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "query_id", F.lit(1).cast("int").alias("step"),
-            "neighbor_id", "mmr_score",
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "neighbor_id", "rel", "nv"))
+            ).alias("pool")
         )
     )
-    for step in range(2, k + 1):
-        cand = pool.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+
+    def bind(value, fn):
+        """Evaluate ``fn`` with ``value`` bound to a lambda variable so
+        fn may reference it any number of times while the underlying
+        expression appears exactly once in the plan."""
+        return F.element_at(F.transform(F.array(value), fn), 1)
+
+    def argmax(scored):
+        # highest score, ties to the smallest id — a left fold over the
+        # bound candidate array, seeded with its first element (which
+        # then harmlessly compares against itself). NOT slice(sc, 2,
+        # INT_MAX): Slice computes start+length in int32, overflows,
+        # and silently yields an EMPTY array — the fold then returns
+        # its init and the argmax degenerates to "first candidate".
+        return bind(
+            scored,
+            lambda sc: F.aggregate(
+                sc,
+                F.element_at(sc, 1),
+                lambda best, c: F.when(
+                    (c["s"] > best["s"])
+                    | ((c["s"] == best["s"])
+                       & (c["neighbor_id"] < best["neighbor_id"])),
+                    c,
+                ).otherwise(best),
+            ),
         )
-        ms = (
-            psim.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("b_id")
-                ),
-                ["query_id", "b_id"],
-            )
-            .groupBy("query_id", F.col("a_id").alias("neighbor_id"))
-            .agg(F.max("sim").alias("ms"))
+
+    def max_sim(c, sel):
+        return F.aggregate(
+            sel,
+            F.lit(float("-inf")),
+            lambda acc, s: F.greatest(
+                acc, F.round(cosine_similarity(c["nv"], s["nv"]), 6)
+            ),
         )
-        selected = selected.unionByName(
-            cand.join(ms, ["query_id", "neighbor_id"], "left")
-            .select(
-                "query_id",
-                "neighbor_id",
+
+    def step_expr(step, sel):
+        """One greedy round: sel (array of picked structs) -> sel plus
+        this round's pick. ``sel`` is a lambda variable — free to
+        re-reference."""
+        cands = F.filter(
+            "pool",
+            lambda c: ~F.array_contains(
+                F.transform(sel, lambda s: s["neighbor_id"]),
+                c["neighbor_id"],
+            ),
+        )
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
                 (
-                    lam_c * F.col("rel")
-                    - inv_c * F.coalesce(F.col("ms"), F.lit(0.0))
-                ).alias("mmr_score"),
+                    lam_c * c["rel"] - inv_c * max_sim(c, sel)
+                ).alias("s"),
+                c["neighbor_id"].alias("neighbor_id"),
+                c["nv"].alias("nv"),
+            ),
+        )
+        return bind(
+            argmax(scored),
+            lambda best: F.when(
+                best.isNotNull(),
+                F.concat(
+                    sel,
+                    F.array(
+                        F.struct(
+                            F.lit(step).cast("int").alias("step"),
+                            best["neighbor_id"].alias("neighbor_id"),
+                            best["s"].alias("mmr_score"),
+                            best["nv"].alias("nv"),
+                        )
+                    ),
+                ),
+            ).otherwise(sel),
+        )
+
+    # step 1: argmax of lam*rel over the full pool (empty selected set
+    # contributes 0 to the MMR formula)
+    first = bind(
+        argmax(
+            F.transform(
+                "pool",
+                lambda c: F.struct(
+                    (lam_c * c["rel"]).alias("s"),
+                    c["neighbor_id"].alias("neighbor_id"),
+                    c["nv"].alias("nv"),
+                ),
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(
-                "query_id", F.lit(step).cast("int").alias("step"),
-                "neighbor_id", "mmr_score",
+        ),
+        lambda best: F.array(
+            F.struct(
+                F.lit(1).cast("int").alias("step"),
+                best["neighbor_id"].alias("neighbor_id"),
+                best["s"].alias("mmr_score"),
+                best["nv"].alias("nv"),
             )
-        ).localCheckpoint(eager=True)
-    return selected
+        ),
+    )
+    def make_step(s):
+        # NOT `lambda sel, s=step: …`: PySpark dispatches on lambda
+        # arity, and a second parameter would be bound to the array
+        # INDEX argument of transform, silently shadowing the step
+        return lambda sel: step_expr(s, sel)
+
+    df = prow.withColumn("selected", first)
+    for step in range(2, k + 1):
+        df = df.withColumn(
+            "selected", bind(F.col("selected"), make_step(step))
+        )
+    return df.select(
+        "query_id", F.explode("selected").alias("sel")
+    ).select(
+        "query_id",
+        F.col("sel.step").alias("step"),
+        F.col("sel.neighbor_id").alias("neighbor_id"),
+        F.col("sel.mmr_score").alias("mmr_score"),
+    )
