@@ -138,3 +138,70 @@ def test_standardize_embeddings_unit_stats_and_constant_dim(spark):
         assert abs(m[:, d].mean()) < 1e-3
         assert abs(m[:, d].std() - 1.0) < 1e-3
     assert (m[:, 2] == 0.0).all()
+
+
+def test_collocations_pmi_adjacent_phrase_wins(spark):
+    # 'new york' always adjacent; 'the' everywhere — PMI must rank the
+    # phrase far above any pair involving the function word
+    from timeseries_spark.extensions.text import collocations_pmi
+
+    rows = [
+        (i, "the new york office of the big firm") for i in range(10)
+    ] + [(i + 10, "the big firm of the office") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = collocations_pmi(df, min_count=5, top_k=5).collect()
+    top = out[0] if out[0]["pmi_nats"] == max(r["pmi_nats"] for r in out) else None
+    pairs = {(r["w1"], r["w2"]): r["pmi_nats"] for r in out}
+    assert ("new", "york") in pairs
+    the_pairs = [v for (a, b), v in pairs.items() if a == "the" or b == "the"]
+    assert all(pairs[("new", "york")] > v for v in the_pairs)
+
+
+def test_token_burstiness_concentrated_beats_uniform(spark):
+    from timeseries_spark.extensions.text import token_burstiness
+
+    # 'zzz' appears 10x in each of 5 docs (bursty); 'aaa' once in
+    # every doc (Poisson-ish, dispersion < 1 since it is constant)
+    rows = [(i, "aaa " + ("zzz " * 10 if i < 5 else "bbb")) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["token"]: r for r in token_burstiness(df, min_docs=5).collect()}
+    assert out["zzz"]["burstiness"] > 5.0
+    assert out["aaa"]["burstiness"] < 1.0
+    assert out["zzz"]["doc_freq"] == 5 and out["zzz"]["total_count"] == 50
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from timeseries_spark.operators.timeseries import theil_sen_trend
+
+    # y = 2x + 1 with one wild outlier: OLS would bend, Theil-Sen holds
+    rows = [("a", x, 2.0 * x + 1.0) for x in range(1, 12)]
+    rows[5] = ("a", 6, 500.0)
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    got = theil_sen_trend(df, ["k"], "x", "y").collect()[0]
+    assert got["slope"] == 2.0
+    # Sen's residual-median intercept: every non-outlier residual is 1
+    assert got["intercept"] == 1.0
+    assert got["n_points"] == 11 and got["n_pairs"] == 55
+
+
+def test_gini_extremes(spark):
+    from timeseries_spark.extensions.dataquality import gini_by_group
+
+    eq = [("g", i, 10.0) for i in range(10)]
+    one = [("h", i, 0.0) for i in range(9)] + [("h", 9, 90.0)]
+    df = spark.createDataFrame(eq + one, "grp string, unit int, v double")
+    out = {r["grp"]: r for r in gini_by_group(df, ["grp"], "unit", "v").collect()}
+    assert out["g"]["gini"] == 0.0
+    assert out["h"]["gini"] == 0.9  # (n-1)/n with one holder
+    assert out["g"]["total_value"] == 100.0
+
+
+def test_gini_negative_value_raises(spark):
+    import pytest
+    from timeseries_spark.extensions.dataquality import gini_by_group
+
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, -1.0)], "grp string, unit int, v double"
+    )
+    with pytest.raises(Exception, match="negative unit total"):
+        gini_by_group(df, ["grp"], "unit", "v").collect()

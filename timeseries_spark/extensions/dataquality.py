@@ -26,7 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 @dataclass(frozen=True)
@@ -224,3 +224,69 @@ def key_skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration of ``value_col`` across units —
+    the inequality audit (0 = uniform, →1 = one unit holds everything)
+    a pipeline runs over revenue-per-customer, tokens-per-source,
+    bytes-per-shard. Uses the exact rank formula over ascending values
+
+        G = 2·Σᵢ i·yᵢ / (n·Σ yᵢ) − (n+1)/n
+
+    with the total order (value, unit) making ranks — and therefore G —
+    engine-deterministic under ties. Values are summed in
+    DECIMAL(18,2) (exact, order-independent) per unit first; the rank
+    window and the i·yᵢ sum run at unit grain WITHIN each group (the
+    group is the window partition, never a global window), and the
+    final expression is double arithmetic over exact decimal sums.
+    Returns (groups…, n_units, total_value, gini 6dp). Negative values
+    violate the Lorenz construction and raise at runtime via an ANSI
+    guard column instead of emitting a silently-wrong coefficient."""
+    groups = list(group_cols)
+    per_unit = (
+        df.select(
+            *groups,
+            F.col(unit_col).alias("unit"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy(*groups, "unit")
+        .agg(F.sum("v").alias("y"))
+    )
+    # the negative-value guard is folded INTO the ranked value (not a
+    # side column): an unused guard aggregate would be pruned by
+    # Catalyst and never evaluated
+    guarded_y = F.when(
+        F.col("y") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("gini_by_group: negative unit total for unit "),
+                F.col("unit").cast("string"),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(F.col("y"))
+    w = Window.partitionBy(*groups).orderBy("y", "unit")
+    ranked = per_unit.withColumn("i", F.row_number().over(w)).withColumn(
+        "y", guarded_y
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i").cast("decimal(20,0)") * F.col("y")).alias("siy"),
+    )
+    n = F.col("n_units").cast("double")
+    return agg.select(
+        *groups,
+        "n_units",
+        F.col("sy").cast("double").alias("total_value"),
+        F.round(
+            2.0 * F.col("siy").cast("double") / (n * F.col("sy").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -1042,3 +1042,128 @@ def token_label_mi(
         .orderBy(F.col("mi_nats").desc(), "token")
         .limit(top_k)
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information, PMI(w1,w2) = ln( p(w1w2) / (p(w1)·p(w2)) ) over
+    token-level corpus frequencies (Church & Hanks 1990, public) —
+    the classic multi-word-expression miner a tokenizer pipeline runs
+    before merging phrases. Bigrams below ``min_count`` are dropped
+    (PMI is notoriously noisy on rare pairs). Returns (w1, w2,
+    pair_count, pmi_nats) cut by (6dp-rounded PMI, w1, w2).
+
+    One corpus scan feeds BOTH tables: the exploded token stream with
+    positions yields unigram counts and (via a doc-keyed lag window)
+    adjacent-pair counts — vocabulary-grain relations after that, with
+    the two scalar totals broadcast. PMI is a double expression over
+    exact bigint counts, so both engines compute identical values."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+    )
+    # posexplode is order-stable within a row, so the lag window over
+    # (doc, pos) reconstructs adjacency exactly
+    w = Window.partitionBy("__doc").orderBy("pos")
+    pairs = (
+        toks.select(
+            F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
+        )
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    n_uni = uni.agg(F.sum("cu").cast("double").alias("nu"))
+    n_bi = pairs.agg(F.sum("c12").cast("double").alias("nb"))
+    return (
+        pairs.where(F.col("c12") >= min_count)
+        .join(uni.select(F.col("token").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu"))
+                       * (F.col("c2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi_nats"),
+        )
+        .orderBy(F.col("pmi_nats").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Top-``top_k`` tokens by burstiness — the variance-to-mean ratio
+    (index of dispersion) of the token's per-document count over ALL
+    documents, zeros included (Church & Gale 1995 lineage, public).
+    Poisson-scattered function words sit near 1; topical/bursty tokens
+    (concentrated in few docs) score far above. Returns (token,
+    doc_freq, total_count, burstiness) cut by (6dp-rounded score,
+    token); tokens in fewer than ``min_docs`` docs are dropped.
+
+    Zeros never materialize: with Σc and Σc² over occurring docs and N
+    the corpus size, mean = Σc/N and var = Σc²/N − mean² already
+    account for every non-occurrence. One corpus scan to (doc, token)
+    counts, one vocabulary-grain aggregate, scalar N broadcast; the
+    moments are exact bigint sums, so the double ratio is
+    engine-identical."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(ws_tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    mean = F.col("sc") / F.col("n")
+    var = F.col("scc") / F.col("n") - mean * mean
+    return (
+        stats.where(F.col("df_") >= min_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.col("df_").cast("bigint").alias("doc_freq"),
+            F.col("sc").cast("bigint").alias("total_count"),
+            F.round(var / mean, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "token")
+        .limit(top_k)
+    )

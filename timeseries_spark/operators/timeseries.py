@@ -796,3 +796,64 @@ def stl_decompose(
             ).alias("residual"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key robust linear trend: the Theil–Sen estimator — slope =
+    median of all pairwise slopes (y_j − y_i)/(x_j − x_i), x_i < x_j —
+    with up to ~29% outlier breakdown vs OLS's zero (Sen 1968, public).
+    Intercept = median of the residuals y_i − slope·x_i (Sen's
+    original — unlike median(y) − slope·median(x) it stays exact when
+    an outlier shifts the marginal median). Returns (keys…, n_points,
+    n_pairs, slope, intercept), snapped at 1e-6.
+
+    Scale shape: the pairwise self-join is keyed on the series key and
+    quadratic ONLY in the series length (points per key — days/years,
+    bounded by the calendar), never in row count; the medians are
+    exact-percentile aggregates at key grain. Cross-engine: pairwise
+    slopes are identical doubles (exact inputs), and both engines
+    interpolate the even-count median as lower + 0.5·(upper−lower);
+    the 1e-6 snap absorbs any last-ulp interpolation difference."""
+    keys = list(key_cols)
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    pts = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a = pts
+    b = pts.select(
+        *keys, F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, keys)
+        .where(F.col("x") < F.col("x2"))
+        .select(
+            *keys,
+            (
+                (F.col("y2") - F.col("y")) / (F.col("x2") - F.col("x"))
+            ).alias("pair_slope"),
+        )
+    )
+    med_slope = slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(pair_slope, 0.5)").alias("ms"),
+    )
+    resid = pts.join(med_slope, keys).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("ms").alias("ms"),
+        F.expr("percentile(y - ms * x, 0.5)").alias("mr"),
+    )
+    return resid.select(
+        *keys,
+        "n_points",
+        "n_pairs",
+        snap6(F.col("ms")).alias("slope"),
+        snap6(F.col("mr")).alias("intercept"),
+    )

@@ -645,3 +645,58 @@ def customer_order_features(spark, sf_dir):
     return trend_features(
         orders, key_col="o_custkey", x_col="o_year", y_col="o_totalprice"
     )
+
+
+@query(
+    "revenue_gini_by_nation",
+    oracle="""
+    WITH per_unit AS (
+      SELECT n.n_name AS nation, c.c_custkey AS unit,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ),
+    ranked AS (
+      SELECT nation, y,
+             row_number() OVER (PARTITION BY nation ORDER BY y, unit) AS i
+      FROM per_unit
+    ),
+    agg AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_units,
+             sum(y) AS sy, sum(CAST(i AS DECIMAL(20,0)) * y) AS siy
+      FROM ranked GROUP BY nation
+    )
+    SELECT nation, n_units, CAST(sy AS DOUBLE) AS total_value,
+           round(2.0 * CAST(siy AS DOUBLE)
+                 / (CAST(n_units AS DOUBLE) * CAST(sy AS DOUBLE))
+                 - (CAST(n_units AS DOUBLE) + 1.0)
+                   / CAST(n_units AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def revenue_gini_by_nation(spark, sf_dir):
+    """Per-nation Gini concentration of customer order revenue — the
+    inequality audit over exact decimal unit totals with a (value,
+    unit) total order, rank windows partitioned by nation (never
+    global) (extensions/dataquality.py:gini_by_group)."""
+    from timeseries_spark.extensions.dataquality import gini_by_group
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "o_totalprice")
+    )
+    return gini_by_group(
+        joined, ["nation"], "o_custkey", "o_totalprice"
+    )

@@ -914,3 +914,81 @@ def token_source_mi(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return token_label_mi(docs, label_col="source", top_k=25)
+
+
+@query(
+    "collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, pos, token FROM (
+        SELECT doc_id, g.i AS pos, ts[g.i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+             unnest(generate_series(1, len(ts))) AS g(i)
+      ) WHERE token != ''
+    ),
+    pairs AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               token AS w2
+        FROM toks
+      ) WHERE w1 IS NOT NULL GROUP BY w1, w2
+    ),
+    uni AS (SELECT token, count(*) AS cu FROM toks GROUP BY token),
+    nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uni),
+    nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM pairs)
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS pair_count,
+           round(ln((p.c12 / nb.nb)
+                    / ((u1.cu / nu.nu) * (u2.cu / nu.nu))), 6) AS pmi_nats
+    FROM pairs p
+    JOIN uni u1 ON u1.token = p.w1
+    JOIN uni u2 ON u2.token = p.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE p.c12 >= 5
+    ORDER BY pmi_nats DESC, p.w1, p.w2 LIMIT 25
+    """,
+)
+def collocations_pmi_q(spark, sf_dir):
+    """Top-25 adjacent-bigram collocations by PMI over token-level
+    corpus frequencies — the multi-word-expression miner in front of
+    phrase merging; one corpus scan feeds unigram and lag-window
+    bigram counts, everything after is vocabulary-grain
+    (extensions/text.py:collocations_pmi)."""
+    from timeseries_spark.extensions.text import collocations_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    return collocations_pmi(docs, min_count=5, top_k=25)
+
+
+@query(
+    "token_burstiness",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, token, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) WHERE token != '' GROUP BY doc_id, token
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    stats AS (
+      SELECT token, count(*) AS df_, sum(c) AS sc, sum(c * c) AS scc
+      FROM per_doc GROUP BY token
+    )
+    SELECT token, CAST(df_ AS BIGINT) AS doc_freq,
+           CAST(sc AS BIGINT) AS total_count,
+           round((scc / n - (sc / n) * (sc / n)) / (sc / n), 6)
+             AS burstiness
+    FROM stats, nd
+    WHERE df_ >= 5
+    ORDER BY burstiness DESC, token LIMIT 25
+    """,
+)
+def token_burstiness_q(spark, sf_dir):
+    """Top-25 tokens by variance-to-mean dispersion of per-doc counts
+    (zeros accounted for analytically, never materialized) — the
+    bursty-vs-function-word screen; one corpus scan then
+    vocabulary-grain moments (extensions/text.py:token_burstiness)."""
+    from timeseries_spark.extensions.text import token_burstiness
+
+    docs = load(spark, sf_dir, "documents")
+    return token_burstiness(docs, min_docs=5, top_k=25)

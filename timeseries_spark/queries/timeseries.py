@@ -1113,3 +1113,55 @@ def stl_daily(spark, sf_dir):
     return stl_decompose(
         daily, ["event_type"], "day", "total", period=7, half_window=3
     )
+
+
+@query(
+    "theil_sen_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    pts AS (
+      SELECT event_type, CAST(day AS DOUBLE) AS x,
+             CAST(total AS DOUBLE) AS y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS pair_slope
+      FROM pts a JOIN pts b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ms AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(pair_slope, 0.5) AS ms
+      FROM slopes GROUP BY event_type
+    ),
+    res AS (
+      SELECT p.event_type, CAST(count(*) AS BIGINT) AS n_points,
+             first(s.n_pairs) AS n_pairs, first(s.ms) AS ms,
+             quantile_cont(p.y - s.ms * p.x, 0.5) AS mr
+      FROM pts p JOIN ms s ON s.event_type = p.event_type
+      GROUP BY p.event_type
+    )
+    SELECT event_type, n_points, n_pairs,
+           floor(ms * 1e6 + 0.5) / 1e6 AS slope,
+           floor(mr * 1e6 + 0.5) / 1e6 AS intercept
+    FROM res
+    """,
+)
+def theil_sen_daily(spark, sf_dir):
+    """Robust (median-of-pairwise-slopes) daily trend per series — the
+    outlier-proof counterpart of series_trend's OLS: the pair join is
+    keyed on the series and quadratic only in days, medians are exact
+    percentiles at key grain
+    (operators/timeseries.py:theil_sen_trend)."""
+    from timeseries_spark.operators.timeseries import theil_sen_trend
+
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return theil_sen_trend(daily, ["event_type"], "day", "total")
