@@ -205,3 +205,54 @@ def test_gini_negative_value_raises(spark):
     )
     with pytest.raises(Exception, match="negative unit total"):
         gini_by_group(df, ["grp"], "unit", "v").collect()
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    # triangle {1,2,3} plus pendant 4-1: node 1 has deg 3, 1 triangle
+    # -> C = 2*1/(3*2) = 1/3; nodes 2,3 are fully clustered; leaf 4 = 0
+    from timeseries_spark.extensions.graph import local_clustering
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r for r in local_clustering(df).collect()}
+    assert got[1]["clustering"] == round(1 / 3, 6)
+    assert got[2]["clustering"] == 1.0 and got[3]["clustering"] == 1.0
+    assert got[4]["clustering"] == 0.0 and got[4]["degree"] == 1
+
+
+def test_assortativity_star_is_negative(spark):
+    # star graph: hub attaches only to leaves -> strongly disassortative
+    from timeseries_spark.extensions.graph import degree_assortativity
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src bigint, dst bigint"
+    )
+    got = degree_assortativity(df).collect()[0]
+    assert got["n_nodes"] == 8 and got["n_edges"] == 7
+    assert got["assortativity"] == -1.0
+
+
+def test_k_core_peels_cascade(spark):
+    # 4-clique (3-core) with a path hanging off: the path peels away
+    # over multiple rounds, the clique survives with degree 3
+    from timeseries_spark.extensions.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "src bigint, dst bigint")
+    got = {r["node"]: r for r in k_core(df, k=3, n_rounds=4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["core_degree"] == 3 for r in got.values())
+    assert all(r["converged"] for r in got.values())
+
+
+def test_k_core_unconverged_flag(spark):
+    # a long path under k=2 peels one leaf pair per round; 1 round on a
+    # 6-path cannot converge -> flag must be False and visible
+    from timeseries_spark.extensions.graph import k_core
+
+    path = [(i, i + 1) for i in range(1, 7)]
+    df = spark.createDataFrame(path, "src bigint, dst bigint")
+    got = k_core(df, k=2, n_rounds=1).collect()
+    assert got and all(not r["converged"] for r in got)

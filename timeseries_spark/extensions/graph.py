@@ -258,3 +258,147 @@ def label_propagation(
         if persist:
             e.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: C(v) = 2·T(v) / (d(v)·(d(v)−1)) — how close the node's
+    neighborhood is to a clique (Watts & Strogatz 1998, public); 0.0
+    for degree < 2. Returns (node, degree, triangles, clustering 6dp).
+
+    Reuses the degree-oriented triangle counts (same O(√|E|) wedge
+    bound); the degree table is one extra |E|-grain aggregate and the
+    division is a per-row expression over exact bigints."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "node").select(
+        "node",
+        "degree",
+        "triangles",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles").cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree").cast("double") - 1.0)
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the Pearson
+    correlation of endpoint degrees over every edge counted in BOTH
+    orientations (Newman 2002, public) — positive when hubs attach to
+    hubs, negative for hub-and-spoke. Returns ONE row (n_nodes,
+    n_edges, assortativity) snapped at 1e-6 (corr's double sums are
+    partial-agg-order dependent; the snap absorbs the last-ulp drift,
+    the acf_daily idiom).
+
+    Two |E|-grain joins to attach degrees, one scalar corr aggregate —
+    map-side combined, the only single-row exchange carries the corr
+    moments."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    paired = (
+        both.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    return paired.agg(
+        F.countDistinct("u").cast("bigint").alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        snap6(
+            F.corr(F.col("du").cast("double"), F.col("dv").cast("double"))
+        ).alias("assortativity"),
+    )
+
+
+def k_core(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes whose degree
+    in the surviving subgraph is < k, ``n_rounds`` times. Equal to the
+    exact k-core whenever the peeling converges within the budget
+    (typical for real graphs — each round removes a full frontier);
+    the ``converged`` flag reports whether the last round was a no-op,
+    so an unconverged result is visible, never silent. Returns
+    (node, core_degree, converged).
+
+    Per round: one |E|-grain semi-join pair (keep edges with both
+    endpoints alive) + one degree aggregate — work proportional to the
+    SURVIVING subgraph, with the same bounded-driver-loop + eager
+    localCheckpoint discipline as pagerank/label_propagation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    alive = degrees(und).where(F.col("d") >= k).localCheckpoint(eager=True)
+    e = und
+    prev_n = None
+    for _ in range(n_rounds):
+        keep = alive.select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        new_alive = degrees(e).where(F.col("d") >= k).localCheckpoint(
+            eager=True
+        )
+        prev_n = alive.count()
+        alive = new_alive
+    converged = alive.count() == prev_n
+    return alive.select(
+        "node",
+        F.col("d").alias("core_degree"),
+        F.lit(bool(converged)).alias("converged"),
+    )
