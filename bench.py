@@ -65,6 +65,14 @@ HEADLINE = [
     "bpe_merges_batched",  # round-7: disjoint-prefix batched induction
     "bpe_encode_corpus",  # round-7: tokenizer APPLY via vocab broadcast join
     "ann_pq_staged",  # round-7: PQ probe from staged codebooks
+    "pca_top3",  # round-8: 3-component deflation, single-row array state
+    "ann_mmr_rerank",  # round-8: greedy MMR as per-query array expressions
+    "triangle_counts_parts",  # round-8: degree-oriented wedge counting
+    "token_source_mi",  # round-8: vocab-grain information-gain grid
+    "stl_daily",  # round-8: moving-average seasonal decomposition
+    "embedding_standardize",  # round-8: zero-shuffle broadcast rescale
+    "theil_sen_daily",  # round-8: robust pairwise-slope median trend
+    "revenue_gini_by_nation",  # round-8: exact rank-formula concentration
 ]
 
 

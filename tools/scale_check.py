@@ -404,6 +404,45 @@ def main() -> None:
         "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
     }))
 
+    # triangle counting: Nx DISJOINT graph replicas (shifted node ids)
+    # — wedges and triangles both scale Nx; the degree-oriented wedge
+    # bound keeps the join linear in replicas, so ratio ~= Nx at worst
+    from timeseries_spark.extensions.graph import triangle_counts
+
+    li_op = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs1 = (
+        li_op.alias("a")
+        .join(li_op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    pairsN = (
+        pairs1.crossJoin(
+            F.broadcast(spark.range(n_rep).select(F.col("id").alias("__r")))
+        )
+        .select(
+            (F.col("src") + F.col("__r") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("__r") * 10_000_000).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+
+    def tric(p):
+        return lambda: triangle_counts(p).count()
+
+    t1 = time_warm(tric(pairs1))
+    tN = time_warm(tric(pairsN))
+    print(json.dumps({
+        "name": "triangle_counts", "sf": sf_dir, "n_rep": n_rep,
+        "t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-3), 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
