@@ -256,3 +256,89 @@ def test_k_core_unconverged_flag(spark):
     df = spark.createDataFrame(path, "src bigint, dst bigint")
     got = k_core(df, k=2, n_rounds=1).collect()
     assert got and all(not r["converged"] for r in got)
+
+
+def test_weighted_median_hand_checked(spark):
+    from timeseries_spark.operators.timeseries import weighted_median
+
+    # values 1..4 with weights 1,1,5,1: cum 1,2,7,8; half total = 4
+    # -> first value with cw*2 >= 8 is 3
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 5.0), ("g", 4.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    got = weighted_median(df, ["k"], "v", "w").collect()[0]
+    assert got["weighted_median"] == 3.0
+    assert got["total_weight"] == 8.0
+    # uniform weights degenerate to the lower median
+    uni = spark.createDataFrame(
+        [("u", float(v), 1.0) for v in range(1, 5)], "k string, v double, w double"
+    )
+    assert weighted_median(uni, ["k"], "v", "w").collect()[0][
+        "weighted_median"
+    ] == 2.0
+
+
+def test_conversion_latency_zero_and_missing_trigger(spark):
+    import datetime as dt
+
+    from timeseries_spark.operators.behavior import conversion_latency
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(seconds=30), "purchase"),   # 30 s
+        (2, t0, "purchase"),                               # no trigger
+        (3, t0, "view"),
+        (3, t0, "purchase"),                               # same ts -> 0
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = conversion_latency(
+        df, "user_id", "ts", "event_type", "view", "purchase"
+    ).collect()[0]
+    assert got["n_conversions"] == 2
+    assert got["max_s"] == 30.0
+    assert got["p50_s"] == 15.0  # interpolated between 0 and 30
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    from timeseries_spark.extensions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= k+w-1
+    rows = [
+        (1, shared + " one two three four"),
+        (2, "nine eight seven " + shared),
+        (3, "completely different words everywhere here now"),
+        (4, "ab"),  # shorter than k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    assert fps.where(F.col("id") == 4).count() == 0
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_pairs(
+            df, k=3, window=4, min_shared=1, max_doc_freq=10
+        ).collect()
+    }
+    # the >= k+window-1 shared run guarantees a shared fingerprint
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_entity_resolution_clusters_near_names(spark):
+    # run the registered query end-to-end at the smallest SF: every
+    # name resolves, canonical is a cluster member, sizes consistent
+    import __spark_entry__ as e
+
+    df = e.queries()["entity_resolution_parts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_name"], []).append(r)
+    for canon, members in by_canon.items():
+        assert any(m["p_name"] == canon for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)

@@ -891,3 +891,106 @@ def semantic_decontaminate(
         F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
         F.max("cos").alias("max_cos"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm, public): hash every token ``k``-gram,
+    slide a ``window`` over consecutive hashes, keep each window's
+    minimum (ties to the RIGHTMOST occurrence via a <=-fold), distinct
+    the selections. Guarantees: any shared substring of at least
+    k + window − 1 tokens yields at least one shared fingerprint, and
+    the density of selected hashes is ~2/(window+1) — the principled
+    sparsification that plain modulo-sampling of shingles lacks.
+    Returns (id, fp) rows.
+
+    The whole selection is ONE codegen'd expression per row (gram
+    build, md5-fold hashing, window minima, distinct) — no explode
+    until the final fingerprint rows, so the corpus is scanned once
+    and the shuffle carries only the ~2n/(window+1) selected hashes.
+    Docs shorter than ``k`` tokens emit nothing; docs with fewer than
+    ``window`` hashes emit the minimum of what exists (the standard
+    short-doc convention)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.split(F.col(text_col), " ")
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    # short-doc guard BEFORE building grams: F.sequence(1, 0) infers
+    # step -1 and yields [1, 0], so an unguarded n_grams <= 0 would
+    # build grams at invalid slice starts instead of none
+    hs = F.when(F.size(toks) >= k, hs).otherwise(
+        F.expr("cast(array() as array<bigint>)")
+    )
+    with_h = df.select(F.col(id_col).alias("id"), hs.alias("hs")).where(
+        F.size("hs") >= 1
+    )
+    n_h = F.size("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n_h - (window - 1))),
+        lambda i: F.aggregate(
+            F.slice("hs", i, window),
+            F.element_at(F.slice("hs", i, window), 1),
+            lambda acc, c: F.when(c <= acc, c).otherwise(acc),
+        ),
+    )
+    return with_h.select(
+        "id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowed fingerprints:
+    (doc_a < doc_b, n_shared) for pairs sharing at least ``min_shared``
+    selections. Fingerprints appearing in more than ``max_doc_freq``
+    docs are dropped before pairing (the same hot-key cap as the
+    Jaccard shingle index — a boilerplate fingerprint shared by half
+    the corpus would otherwise explode the inverted-index join
+    quadratically). One fingerprint-keyed equi self-join, never
+    all-pairs."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") <= max_doc_freq)
+        .select("fp")
+    )
+    live = fps.join(capped, "fp")
+    a = live.select("fp", F.col("id").alias("doc_a"))
+    b = live.select("fp", F.col("id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,4 +160,64 @@ def event_transitions(
             "n",
             F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
         )
+    )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Latency distribution from a user's most recent ``from_type``
+    event to each ``to_type`` event (the view→purchase time-to-convert
+    funnel metric): per conversion, delta seconds to the closest prior
+    trigger within the same user's history; summarized as count, p50,
+    p90, max — exact percentiles, 1e-6 snapped (both engines
+    interpolate lower + d·(upper−lower); the snap absorbs last-ulp
+    drift).
+
+    One user-keyed sort window (running max of the trigger timestamp
+    via a conditional last_value IGNORE NULLS — O(1) state) + one
+    single-row percentile aggregate over the conversion deltas. Ties
+    between a trigger and a conversion at the SAME timestamp count as
+    zero-latency conversions (<= ordering, matching the funnel_counts
+    convention). Conversions with no prior trigger are excluded."""
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    # triggers sort BEFORE conversions at the same timestamp (the
+    # zero-latency contract cannot rely on type-name lexicography:
+    # 'purchase' < 'view' would hide a same-instant view)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(
+            F.col(ts_col),
+            F.when(F.col(type_col) == from_type, 0).otherwise(1),
+            F.col(type_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_from = F.last(
+        F.when(F.col(type_col) == from_type, F.col(ts_col)),
+        ignorenulls=True,
+    ).over(w)
+    deltas = (
+        df.select(user_col, ts_col, type_col)
+        .withColumn("__from_ts", last_from)
+        .where(
+            (F.col(type_col) == to_type) & F.col("__from_ts").isNotNull()
+        )
+        .select(
+            (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.col("__from_ts"))
+            ).cast("double").alias("delta_s")
+        )
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        snap6(F.expr("percentile(delta_s, 0.5)")).alias("p50_s"),
+        snap6(F.expr("percentile(delta_s, 0.9)")).alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
     )

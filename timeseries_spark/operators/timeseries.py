@@ -857,3 +857,50 @@ def theil_sen_trend(
         snap6(F.col("ms")).alias("slope"),
         snap6(F.col("mr")).alias("intercept"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-key lower weighted median: the smallest value whose
+    cumulative weight reaches half the total — the robust center for
+    weighted corpora (docs weighted by tokens, orders by price). Exact
+    and interpolation-free, so ties and engine replay are trivial:
+    the (value, weight) order is total via the value sort and the
+    decimal cumulative sums are order-independent.
+
+    One key-grain sort window (cumulative decimal weight) + one
+    key-grain aggregate (min qualifying value) — no global windows, no
+    collect. Weights must be non-negative; zero-total keys yield NULL
+    (no mass to locate a median in)."""
+    keys = list(key_cols)
+    wdec = F.col(weight_col).cast("decimal(18,4)")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("v"), F.col("wt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        df.select(*keys, F.col(value_col).alias("v"), wdec.alias("wt"))
+        .withColumn("cw", F.sum("wt").over(w))
+        .withColumn(
+            "tw", F.sum("wt").over(Window.partitionBy(*keys))
+        )
+    )
+    return (
+        cum.groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("tw") > 0)
+                    & (F.col("cw") * 2 >= F.col("tw")),
+                    F.col("v"),
+                )
+            ).alias("weighted_median"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("tw").cast("double").alias("total_weight"),
+        )
+    )

@@ -700,3 +700,96 @@ def revenue_gini_by_nation(spark, sf_dir):
     return gini_by_group(
         joined, ["nation"], "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH cum AS (
+      SELECT o_orderpriority AS priority,
+             o_totalprice AS v,
+             CAST(l.cnt AS DECIMAL(18,4)) AS wt,
+             sum(CAST(l.cnt AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, CAST(l.cnt AS DECIMAL(18,4))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(CAST(l.cnt AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_orderpriority) AS tw
+      FROM orders o
+      JOIN (SELECT l_orderkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_orderkey) l
+        ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           min(CASE WHEN tw > 0 AND cw * 2 >= tw THEN v END)
+             AS weighted_median,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(first(tw) AS DOUBLE) AS total_weight
+    FROM cum GROUP BY priority
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Per-priority lower weighted median of order price, weighted by
+    line count — exact and interpolation-free (the smallest value
+    whose cumulative decimal weight reaches half the total); one
+    key-grain sort window plus one aggregate
+    (operators/timeseries.py:weighted_median)."""
+    from timeseries_spark.operators.timeseries import weighted_median
+
+    orders = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        "cnt",
+    )
+    return weighted_median(joined, ["priority"], "o_totalprice", "cnt")
+
+
+@query(
+    "conversion_latency_view_purchase",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+                        event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS from_ts
+      FROM events
+    ),
+    deltas AS (
+      -- whole-second deltas: Spark's unix_timestamp truncates to
+      -- seconds while epoch() keeps the nano fraction
+      SELECT CAST(floor(epoch(ts)) - floor(epoch(from_ts)) AS DOUBLE)
+        AS delta_s
+      FROM marked
+      WHERE event_type = 'purchase' AND from_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           floor(quantile_cont(delta_s, 0.5) * 1e6 + 0.5) / 1e6 AS p50_s,
+           floor(quantile_cont(delta_s, 0.9) * 1e6 + 0.5) / 1e6 AS p90_s,
+           max(delta_s) AS max_s
+    FROM deltas
+    """,
+)
+def conversion_latency_view_purchase(spark, sf_dir):
+    """Time-to-convert distribution from each user's most recent view
+    to each purchase: one user-keyed running-max window + one
+    percentile aggregate over the deltas; zero-latency same-timestamp
+    conversions included, trigger-less purchases excluded
+    (operators/behavior.py:conversion_latency)."""
+    from timeseries_spark.operators.behavior import conversion_latency
+
+    events = load(spark, sf_dir, "events")
+    return conversion_latency(
+        events, "user_id", "ts", "event_type", "view", "purchase"
+    )

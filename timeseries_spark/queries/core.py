@@ -698,3 +698,90 @@ def fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name,
+             ('0x' || substring(md5(p_name), 1, 15))::BIGINT AS nid
+      FROM (SELECT DISTINCT p_name FROM part)
+    ),
+    pairs AS (
+      SELECT a.nid AS id_a, b.nid AS id_b
+      FROM names a JOIN names b
+        ON a.p_name < b.p_name
+       AND abs(len(a.p_name) - len(b.p_name)) <= 3
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM undirected
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN undirected u ON r.dst = u.src
+    ),
+    comp AS (
+      SELECT n.p_name, n.nid,
+             least(n.nid, coalesce(min(r.dst), n.nid)) AS component
+      FROM names n LEFT JOIN reach r ON r.src = n.nid
+      GROUP BY n.p_name, n.nid
+    )
+    SELECT c.p_name, canon.p_name AS canonical_name,
+           CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+             AS cluster_size
+    FROM comp c JOIN names canon ON canon.nid = c.component
+    """,
+)
+def entity_resolution_parts(spark, sf_dir):
+    """End-to-end fuzzy entity resolution over part names — the
+    capstone composition record-linkage pipelines run: length-band
+    blocking → levenshtein verify (fuzzy_name_pairs) → connected
+    components over the match graph (pointer-jumping min-label, the
+    dedup CC kernel) → canonical per cluster. Names are keyed by the
+    engine-portable 60-bit md5 surrogate so the CC label algebra (and
+    its decimal-sum convergence check) stays numeric; the canonical
+    member is the min-hash name, replayed exactly by the oracle's
+    recursive-CTE closure. Returns (p_name, canonical_name,
+    cluster_size) for every distinct name."""
+    from timeseries_spark.extensions.dedup import connected_components
+    from timeseries_spark.extensions.hashing import md5_long
+
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", md5_long(F.col("p_name")).alias("nid")
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("nid").alias("id_a"),
+        F.explode(
+            F.sequence(F.length("p_name") - 3, F.length("p_name") + 3)
+        ).alias("band"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("nid").alias("id_b"),
+        F.length("p_name").alias("band"),
+    )
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs, names, id_col="nid")
+    resolved = names.join(comps, "nid")
+    canon = names.select(
+        F.col("nid").alias("component"), F.col("p_name").alias("canonical_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return (
+        resolved.join(canon, "component")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select("p_name", "canonical_name", "cluster_size")
+    )

@@ -1004,3 +1004,46 @@ def dedup_containment_pairs(spark, sf_dir):
     return containment_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.4
     )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH hsrc AS (
+      SELECT doc_id AS id,
+             list_transform(generate_series(1, len(ts) - 2),
+               i -> ('0x' || substring(
+                       md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+                       1, 15))::BIGINT) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      WHERE len(ts) >= 3
+    ),
+    win AS (
+      SELECT id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(1, len(hs) - 3)),
+          i -> list_reduce(hs[i:i+3],
+                 (acc, c) -> CASE WHEN c <= acc THEN c
+                             ELSE acc END)))) AS fp
+      FROM hsrc WHERE len(hs) >= 1
+    ),
+    capped AS (SELECT fp FROM win GROUP BY fp HAVING count(*) <= 100),
+    live AS (SELECT w.id, w.fp FROM win w JOIN capped c ON c.fp = w.fp)
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM live a JOIN live b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by winnowed fingerprints (the MOSS
+    algorithm): token 3-gram md5 hashes, window-4 rightmost-minimum
+    selection as ONE codegen'd expression per row (density ~2/(w+1),
+    any shared >=6-token run guaranteed caught), hot fingerprints
+    capped before the fingerprint-keyed inverted-index self-join —
+    never all-pairs (extensions/dedup.py:winnow_pairs)."""
+    from timeseries_spark.extensions.dedup import winnow_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, k=3, window=4, min_shared=2, max_doc_freq=100
+    )
