@@ -348,3 +348,68 @@ def embedding_standardize(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb, dims=64)
+
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, t.i - 1 AS d, embedding[t.i]::DOUBLE AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    stats AS (
+      SELECT d,
+             floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS mu,
+             floor(sqrt(greatest(
+                     sum(x * x) / count(*)
+                     - (sum(x) / count(*)) * (sum(x) / count(*)),
+                     0.0)) * 1e6 + 0.5) / 1e6 AS sigma
+      FROM xs GROUP BY d
+    ),
+    z AS (
+      SELECT xs.vec_id, xs.d,
+             CASE WHEN s.sigma > 0
+                  THEN floor((xs.x - s.mu) / s.sigma * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS zx
+      FROM xs JOIN stats s ON s.d = xs.d
+    ),
+    score AS (
+      SELECT vec_id,
+             round(sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE, list(zx * zx ORDER BY d)),
+               (a, b) -> a + b) / 64.0), 6) AS outlier_score
+      FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, outlier_score FROM score
+    ORDER BY outlier_score DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Top-20 embedding outliers by diagonal-Mahalanobis distance:
+    RMS of the per-dimension z-scores (collapsed dims contribute 0) —
+    the spectral screen run before training on an embedding corpus.
+    Composes the zero-shuffle standardization map with a per-row
+    dim-ordered fold and a distributed TakeOrderedAndProject cut
+    (extensions/embeddings.py:standardize_embeddings)."""
+    from timeseries_spark.extensions.embeddings import (
+        standardize_embeddings,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    z = standardize_embeddings(emb, dims=64)
+    score = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("standardized", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.lit(64.0)
+        ),
+        6,
+    )
+    return (
+        z.select("vec_id", score.alias("outlier_score"))
+        .orderBy(F.col("outlier_score").desc(), "vec_id")
+        .limit(20)
+    )
