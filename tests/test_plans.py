@@ -512,3 +512,60 @@ def test_pair_join_repartition_pin_survives_execution(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "REPARTITION_BY_NUM" in p
+
+
+def test_round8_graph_plans_no_cartesian(plan):
+    """Triangle counting / clustering / k-core build wedges and peels
+    with keyed equi joins only — a cartesian anywhere would square the
+    edge relation at 100 TB."""
+    for name in (
+        "triangle_counts_parts",
+        "clustering_coefficient_parts",
+        "parts_graph_assortativity",
+    ):
+        p = plan(name)
+        assert p.count("CartesianProduct") == 0, name
+        assert p.count("BroadcastNestedLoopJoin") == 0, name
+
+
+def test_mmr_post_pool_is_expression_only(plan):
+    """After the salted pool phase (its local/global top-k windows),
+    the greedy trajectory is per-row array expressions: no extra
+    windows beyond brute_force_topk's two, and the whole plan carries
+    no cartesian and only the pool build's exchanges."""
+    p = plan("ann_mmr_rerank")
+    assert p.count("CartesianProduct") == 0
+    # brute_force_topk contributes exactly 2 window ops (salted local +
+    # global top-k); the greedy steps must add none
+    assert p.count("(Window") // 1 <= 4  # tree+detail lines for 2 ops
+    assert shuffles(p) <= 4  # pool windows + vector join + pool agg
+
+
+def test_standardize_plan_zero_shuffle_rescale(plan):
+    """The rescale is a broadcast map: the only exchanges belong to the
+    d-row stats aggregate (posexplode scan), never the corpus."""
+    p = plan("embedding_standardize")
+    assert p.count("CartesianProduct") == 0
+    assert shuffles(p) <= 2  # stats partial+final; corpus side map-only
+
+
+def test_winnowing_no_allpairs(plan):
+    """Winnowed pair generation is a fingerprint-keyed equi self-join
+    over capped fingerprints — never an all-pairs document join."""
+    p = plan("dedup_winnowing_pairs")
+    assert p.count("CartesianProduct") == 0
+    assert p.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_stl_windows_are_keyed(plan):
+    """Every window in the decomposition is partitioned by the series
+    key — no SinglePartition global window."""
+    p = plan("stl_daily")
+    assert "SinglePartition" not in p
+    assert p.count("CartesianProduct") == 0
+
+
+def test_gini_windows_are_keyed(plan):
+    p = plan("revenue_gini_by_nation")
+    assert "SinglePartition" not in p
+    assert p.count("CartesianProduct") == 0
