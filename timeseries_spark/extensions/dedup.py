@@ -488,6 +488,12 @@ def connected_components(
 
     ``pairs``: (id_a, id_b) undirected candidate edges; ``vertices``: the
     full doc table (un-paired docs must still appear in the output).
+
+    Only PAIRED vertices iterate: an un-paired doc is its own component
+    by definition, so the label relation the loop carries is bounded by
+    2·|pairs| ids, not the corpus — at 100 TB with a ~1% near-dup rate
+    that is a ~50× smaller per-round state/shuffle, and the singletons
+    join back in one anti-join at the end.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -497,8 +503,8 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    labels = edges.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.col("vid").alias("label")
     ).localCheckpoint()
     prev_sum = None
     try:
@@ -549,9 +555,13 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        return labels.select(
+        paired = labels.select(
             F.col("vid").alias(id_col), F.col("label").alias("component")
         )
+        singletons = vertices.select(F.col(id_col)).join(
+            paired.select(id_col), id_col, "left_anti"
+        ).select(id_col, F.col(id_col).alias("component"))
+        return paired.unionByName(singletons)
     finally:
         edges.unpersist()
 
