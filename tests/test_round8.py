@@ -342,3 +342,60 @@ def test_entity_resolution_clusters_near_names(spark):
     for canon, members in by_canon.items():
         assert any(m["p_name"] == canon for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_welch_ttest_hand_checked(spark):
+    from timeseries_spark.extensions.dataquality import welch_ttest
+
+    # a = [1,2,3,4], b = [2,4,6,8,10]: ma=2.5 va=5/3; mb=6 vb=10
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (2, 4, 6, 8, 10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 5
+    assert got["mean_a"] == 2.5 and got["mean_b"] == 6.0
+    se = (5 / 3) / 4 + 10 / 5
+    t = (2.5 - 6.0) / se ** 0.5
+    assert abs(got["t_stat"] - t) < 1e-5
+    dof = se * se / ((5 / 3 / 4) ** 2 / 3 + (10 / 5) ** 2 / 4)
+    assert abs(got["dof"] - dof) < 1e-5
+
+
+def test_welch_ttest_degenerate_raises(spark):
+    import pytest
+
+    from timeseries_spark.extensions.dataquality import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="welch_ttest"):
+        welch_ttest(df, "g", "v", "a", "b").collect()
+
+
+def test_mann_whitney_hand_checked(spark):
+    from timeseries_spark.extensions.dataquality import mann_whitney_u
+
+    # a = [1, 2, 3], b = [2, 4]: pooled sorted 1,2,2,3,4 ->
+    # midranks 1, 2.5, 2.5, 4, 5; Ra = 1+2.5+4 = 7.5; Ua = 7.5-6 = 1.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert got["u_a"] == 1.5
+    assert got["u_b"] == 3.0 * 2.0 - 1.5
+    sigma = (3 * 2 * 6 / 12) ** 0.5
+    assert abs(got["z_stat"] - (1.5 - 3.0) / sigma) < 1e-5
+
+
+def test_mann_whitney_identical_groups_zero_z(spark):
+    from timeseries_spark.extensions.dataquality import mann_whitney_u
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # identical samples -> U_a = n*n/2 exactly, z = 0
+    assert got["u_a"] == 50.0
+    assert got["z_stat"] == 0.0

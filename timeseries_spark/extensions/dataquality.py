@@ -290,3 +290,144 @@ def gini_by_group(
             6,
         ).alias("gini"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between two
+    groups — the A/B metric comparison that does not assume equal
+    variances (Welch 1947, public). Returns ONE row (n_a, n_b, mean_a,
+    mean_b, mean_diff, t_stat, dof) with the Welch–Satterthwaite
+    degrees of freedom; statistics snapped at 1e-6 (the moment sums
+    are order-dependent doubles; the snap absorbs last-ulp drift, the
+    standardize/acf idiom).
+
+    One filtered scan → one two-row aggregate (count/sum/sumsq per
+    group, map-side combined) → a single-row expression. Degenerate
+    inputs fail LOUD, not wrong: fewer than 2 samples in either group
+    or two exactly-constant groups raise at runtime via an ANSI guard
+    folded into the statistic (an unused guard column would be pruned
+    by Catalyst)."""
+    stats = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("s"),
+            F.sum(
+                F.col(value_col).cast("double")
+                * F.col(value_col).cast("double")
+            ).alias("ss"),
+        )
+    )
+    one = stats.groupBy().pivot("g", [group_a, group_b]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    na, nb = F.col(f"{group_a}_n"), F.col(f"{group_b}_n")
+    ma = F.col(f"{group_a}_s") / na
+    mb = F.col(f"{group_b}_s") / nb
+    # unbiased sample variance from the raw moments; denominators are
+    # clamped so the n<2 case reaches the EXPLICIT guard below instead
+    # of an anonymous ANSI DIVIDE_BY_ZERO
+    va = (F.col(f"{group_a}_ss") - na * ma * ma) / F.greatest(
+        na - 1, F.lit(1.0)
+    )
+    vb = (F.col(f"{group_b}_ss") - nb * mb * mb) / F.greatest(
+        nb - 1, F.lit(1.0)
+    )
+    sea = va / na
+    seb = vb / nb
+    guard = F.when(
+        (na < 2) | (nb < 2) | (sea + seb <= 0),
+        F.raise_error(
+            F.lit(
+                "welch_ttest: needs >=2 samples per group and non-zero "
+                "combined variance"
+            )
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
+    t = (ma - mb) / F.sqrt(sea + seb) + guard
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / F.greatest(na - 1, F.lit(1.0))
+        + seb * seb / F.greatest(nb - 1, F.lit(1.0))
+    ) + guard
+    return one.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        snap6(ma).alias("mean_a"),
+        snap6(mb).alias("mean_b"),
+        snap6(ma - mb).alias("mean_diff"),
+        snap6(t).alias("t_stat"),
+        snap6(dof).alias("dof"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    distribution-free A/B test: U_a = R_a − n_a(n_a+1)/2 with R_a the
+    tie-averaged rank sum of group a in the pooled ordering, plus the
+    large-sample normal approximation z = (U_a − n_a·n_b/2) / σ_U
+    WITHOUT tie correction (documented; exact for continuous metrics,
+    conservative under heavy ties). Returns ONE row (n_a, n_b, u_a,
+    u_b, z_stat 1e-6-snapped).
+
+    Scale shape: ranks depend only on the VALUE order, so the pooled
+    relation first collapses to per-distinct-value group counts (one
+    hash aggregate); tie-averaged midranks are then a cumulative-count
+    window over the DISTINCT-VALUE axis — midrank = below + (ties+1)/2,
+    exact integers-or-halves in decimal — and the rank sum is
+    Σ cnt_a·midrank. The one ordered window runs at value grain (ties
+    collapsed), the standard exact-rank-statistic shape; for an
+    unbounded continuous metric, quantize first (documented) — the
+    statistic itself is then exact for the quantized metric."""
+    pooled = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    per_val = pooled.groupBy("v").agg(
+        F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
+        F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cnt = (F.col("ca") + F.col("cb")).cast("decimal(20,1)")
+    below = F.coalesce(
+        F.sum(F.col("ca") + F.col("cb")).over(w_below), F.lit(0)
+    ).cast("decimal(20,1)")
+    midrank = below + (cnt + 1) / 2
+    agg = per_val.select(
+        "ca", "cb", midrank.alias("mr")
+    ).groupBy().agg(
+        F.sum(F.col("ca").cast("decimal(20,1)") * F.col("mr")).alias("ra"),
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    na, nb = F.col("na"), F.col("nb")
+    ua = F.col("ra").cast("double") - na * (na + 1) / 2
+    ub = na * nb - ua
+    sigma = F.sqrt(na * nb * (na + nb + 1) / 12)
+    z = F.when(
+        sigma > 0, (ua - na * nb / 2) / sigma
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        ua.alias("u_a"),
+        ub.alias("u_b"),
+        snap6(z).alias("z_stat"),
+    )

@@ -336,3 +336,100 @@ def event_transitions_q(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return event_transitions(ev)
+
+
+@query(
+    "welch_ttest_click_view",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type AS g, CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(value AS DOUBLE)) AS s,
+             sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    one AS (
+      SELECT
+        max(CASE WHEN g = 'click' THEN n END) AS na,
+        max(CASE WHEN g = 'click' THEN s END) AS sa,
+        max(CASE WHEN g = 'click' THEN ss END) AS ssa,
+        max(CASE WHEN g = 'view' THEN n END) AS nb,
+        max(CASE WHEN g = 'view' THEN s END) AS sb,
+        max(CASE WHEN g = 'view' THEN ss END) AS ssb
+      FROM stats
+    ),
+    d AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             ((ssa - na * (sa / na) * (sa / na)) / (na - 1)) / na AS sea,
+             ((ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb AS seb
+      FROM one
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(ma * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor(mb * 1e6 + 0.5) / 1e6 AS mean_b,
+           floor((ma - mb) * 1e6 + 0.5) / 1e6 AS mean_diff,
+           floor((ma - mb) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS t_stat,
+           floor((sea + seb) * (sea + seb)
+                 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                 * 1e6 + 0.5) / 1e6 AS dof
+    FROM d
+    """,
+)
+def welch_ttest_click_view(spark, sf_dir):
+    """Welch's unequal-variance t between click and view event values —
+    one filtered scan, one two-row moment aggregate, one single-row
+    expression; degenerate inputs raise loudly
+    (extensions/dataquality.py:welch_ttest)."""
+    from timeseries_spark.extensions.dataquality import welch_ttest
+
+    events = load(spark, sf_dir, "events")
+    return welch_ttest(events, "event_type", "value", "click", "view")
+
+
+@query(
+    "mann_whitney_click_view",
+    oracle="""
+    WITH pooled AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    per_val AS (
+      SELECT v,
+             count(*) FILTER (g = 'click') AS ca,
+             count(*) FILTER (g = 'view') AS cb
+      FROM pooled GROUP BY v
+    ),
+    ranked AS (
+      SELECT ca, cb,
+             CAST(coalesce(sum(ca + cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS DECIMAL(20,1))
+             + (CAST(ca + cb AS DECIMAL(20,1)) + 1) / 2 AS mr
+      FROM per_val
+    ),
+    agg AS (
+      SELECT sum(CAST(ca AS DECIMAL(20,1)) * mr) AS ra,
+             CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ra AS DOUBLE) - na * (na + 1) / 2 AS u_a,
+           na * nb - (CAST(ra AS DOUBLE) - na * (na + 1) / 2) AS u_b,
+           floor((CAST(ra AS DOUBLE) - na * (na + 1) / 2 - na * nb / 2)
+                 / sqrt(na * nb * (na + nb + 1) / 12) * 1e6 + 0.5) / 1e6
+             AS z_stat
+    FROM agg
+    """,
+)
+def mann_whitney_click_view(spark, sf_dir):
+    """Mann–Whitney U between click and view event values — the
+    distribution-free A/B twin of the Welch test: tie-averaged
+    midranks from per-distinct-value counts (one hash aggregate + one
+    value-grain cumulative window), exact decimal rank sums, normal
+    z without tie correction
+    (extensions/dataquality.py:mann_whitney_u)."""
+    from timeseries_spark.extensions.dataquality import mann_whitney_u
+
+    events = load(spark, sf_dir, "events")
+    return mann_whitney_u(events, "event_type", "value", "click", "view")
