@@ -949,9 +949,15 @@ def winnow_fingerprints(
     hs = F.when(F.size(toks) >= k, hs).otherwise(
         F.expr("cast(array() as array<bigint>)")
     )
-    with_h = df.select(F.col(id_col).alias("id"), hs.alias("hs")).where(
-        F.size("hs") >= 1
-    )
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    # compute-vs-bytes: the per-row selection (one md5 per k-gram plus
+    # the window folds) is heavy while the corpus bytes are small — a
+    # single parquet split would run the whole corpus on ONE core
+    # (event-log finding, round 8)
+    with_h = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), hs.alias("hs")
+    ).where(F.size("hs") >= 1)
     n_h = F.size("hs")
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n_h - (window - 1))),
@@ -987,7 +993,14 @@ def winnow_pairs(
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_doc_freq < 2:
         raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    # materialized ONCE: both the df-cap count and the live join consume
+    # the fingerprint relation, and Catalyst gives each consumer its own
+    # copy of the md5/window-fold subtree — the full selection pass ran
+    # TWICE on one task each before this (event-log finding, round 8;
+    # same shape as the covariance_pairs double-pass)
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).localCheckpoint(
+        eager=True
+    )
     capped = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df_"))
