@@ -431,3 +431,65 @@ def mann_whitney_u(
         ub.alias("u_b"),
         snap6(z).alias("z_stat"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = max_v |ECDF_a(v) −
+    ECDF_b(v)| — the distribution-shape A/B test completing the
+    Welch (means) / Mann–Whitney (ranks) trio. Returns ONE row (n_a,
+    n_b, ks_stat 6dp, ks_at — the value where the maximum gap occurs,
+    smallest such value under ties, so the witness is deterministic).
+
+    Same value-grain shape as the U statistic: one hash aggregate to
+    per-distinct-value group counts, one cumulative window over the
+    value axis (exact integer cumulative counts — the ECDF difference
+    is a ratio of exact ints, bit-identical across engines), one
+    single-row argmax via max_by on a (gap, -value) struct."""
+    pooled = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    per_val = pooled.groupBy("v").agg(
+        F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
+        F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_val.select(
+        "v",
+        F.sum("ca").over(w_cum).alias("cca"),
+        F.sum("cb").over(w_cum).alias("ccb"),
+    )
+    totals = per_val.groupBy().agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
+        ).alias("gap"),
+    )
+    agg = gaps.groupBy().agg(
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.max(
+            F.struct(F.col("gap"), (-F.col("v")).alias("neg_v"))
+        ).alias("best"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        snap6(F.col("best.gap")).alias("ks_stat"),
+        (-F.col("best.neg_v")).alias("ks_at"),
+    )

@@ -433,3 +433,53 @@ def mann_whitney_click_view(spark, sf_dir):
 
     events = load(spark, sf_dir, "events")
     return mann_whitney_u(events, "event_type", "value", "click", "view")
+
+
+@query(
+    "ks_two_sample_click_view",
+    oracle="""
+    WITH pooled AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    per_val AS (
+      SELECT v,
+             count(*) FILTER (g = 'click') AS ca,
+             count(*) FILTER (g = 'view') AS cb
+      FROM pooled GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ccb
+      FROM per_val
+    ),
+    totals AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb
+      FROM per_val
+    ),
+    gaps AS (
+      SELECT v, na, nb, abs(cca / na - ccb / nb) AS gap
+      FROM cum, totals
+    )
+    SELECT CAST(first(na) AS BIGINT) AS n_a,
+           CAST(first(nb) AS BIGINT) AS n_b,
+           floor((SELECT max(gap) FROM gaps) * 1e6 + 0.5) / 1e6
+             AS ks_stat,
+           (SELECT min(v) FROM gaps
+            WHERE gap = (SELECT max(gap) FROM gaps)) AS ks_at
+    FROM gaps
+    """,
+)
+def ks_two_sample_click_view(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D between click and view values —
+    the ECDF max-gap statistic from exact integer cumulative counts at
+    value grain, with a deterministic smallest-witness tiebreak
+    (extensions/dataquality.py:ks_two_sample)."""
+    from timeseries_spark.extensions.dataquality import ks_two_sample
+
+    events = load(spark, sf_dir, "events")
+    return ks_two_sample(events, "event_type", "value", "click", "view")
