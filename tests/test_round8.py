@@ -399,3 +399,26 @@ def test_mann_whitney_identical_groups_zero_z(spark):
     # identical samples -> U_a = n*n/2 exactly, z = 0
     assert got["u_a"] == 50.0
     assert got["z_stat"] == 0.0
+
+
+def test_degenerate_group_guards_raise(spark):
+    import pytest
+
+    from timeseries_spark.extensions.dataquality import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+    from timeseries_spark.operators.timeseries import weighted_median
+
+    only_a = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="mann_whitney_u"):
+        mann_whitney_u(only_a, "g", "v", "a", "b").collect()
+    with pytest.raises(Exception, match="ks_two_sample"):
+        ks_two_sample(only_a, "g", "v", "a", "b").collect()
+    neg = spark.createDataFrame(
+        [("k", 1.0, 2.0), ("k", 2.0, -1.0)], "k string, v double, w double"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_median(neg, ["k"], "v", "w").collect()

@@ -418,7 +418,16 @@ def mann_whitney_u(
     )
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
     na, nb = F.col("na"), F.col("nb")
-    ua = F.col("ra").cast("double") - na * (na + 1) / 2
+    # empty-group guard folded into the statistic (an unused guard
+    # column would be pruned): a missing group is a caller bug, not a
+    # z of 0
+    guard = F.when(
+        (na < 1) | (nb < 1),
+        F.raise_error(
+            F.lit("mann_whitney_u: both groups need at least one row")
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ua = F.col("ra").cast("double") - na * (na + 1) / 2 + guard
     ub = na * nb - ua
     sigma = F.sqrt(na * nb * (na + nb + 1) / 12)
     z = F.when(
@@ -471,13 +480,25 @@ def ks_two_sample(
         F.sum("ca").cast("double").alias("na"),
         F.sum("cb").cast("double").alias("nb"),
     )
+    # empty-group guard: the WHEN branch evaluates before the division
+    # (an additive guard term would lose the race to ANSI
+    # DIVIDE_BY_ZERO), so a missing group raises THIS message
     gaps = cum.crossJoin(F.broadcast(totals)).select(
         "v",
         "na",
         "nb",
-        F.abs(
-            F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
-        ).alias("gap"),
+        F.when(
+            (F.col("na") < 1) | (F.col("nb") < 1),
+            F.raise_error(
+                F.lit("ks_two_sample: both groups need at least one row")
+            ).cast("double"),
+        )
+        .otherwise(
+            F.abs(
+                F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb")
+            )
+        )
+        .alias("gap"),
     )
     agg = gaps.groupBy().agg(
         F.first("na").alias("na"),

@@ -874,10 +874,17 @@ def weighted_median(
 
     One key-grain sort window (cumulative decimal weight) + one
     key-grain aggregate (min qualifying value) — no global windows, no
-    collect. Weights must be non-negative; zero-total keys yield NULL
-    (no mass to locate a median in)."""
+    collect. A NEGATIVE weight breaks the cumulative-mass construction
+    and raises at runtime (guard folded into the weight — an unused
+    guard column would be pruned); zero-total keys yield NULL (no mass
+    to locate a median in)."""
     keys = list(key_cols)
-    wdec = F.col(weight_col).cast("decimal(18,4)")
+    wdec = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(
+            F.lit("weighted_median: negative weight")
+        ).cast("decimal(18,4)"),
+    ).otherwise(F.col(weight_col).cast("decimal(18,4)"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("v"), F.col("wt"))
