@@ -191,3 +191,85 @@ def test_theil_sen_shift_equivariance(spark, pts):
     r2 = theil_sen_trend(d2, ["k"], "x", "y").collect()[0]
     assert abs(r1["slope"] - r2["slope"]) < 2e-6
     assert abs((r2["intercept"] - r1["intercept"]) - 10.0) < 2e-6
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=3,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_stl_identity_and_seasonal_periodicity(spark, vals):
+    """For ANY series: value == trend + seasonal + residual exactly
+    (the residual is defined as the difference), and the seasonal
+    component takes at most `period` distinct values per key."""
+    from timeseries_spark.operators.timeseries import stl_decompose
+
+    rows = [("k", d + 1, float(v) / 4) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, day int, v double")
+    got = stl_decompose(df, ["k"], "day", "v", period=7, half_window=3)
+    out = got.collect()
+    assert len(out) == len(vals)
+    for r in out:
+        assert (
+            abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"]))
+            < 1e-9
+        )
+    assert len({r["seasonal"] for r in out}) <= 7
+
+
+@given(
+    prefix=st.lists(
+        st.sampled_from("abcdefgh"), min_size=0, max_size=6
+    ),
+    suffix=st.lists(
+        st.sampled_from("qrstuvwx"), min_size=0, max_size=6
+    ),
+    shared=st.lists(
+        st.sampled_from("ijklmnop"), min_size=6, max_size=10
+    ),
+)
+@settings(**SETTINGS)
+def test_winnowing_shared_run_guarantee(spark, prefix, suffix, shared):
+    """The winnowing guarantee: two docs sharing a run of at least
+    k + window - 1 = 6 tokens ALWAYS share at least one fingerprint —
+    for any surrounding context."""
+    from timeseries_spark.extensions.dedup import winnow_pairs
+
+    d1 = " ".join(prefix + shared)
+    d2 = " ".join(shared + suffix)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id bigint, text string"
+    )
+    pairs = winnow_pairs(
+        df, k=3, window=4, min_shared=1, max_doc_freq=10
+    ).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.lists(
+                st.sampled_from("abcdef"), min_size=1, max_size=5
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_token_label_mi_nonnegative(spark, docs):
+    """Mutual information is non-negative for every token on any
+    corpus (up to the 6dp output rounding)."""
+    from timeseries_spark.extensions.text import token_label_mi
+
+    rows = [
+        (i, lbl, " ".join(toks)) for i, (lbl, toks) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = token_label_mi(df, top_k=50).collect()
+    assert all(r["mi_nats"] >= -1e-6 for r in out)
