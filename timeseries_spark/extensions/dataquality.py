@@ -330,18 +330,27 @@ def welch_ttest(
         F.first("ss").alias("ss"),
     )
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6  # noqa: E731
-    na, nb = F.col(f"{group_a}_n"), F.col(f"{group_b}_n")
-    ma = F.col(f"{group_a}_s") / na
-    mb = F.col(f"{group_b}_s") / nb
+    # a group absent from the input pivots to NULL n/s/ss; NULL would
+    # make the guard predicate itself NULL (falls through to
+    # otherwise(0.0)) and the function would silently return all-NULL —
+    # coalesce to 0.0 so the n<2 guard fires loudly instead
+    na = F.coalesce(F.col(f"{group_a}_n"), F.lit(0.0))
+    nb = F.coalesce(F.col(f"{group_b}_n"), F.lit(0.0))
+    ma = F.coalesce(F.col(f"{group_a}_s"), F.lit(0.0)) / F.greatest(
+        na, F.lit(1.0)
+    )
+    mb = F.coalesce(F.col(f"{group_b}_s"), F.lit(0.0)) / F.greatest(
+        nb, F.lit(1.0)
+    )
     # unbiased sample variance from the raw moments; denominators are
     # clamped so the n<2 case reaches the EXPLICIT guard below instead
     # of an anonymous ANSI DIVIDE_BY_ZERO
-    va = (F.col(f"{group_a}_ss") - na * ma * ma) / F.greatest(
-        na - 1, F.lit(1.0)
-    )
-    vb = (F.col(f"{group_b}_ss") - nb * mb * mb) / F.greatest(
-        nb - 1, F.lit(1.0)
-    )
+    va = (
+        F.coalesce(F.col(f"{group_a}_ss"), F.lit(0.0)) - na * ma * ma
+    ) / F.greatest(na - 1, F.lit(1.0))
+    vb = (
+        F.coalesce(F.col(f"{group_b}_ss"), F.lit(0.0)) - nb * mb * mb
+    ) / F.greatest(nb - 1, F.lit(1.0))
     sea = va / na
     seb = vb / nb
     guard = F.when(
@@ -375,6 +384,7 @@ def mann_whitney_u(
     value_col: str,
     group_a: str,
     group_b: str,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     distribution-free A/B test: U_a = R_a − n_a(n_a+1)/2 with R_a the
@@ -390,12 +400,18 @@ def mann_whitney_u(
     window over the DISTINCT-VALUE axis — midrank = below + (ties+1)/2,
     exact integers-or-halves in decimal — and the rank sum is
     Σ cnt_a·midrank. The one ordered window runs at value grain (ties
-    collapsed), the standard exact-rank-statistic shape; for an
-    unbounded continuous metric, quantize first (documented) — the
-    statistic itself is then exact for the quantized metric."""
+    collapsed): for a CONTINUOUS metric distinct values ≈ rows, which
+    would serialize that stage onto one task, so pass
+    ``quantize_decimals`` to round the metric first (the statistic is
+    then exact for the quantized metric and the value axis is bounded
+    by 10^decimals · range). Without it the caller asserts the metric
+    is already low-cardinality."""
+    v = F.col(value_col).cast("double")
+    if quantize_decimals is not None:
+        v = F.round(v, quantize_decimals)
     pooled = df.where(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("g"),
-        F.col(value_col).cast("double").alias("v"),
+        v.alias("v"),
     )
     per_val = pooled.groupBy("v").agg(
         F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
@@ -448,6 +464,7 @@ def ks_two_sample(
     value_col: str,
     group_a: str,
     group_b: str,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic D = max_v |ECDF_a(v) −
     ECDF_b(v)| — the distribution-shape A/B test completing the
@@ -459,10 +476,17 @@ def ks_two_sample(
     per-distinct-value group counts, one cumulative window over the
     value axis (exact integer cumulative counts — the ECDF difference
     is a ratio of exact ints, bit-identical across engines), one
-    single-row argmax via max_by on a (gap, -value) struct."""
+    single-row argmax via max_by on a (gap, -value) struct. As with
+    mann_whitney_u, the cumulative window runs at distinct-value grain:
+    pass ``quantize_decimals`` for continuous metrics so that axis is
+    bounded (D of the quantized ECDFs differs from exact D by at most
+    the ECDF mass inside one bin)."""
+    v = F.col(value_col).cast("double")
+    if quantize_decimals is not None:
+        v = F.round(v, quantize_decimals)
     pooled = df.where(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("g"),
-        F.col(value_col).cast("double").alias("v"),
+        v.alias("v"),
     )
     per_val = pooled.groupBy("v").agg(
         F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),

@@ -555,9 +555,15 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        # labels were seeded from edge ENDPOINTS, so restrict back to the
+        # vertex table before emitting — an id that appears only in
+        # `pairs` must not leak into the output (the contract is "one row
+        # per vertex"); a stray endpoint can still have served as another
+        # vertex's min-label, which is fine: labels name components, they
+        # need not be member ids of the emitted set
         paired = labels.select(
             F.col("vid").alias(id_col), F.col("label").alias("component")
-        )
+        ).join(vertices.select(id_col), id_col, "left_semi")
         singletons = vertices.select(F.col(id_col)).join(
             paired.select(id_col), id_col, "left_anti"
         ).select(id_col, F.col(id_col).alias("component"))

@@ -383,7 +383,12 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
 
     alive = degrees(und).where(F.col("d") >= k).localCheckpoint(eager=True)
     e = und
-    prev_n = None
+    # one count per EXECUTED round, and it is load-bearing: alive only
+    # ever shrinks (degrees are monotone non-increasing under peeling),
+    # so an unchanged count means an unchanged set — converged — and
+    # the remaining rounds' semi-joins are skipped entirely
+    cur_n = alive.count()
+    converged = False
     for _ in range(n_rounds):
         keep = alive.select("node")
         e = (
@@ -391,12 +396,14 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        new_alive = degrees(e).where(F.col("d") >= k).localCheckpoint(
+        alive = degrees(e).where(F.col("d") >= k).localCheckpoint(
             eager=True
         )
-        prev_n = alive.count()
-        alive = new_alive
-    converged = alive.count() == prev_n
+        new_n = alive.count()
+        if new_n == cur_n:
+            converged = True
+            break
+        cur_n = new_n
     return alive.select(
         "node",
         F.col("d").alias("core_degree"),
