@@ -73,7 +73,35 @@ HEADLINE = [
     "embedding_standardize",  # round-8: zero-shuffle broadcast rescale
     "theil_sen_daily",  # round-8: robust pairwise-slope median trend
     "revenue_gini_by_nation",  # round-8: exact rank-formula concentration
+    "point_target_disease_staged",  # round-10: interactive point-query
+    #   latency on the SERVING path (staged association tables; the
+    #   first rep pays the one-time materialization, the adaptive-rep
+    #   median converges on the ~0.5 s pruned-read serve)
 ]
+
+
+def _calibration_once(spark, sf_dir: str) -> float:
+    """Fixed machine-load probe: a frozen inline scan+agg that NO round
+    ever touches (it bypasses the registry entirely), so its median is a
+    pure measure of box contention. Round-9 lesson: corpus_prepare
+    drifted 1.34x with zero code changes on its path and there was no
+    way to prove it was noise — compare this field across BENCH_r{N}
+    files first; if calibration moved, the round's deltas are machine
+    load, not plan regressions."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.avg("l_extendedprice").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .count()
+    )
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -92,6 +120,9 @@ def main() -> None:
     # the full flagship plan (scoring + novelty subtrees): measured numbers
     # are steady-state throughput, the regime a long-lived cluster runs in
     registry["assoc_novelty_yearly"](spark, sf_dir).count()
+    calibration = round(
+        statistics.median(_calibration_once(spark, sf_dir) for _ in range(5)), 3
+    )
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -121,6 +152,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "calibration": calibration,
     }
     # The driver records a bounded TAIL of stdout: round 6's line — with
     # per-query spread + reps_used inlined — blew that bound and the

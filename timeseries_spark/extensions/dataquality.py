@@ -351,22 +351,30 @@ def welch_ttest(
     vb = (
         F.coalesce(F.col(f"{group_b}_ss"), F.lit(0.0)) - nb * mb * mb
     ) / F.greatest(nb - 1, F.lit(1.0))
-    sea = va / na
-    seb = vb / nb
-    guard = F.when(
-        (na < 2) | (nb < 2) | (sea + seb <= 0),
-        F.raise_error(
-            F.lit(
-                "welch_ttest: needs >=2 samples per group and non-zero "
-                "combined variance"
-            )
-        ).cast("double"),
-    ).otherwise(F.lit(0.0))
-    t = (ma - mb) / F.sqrt(sea + seb) + guard
-    dof = (sea + seb) * (sea + seb) / (
-        sea * sea / F.greatest(na - 1, F.lit(1.0))
-        + seb * seb / F.greatest(nb - 1, F.lit(1.0))
-    ) + guard
+    # SE denominators are clamped like the variance ones: with na=0 the
+    # raw va / na is an ANSI DIVIDE_BY_ZERO raised while evaluating the
+    # guard's own predicate, i.e. before raise_error can fire
+    sea = va / F.greatest(na, F.lit(1.0))
+    seb = vb / F.greatest(nb, F.lit(1.0))
+    bad = (na < 2) | (nb < 2) | (sea + seb <= 0)
+    err = F.raise_error(
+        F.lit(
+            "welch_ttest: needs >=2 samples per group and non-zero "
+            "combined variance"
+        )
+    ).cast("double")
+    # divisions by sqrt(sea+seb) live in the otherwise() branch —
+    # CaseWhen evaluates branches lazily, so the degenerate case reaches
+    # the explicit error instead of an anonymous ANSI DIVIDE_BY_ZERO
+    t = F.when(bad, err).otherwise((ma - mb) / F.sqrt(sea + seb))
+    dof = F.when(bad, err).otherwise(
+        (sea + seb)
+        * (sea + seb)
+        / (
+            sea * sea / F.greatest(na - 1, F.lit(1.0))
+            + seb * seb / F.greatest(nb - 1, F.lit(1.0))
+        )
+    )
     return one.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),

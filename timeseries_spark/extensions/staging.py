@@ -140,3 +140,39 @@ def staged_pq_books(
         )
         books.coalesce(1).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def table_stage_path(source_path: str, tag: str) -> str:
+    """Artifact path for a staged derived TABLE (vs a model artifact):
+    keyed by the same per-file (name, size, ns-mtime) fingerprint, so a
+    regenerated source dataset can never serve a stale materialization."""
+    fp = _source_fingerprint(source_path)
+    key = hashlib.sha256(
+        f"{os.path.abspath(source_path)}|{fp}|{tag}|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_stage_root(), f"tbl_{tag}_{key}")
+
+
+def staged_table(
+    spark: SparkSession,
+    build,
+    source_path: str,
+    tag: str,
+    partition_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize-once / serve-many for derived tables — the serving
+    split the reference's plot layer assumes (plot_timeseries.py reads
+    the PRECOMPUTED association parquet; it never re-runs the pipeline
+    per plot). ``build`` is a zero-arg callable returning the DataFrame
+    to materialize; first call per (source fingerprint, tag) writes it
+    (Hive-partitioned by ``partition_by`` so point filters prune to one
+    partition directory), every later call is a pure parquet read — the
+    interactive point-query plan has NO pipeline subtree and stays
+    sub-second regardless of corpus size."""
+    path = table_stage_path(source_path, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = build().write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    return spark.read.parquet(path)

@@ -361,10 +361,10 @@ def _hp_bucket_sql(vec: str, planes) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _hp_oracle() -> str:
+def _hp_oracle(n_planes: int = 4) -> str:
     from timeseries_spark.extensions.similarity import rademacher_planes
 
-    planes = rademacher_planes(4, 64)
+    planes = rademacher_planes(n_planes, 64)
     return f"""
     WITH c AS (
       SELECT vec_id, embedding,
@@ -1131,4 +1131,106 @@ def ann_mmr_rerank(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return mmr_rerank(
         emb, _queries_df(spark, sf_dir), pool_k=20, k=5, lam=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall/cost frontier (round-10: VERDICT r9 item 9)
+
+_FRONTIER_SWEEP = (
+    # (tier, param, oracle SQL) — param is each tier's recall/cost knob:
+    # hyperplane: n_planes (more planes = narrower buckets = cheaper/lower
+    # recall); ivf: nprobe (more probes = more clusters scanned = higher
+    # recall); pq: m subspaces (more codebooks = finer reconstruction).
+    ("hyperplane", 3, lambda: _hp_oracle(n_planes=3)),
+    ("hyperplane", 4, lambda: _hp_oracle(n_planes=4)),
+    ("hyperplane", 5, lambda: _hp_oracle(n_planes=5)),
+    ("ivf", 1, lambda: _ivf_kmeans_oracle(nprobe=1)),
+    ("ivf", 2, lambda: _ivf_kmeans_oracle(nprobe=2)),
+    ("ivf", 3, lambda: _ivf_kmeans_oracle(nprobe=3)),
+    ("pq", 1, lambda: _pq_oracle(m=1, sub=64, kk=4, rounds=2)),
+    ("pq", 2, lambda: _pq_oracle(m=2, sub=32, kk=4, rounds=2)),
+)
+
+
+def _frontier_oracle() -> str:
+    brute = REGISTRY["ann_brute_force_topk"].oracle
+    parts = []
+    for tier, param, sql in _FRONTIER_SWEEP:
+        parts.append(
+            f"""
+      SELECT '{tier}' AS tier, CAST({param} AS INT) AS param,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM ({sql()}) a
+      JOIN truth USING (query_id, neighbor_id)"""
+        )
+    union = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({brute}) t),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_n FROM truth),
+    tiers AS ({union}
+    )
+    SELECT tier, param, hits, truth_n,
+           round(hits::DOUBLE / truth_n, 4) AS recall
+    FROM tiers, tn
+    """
+
+
+@query("ann_recall_frontier", oracle=_frontier_oracle())
+def ann_recall_frontier(spark, sf_dir):
+    """Recall@5 FRONTIER: sweeps each ANN tier's own recall/cost knob —
+    hyperplane LSH n_planes in {3,4,5}, IVF nprobe in {1,2,3}, PQ
+    subspace count m in {1,2} — against the exact brute-force top-5,
+    turning the accuracy/cost trade into one oracle-gated table
+    (ann_recall_report pins the shipped operating points; this pins the
+    CURVE around them, so a knob regression shows up as a hash change).
+    Ground truth is checkpointed once; every sweep point is the shipped
+    extension callable with the swept parameter plus one bounded
+    semi-join + single-row aggregate."""
+    from timeseries_spark.extensions.pq import pq_topk
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    truth = (
+        brute_force_topk(emb, qs, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("truth_n"))
+
+    def build(tier: str, param: int):
+        if tier == "hyperplane":
+            return hyperplane_lsh_topk(
+                emb, qs, k=5, n_planes=param, dims=64
+            )
+        if tier == "ivf":
+            return ivf_topk(emb, qs, k=5, nprobe=param)
+        return pq_topk(
+            emb, qs, k=5, m=param, dims=64, n_clusters=4,
+            kmeans_iter=2, rerank_factor=4,
+        )
+
+    rows = None
+    for tier, param, _sql in _FRONTIER_SWEEP:
+        hits = (
+            build(tier, param)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(
+                F.lit(tier).alias("tier"),
+                F.lit(param).cast("int").alias("param"),
+                "hits",
+            )
+        )
+        rows = hits if rows is None else rows.unionByName(hits)
+    return rows.crossJoin(F.broadcast(tn)).select(
+        "tier",
+        "param",
+        "hits",
+        "truth_n",
+        F.round(F.col("hits").cast("double") / F.col("truth_n"), 4).alias(
+            "recall"
+        ),
     )
