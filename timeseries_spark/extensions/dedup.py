@@ -503,12 +503,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # job descriptions label each materialization for the Spark UI and
+    # the event-log profiler (tools/profile_semantic.py); the first one
+    # also executes the upstream pair subtree (block cosine + edge build)
+    sc = pairs.sparkSession.sparkContext
+    sc.setJobDescription("cc: seed labels (runs pair subtree)")
     labels = edges.select(F.col("src").alias("vid")).distinct().select(
         "vid", F.col("vid").alias("label")
     ).localCheckpoint()
     prev_sum = None
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             neighbor_min = (
                 edges.join(
                     labels.select(
@@ -531,6 +536,7 @@ def connected_components(
             )
             # pointer jump: adopt the label of one's label — squares the
             # propagation distance per round
+            sc.setJobDescription(f"cc: round {_round} hop+jump")
             updated = (
                 hopped.alias("h")
                 .join(
@@ -548,6 +554,7 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
+            sc.setJobDescription(f"cc: round {_round} convergence sum")
             cur_sum = updated.agg(
                 F.sum(F.col("label").cast("decimal(38,0)"))
             ).first()[0]
@@ -569,6 +576,7 @@ def connected_components(
         ).select(id_col, F.col(id_col).alias("component"))
         return paired.unionByName(singletons)
     finally:
+        sc.setJobDescription(None)
         edges.unpersist()
 
 
@@ -622,9 +630,12 @@ def semantic_dedup(
         # re-deriving the argmin per branch was measurably slower than
         # the in-plan path it replaces (kmeans_assign checkpoints its
         # assignments as a side effect of the Lloyd loop).
+        sc = vectors.sparkSession.sparkContext
+        sc.setJobDescription("semantic: staged-centroid assign")
         clusters = assign_to_centroids(
             vectors, centroids, id_col=id_col, vec_col=vec_col
         ).localCheckpoint(eager=True)
+        sc.setJobDescription(None)
     else:
         clusters = kmeans_assign(
             vectors,
