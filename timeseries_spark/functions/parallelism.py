@@ -25,3 +25,41 @@ def ensure_parallelism(
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def fan_out_oversized(
+    df: DataFrame, target_bytes: int | None = None
+) -> DataFrame:
+    """Round-robin repartition iff the plan's AVERAGE partition exceeds
+    the parquet split target (``spark.sql.files.maxPartitionBytes``) —
+    the size-guarded sibling of :func:`ensure_parallelism` for operators
+    whose input is usually a well-split scan but occasionally a
+    single-file extract or a checkpointed upstream with 1-3 oversized
+    partitions (which would serialize the next map side onto them).
+
+    Unlike the partition-count guard, this is a no-op on small inputs:
+    a 10 MB single-split table stays single-split — repartitioning it
+    costs more than the serialized scan it avoids. Batch-only (plan
+    stats + partitioning introspection)."""
+    spark = df.sparkSession
+    if target_bytes is None:
+        target_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower()
+            .rstrip("b")
+        )
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: leave the plan alone
+        return df
+    n = df.rdd.getNumPartitions()
+    if n > 0 and size // n > target_bytes:
+        want = min(
+            max(n, spark.sparkContext.defaultParallelism),
+            max(1, size // target_bytes),
+        )
+        if want > n:
+            return df.repartition(want)
+    return df

@@ -25,12 +25,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timeseries_spark.config import EngineConfig
 from timeseries_spark.functions.arrays import harmonic_sum, top_k_desc
-from timeseries_spark.operators.scaffold import dense_scaffold, year_spine
+from timeseries_spark.functions.parallelism import fan_out_oversized
 
 
 def association_score(
@@ -69,6 +69,18 @@ def association_score(
             score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))
         )
 
+    # Oversized-partition guard: a low-split input whose partitions
+    # exceed the parquet split target (a single-file extract, a
+    # checkpointed upstream) would serialize the partial collect_list
+    # MAP side onto those few tasks — measured 5.7 s of a 6.9 s wall at
+    # a 25x replication (experiments/ADVISORY_r10.json). The fan-out is
+    # SIZE-guarded, not partition-count-guarded: normal scans (already
+    # split at maxPartitionBytes) and the small-sf bench inputs skip the
+    # extra shuffle entirely. Batch-only: plan introspection is
+    # disallowed for streaming plans (streaming/incremental.py).
+    if not data.isStreaming:
+        data = fan_out_oversized(data)
+
     # 1 shuffle at evidence grain: per-(keys, year) score arrays, truncated
     # to top-k immediately (see module docstring).
     per_year = (
@@ -77,47 +89,99 @@ def association_score(
         .withColumn("year_scores", top_k_desc(F.col("year_scores"), cfg.top_k))
     )
 
-    # densify post-aggregation (cheaper than the reference's pre-group
-    # scaffold: empty cells never enter the groupBy).
-    spine = year_spine(spark, cfg.first_year, cfg.last_year, include_sentinel=True)
-    dense = dense_scaffold(per_year, keys, spine, year_col).withColumn(
-        "year_scores", F.coalesce(F.col("year_scores"), F.array().cast("array<double>"))
+    # Densify + cumulate as ONE more aggregate and a per-key array fold
+    # (round-10 rewrite; was scaffold-join + cumulative window). The old
+    # shape had three scale problems the event logs exposed:
+    #   1. the scaffold consumed per_year twice (distinct keys + join
+    #      back), and column pruning pushed the distinct BELOW the
+    #      aggregate into a second non-reusable exchange — a second full
+    #      corpus scan per run (two 470 MB single-scan stages at 25x,
+    #      experiments/ADVISORY_r10.json);
+    #   2. the cumulative window needed its own ENSURE_REQUIREMENTS
+    #      exchange, which AQE coalesced onto 1-2 tasks (byte-small
+    #      arrays, real flatten/harmonic compute — the round-7 finding);
+    #   3. a plan-level repartition pin cannot fix (2): Catalyst strips
+    #      a distribution-matching user repartition.
+    # Now: per_year folds to ONE row per key (cells are (year, top-k
+    # array) structs — bounded at years x top_k, output grain), and the
+    # dense spine + running top-k + harmonic sum are a single
+    # ArrayAggregate over the year sequence. One corpus scan, two
+    # shuffles total, no window exchange; the hot compute parallelizes
+    # per KEY, not per byte, so AQE coalescing is irrelevant. The
+    # running state stays exact because top-k is a streaming selection:
+    # top_k(cum ++ year_scores) == top_k(flatten(all years so far)).
+    # The fold exchange is pinned with REPARTITION_BY_NUM (AQE-exempt,
+    # satisfies the aggregate's required distribution — no extra
+    # shuffle): its payload is byte-small (keys x years x top_k) but the
+    # per-key fold is real compute, exactly the bytes-vs-compute shape
+    # AQE coalesces onto 1-2 tasks (round-7 finding; re-measured here:
+    # 1.93 s coalesced vs 1.06 s pinned at the 15k-key grain). The pin
+    # scales with the cluster (defaultParallelism), and per-task state
+    # is bounded by the top-k truncation — never by evidence mass — so
+    # a fixed task count is memory-safe at any corpus size.
+    fold_parallelism = spark.sparkContext.defaultParallelism
+    cells = per_year.repartition(fold_parallelism, *keys).groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(year_col).alias("y"),
+                        F.col("year_scores").alias("s"),
+                    )
+                )
+            )
+        ).alias("cells")
     )
 
-    # cumulative window: all top-k arrays up to each year (timeseries.py:473-487)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(year_col)
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    # NOTE on AQE coalescing (round-7 event log): the window's input is
-    # top-k arrays — few BYTES per key but real flatten/harmonic
-    # compute — and AQE may coalesce the cumulative stage aggressively.
-    # An explicit keyed repartition here does NOT help: when its
-    # partitioning matches the window's requirement Catalyst replaces
-    # it with a plain ENSURE_REQUIREMENTS exchange (verified on the
-    # executed plan), and when the session's shuffle-partition count
-    # differs it survives as a REDUNDANT extra shuffle. The honest
-    # lever at deployment scale is advisoryPartitionSizeInBytes /
-    # coalescePartitions.minPartitionNum, not a plan-level pin.
-    cum = dense.withColumn(
-        "cum_scores", F.flatten(F.collect_list("year_scores").over(w))
-    )
+    empty = F.array().cast("array<double>")
+    years = F.sequence(F.lit(cfg.first_year), F.lit(cfg.sentinel_year))
+    rows_t = "array<struct<year:int,score:double>>"
 
-    scored = cum.withColumn(
-        "score",
-        harmonic_sum(top_k_desc(F.col("cum_scores"), cfg.top_k))
-        / F.lit(cfg.max_score),
+    def fold_year(acc, y):
+        cur = top_k_desc(
+            F.concat(
+                acc["cum"],
+                F.coalesce(F.element_at(F.col("cells"), y), empty),
+            ),
+            cfg.top_k,
+        )
+        return F.struct(
+            cur.alias("cum"),
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        y.cast("int").alias("year"),
+                        (harmonic_sum(cur) / F.lit(cfg.max_score)).alias(
+                            "score"
+                        ),
+                    )
+                ),
+            ).alias("rows"),
+        )
+
+    scored = cells.select(
+        *keys,
+        F.explode(
+            F.aggregate(
+                years,
+                F.struct(
+                    empty.alias("cum"), F.array().cast(rows_t).alias("rows")
+                ),
+                fold_year,
+                lambda acc: acc["rows"],
+            )
+        ).alias("__yr"),
     )
 
     # sentinel restore (timeseries.py:519-523)
     return scored.select(
         *keys,
-        F.when(F.col(year_col) == cfg.sentinel_year, F.lit(None))
-        .otherwise(F.col(year_col))
+        F.when(F.col("__yr.year") == cfg.sentinel_year, F.lit(None))
+        .otherwise(F.col("__yr.year"))
         .cast("int")
         .alias(year_col),
-        "score",
+        F.col("__yr.score").alias("score"),
     )
 
 
