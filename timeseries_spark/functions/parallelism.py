@@ -56,9 +56,12 @@ def fan_out_oversized(
         return df
     n = df.rdd.getNumPartitions()
     if n > 0 and size // n > target_bytes:
-        want = min(
-            max(n, spark.sparkContext.defaultParallelism),
-            max(1, size // target_bytes),
+        # at least one task per core AND one per split-target of bytes —
+        # the repartition is REPARTITION_BY_NUM (AQE cannot widen a
+        # pinned count later), so undershooting here would re-serialize
+        # the downstream compute it exists to parallelize
+        want = max(
+            spark.sparkContext.defaultParallelism, size // target_bytes
         )
         if want > n:
             return df.repartition(want)

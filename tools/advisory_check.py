@@ -82,10 +82,18 @@ def main() -> None:
         ).count()
 
     out: dict = {"sf": sf_dir, "n_rep": n_rep, "rows": big.count()}
+    # advisory alone does nothing here: coalescing never goes below
+    # coalescePartitions.minPartitionSize (1MB default), and the whole
+    # compute-heavy reduce is byte-smaller than that — BOTH knobs must
+    # drop for AQE to leave the stage fanned out
     for label, advisory in (("default_64MB", None), ("lowered_16KB", "16KB")):
         if advisory is not None:
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "1KB",
             )
         flagship()  # warm (and let AQE settle) off the clock
         seen = mark(spark)

@@ -109,12 +109,17 @@ def replicate_docs(docs, n_rep: int):
     )
 
 
-_BOILER = " ".join(f"btok{i}" for i in range(200))
+# 53 shared tokens + 1 unique = 54, the corpus MEDIAN doc length — the
+# skewed corpus carries the same shingle workload as the uniform one,
+# so any wall-time delta is attributable to the hot bucket, not to
+# longer documents
+_BOILER = " ".join(f"btok{i}" for i in range(53))
 
 
 def zipf_head_docs(docsN):
-    """Rewrite ~10% of docs onto one 200-token boilerplate template plus
-    a single doc-unique trailing token (near-identical, not identical)."""
+    """Rewrite ~10% of docs onto one boilerplate template (corpus-median
+    length) plus a single doc-unique trailing token (near-identical,
+    not identical)."""
     hot = F.pmod(F.col("doc_id"), F.lit(10)) == 0
     return docsN.select(
         "doc_id",
@@ -251,24 +256,33 @@ def main() -> None:
     t_uni = time_warm(lsh(docs_uni, 50))
     seen = mark(spark)
     t_skew = time_warm(lsh(docs_skew, 50))
+    pairs_uniform = lsh_candidates(
+        docs_uni, n=3, num_hashes=32, bands=8, max_doc_freq=50
+    ).count()
     pairs_capped = lsh_candidates(
         docs_skew, n=3, num_hashes=32, bands=8, max_doc_freq=50
     ).count()
     # counterfactual: no doc-frequency cap — the mega-bucket forms;
-    # single shot (not warmed medians): the point is the blowup factor
-    t0 = time.perf_counter()
-    pairs_uncapped = lsh_candidates(
-        docs_skew, n=3, num_hashes=32, bands=8, max_doc_freq=None
-    ).count()
-    t_uncapped = round(time.perf_counter() - t0, 3)
+    # single shot (not warmed medians): the point is the blowup factor.
+    # Guarded to the 5x tier — at 25x the bucket alone is C(12.5k, 2)
+    # pairs x 8 bands, which only re-proves the same quadratic
+    hot_n = docs_skew.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).count()
+    if hot_n <= 5000:
+        t0 = time.perf_counter()
+        pairs_uncapped = lsh_candidates(
+            docs_skew, n=3, num_hashes=32, bands=8, max_doc_freq=None
+        ).count()
+        t_uncapped = round(time.perf_counter() - t0, 3)
+    else:
+        pairs_uncapped = None
+        t_uncapped = None
     out["lsh"] = {
         "docs": docs_skew.count(),
-        "hot_docs": docs_skew.filter(
-            F.pmod(F.col("doc_id"), F.lit(10)) == 0
-        ).count(),
+        "hot_docs": hot_n,
         "t_uniform_capped": t_uni,
         "t_skewed_capped": t_skew,
         "ratio": round(t_skew / max(t_uni, 1e-3), 2),
+        "pairs_uniform_capped": pairs_uniform,
         "pairs_skewed_capped": pairs_capped,
         "t_skewed_uncapped_single_shot": t_uncapped,
         "pairs_skewed_uncapped": pairs_uncapped,
