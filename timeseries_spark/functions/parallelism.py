@@ -27,42 +27,11 @@ def ensure_parallelism(
     return df
 
 
-def fan_out_oversized(
-    df: DataFrame, target_bytes: int | None = None
-) -> DataFrame:
-    """Round-robin repartition iff the plan's AVERAGE partition exceeds
-    the parquet split target (``spark.sql.files.maxPartitionBytes``) —
-    the size-guarded sibling of :func:`ensure_parallelism` for operators
-    whose input is usually a well-split scan but occasionally a
-    single-file extract or a checkpointed upstream with 1-3 oversized
-    partitions (which would serialize the next map side onto them).
 
-    Unlike the partition-count guard, this is a no-op on small inputs:
-    a 10 MB single-split table stays single-split — repartitioning it
-    costs more than the serialized scan it avoids. Batch-only (plan
-    stats + partitioning introspection)."""
-    spark = df.sparkSession
-    if target_bytes is None:
-        target_bytes = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .lower()
-            .rstrip("b")
-        )
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:  # noqa: BLE001 — stats unavailable: leave the plan alone
-        return df
-    n = df.rdd.getNumPartitions()
-    if n > 0 and size // n > target_bytes:
-        # at least one task per core AND one per split-target of bytes —
-        # the repartition is REPARTITION_BY_NUM (AQE cannot widen a
-        # pinned count later), so undershooting here would re-serialize
-        # the downstream compute it exists to parallelize
-        want = max(
-            spark.sparkContext.defaultParallelism, size // target_bytes
-        )
-        if want > n:
-            return df.repartition(want)
-    return df
+# NOTE (round 10): a `fan_out_oversized` helper lived here briefly — a
+# stats-guarded repartition for oversized low-split inputs. REVERTED:
+# logical-plan stats sizeInBytes is a multiplicative overestimate on
+# join subtrees, and the guard requested a multi-million-partition
+# shuffle from the domain pipeline (livelocked the staged build). Scans
+# are already split at maxPartitionBytes; oversized single-partition
+# inputs can only be produced by a caller, who knows the real size.

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from timeseries_spark.config import EngineConfig
 from timeseries_spark.functions.arrays import harmonic_sum, top_k_desc
-from timeseries_spark.functions.parallelism import fan_out_oversized
 
 
 def association_score(
@@ -69,17 +68,14 @@ def association_score(
             score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))
         )
 
-    # Oversized-partition guard: a low-split input whose partitions
-    # exceed the parquet split target (a single-file extract, a
-    # checkpointed upstream) would serialize the partial collect_list
-    # MAP side onto those few tasks — measured 5.7 s of a 6.9 s wall at
-    # a 25x replication (experiments/ADVISORY_r10.json). The fan-out is
-    # SIZE-guarded, not partition-count-guarded: normal scans (already
-    # split at maxPartitionBytes) and the small-sf bench inputs skip the
-    # extra shuffle entirely. Batch-only: plan introspection is
-    # disallowed for streaming plans (streaming/incremental.py).
-    if not data.isStreaming:
-        data = fan_out_oversized(data)
+    # No input fan-out here, deliberately (round-10 lesson): a
+    # stats-guarded repartition was tried and REVERTED — plan-stats
+    # sizeInBytes is a wild overestimate on join subtrees (it multiplies
+    # child sizes), and the guard asked the domain pipeline for a
+    # multi-million-partition shuffle. Real scans are already split at
+    # maxPartitionBytes; an oversized single-partition input can only
+    # come from the CALLER (a checkpoint, a collected extract), and the
+    # caller is the one who knows its true size — repartition there.
 
     # 1 shuffle at evidence grain: per-(keys, year) score arrays, truncated
     # to top-k immediately (see module docstring).

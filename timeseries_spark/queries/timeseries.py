@@ -224,27 +224,54 @@ def rolling_anomaly(spark, sf_dir):
     "daily_series_correlation",
     oracle="""
     WITH daily AS (
-      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      SELECT event_type, day(ts) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2)
+                  AS DECIMAL(18,2)) AS total
       FROM events GROUP BY event_type, day(ts)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c.total) AS DOUBLE) AS sx,
+             CAST(sum(p.total) AS DOUBLE) AS sy,
+             CAST(sum(c.total * p.total) AS DOUBLE) AS sxy,
+             CAST(sum(c.total * c.total) AS DOUBLE) AS sxx,
+             CAST(sum(p.total * p.total) AS DOUBLE) AS syy,
+             count(*) AS n_days
+      FROM (SELECT day, total FROM daily WHERE event_type = 'click') c
+      JOIN (SELECT day, total FROM daily WHERE event_type = 'purchase') p
+        USING (day)
     )
-    SELECT floor(corr(c.total, p.total) * 1e6 + 0.5) / 1e6 AS corr_cp,
-           floor(covar_samp(c.total, p.total) * 1e6 + 0.5) / 1e6 AS cov_cp,
-           count(*) AS n_days
-    FROM (SELECT day, total FROM daily WHERE event_type = 'click') c
-    JOIN (SELECT day, total FROM daily WHERE event_type = 'purchase') p
-      USING (day)
+    SELECT floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS corr_cp,
+           floor((sxy - sx * sy / n) / (n - 1) * 1e6 + 0.5) / 1e6 AS cov_cp,
+           n_days
+    FROM m
     """,
 )
 def daily_series_correlation(spark, sf_dir):
     """Cross-series Pearson correlation + sample covariance between the
     click and purchase daily totals — the co-movement primitive of
     multi-series analytics, one day-grain equi-join plus a single
-    global aggregate (1 output row), snapped at 1e-6."""
+    global aggregate (1 output row), snapped at 1e-6.
+
+    Determinism at scale (caught by the sf1 double-run digest gate,
+    round 10): both the per-day double sum AND Spark's corr/covar merge
+    are partial-order dependent, and at sf1 magnitudes the jitter
+    crosses the 1e-6 snap boundary. All aggregation therefore runs on
+    exact DECIMAL moments (order-independent); the correlation formula
+    is evaluated in double ONCE at the end, with the identical
+    expression on both engines."""
     events = load(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
     daily = (
         events.select("event_type", F.dayofmonth("ts").alias("day"), "value")
         .groupBy("event_type", "day")
-        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(dec)), 2)
+            .cast("decimal(18,2)")  # bounded so products stay exact
+            .alias("total")
+        )
     )
     c = daily.filter(F.col("event_type") == "click").select(
         "day", F.col("total").alias("c_total")
@@ -252,14 +279,36 @@ def daily_series_correlation(spark, sf_dir):
     p = daily.filter(F.col("event_type") == "purchase").select(
         "day", F.col("total").alias("p_total")
     )
-    j = c.join(p, "day")
+    m = (
+        c.join(p, "day")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("c_total").cast("double").alias("sx"),
+            F.sum("p_total").cast("double").alias("sy"),
+            F.sum(F.col("c_total") * F.col("p_total"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum(F.col("c_total") * F.col("c_total"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.col("p_total") * F.col("p_total"))
+            .cast("double")
+            .alias("syy"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
     snap = lambda col: (  # noqa: E731
         F.floor(col * 1e6 + F.lit(0.5)).cast("double") / 1e6
     )
-    return j.agg(
-        snap(F.corr("c_total", "p_total")).alias("corr_cp"),
-        snap(F.covar_samp("c_total", "p_total")).alias("cov_cp"),
-        F.count(F.lit(1)).alias("n_days"),
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        snap(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_cp"),
+        snap((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("cov_cp"),
+        "n_days",
     )
 
 

@@ -1,22 +1,18 @@
-"""Demonstrate the advisory-bytes lever for the flagship cumulative-
-window stage (VERDICT r8/r9 carried item; the NOTE at
-operators/scoring.py promises it).
+"""Demonstrate the advisory-bytes lever on the 25x flagship (VERDICT
+r8/r9 carried item).
 
 Background (round-7 event log, memory'd as the AQE bytes-vs-compute
-mismatch): the cumulative window's input is top-k score ARRAYS — few
-bytes per key but real flatten + harmonic compute — so AQE's byte-based
-coalescing packs the whole stage onto 1-2 tasks at replication scale. A
-plan-level repartition pin does NOT survive (Catalyst replaces a
-distribution-matching user repartition with plain ENSURE_REQUIREMENTS).
-The honest deployment lever is the runtime conf
-``spark.sql.adaptive.advisoryPartitionSizeInBytes``: lowering it makes
-AQE target smaller coalesced partitions, fanning the window stage out
-across the executors.
-
-This script runs the 25x flagship with the default (64MB) and a lowered
-(16KB) advisory size under an event-logging session and reports wall
-time plus the post-shuffle stage task distributions — the committed
-evidence that the lever works.
+mismatch): stages whose input is byte-small but compute-real get
+coalesced onto 1-2 tasks by AQE's byte-based sizing. Round 10 removed
+the worst such stage structurally (the cumulative window is now a
+pinned per-key fold — operators/scoring.py), so this experiment
+documents what remains: lowering BOTH
+``spark.sql.adaptive.advisoryPartitionSizeInBytes`` AND
+``spark.sql.adaptive.coalescePartitions.minPartitionSize`` (coalescing
+never goes below the latter, 1MB default — advisory alone is inert for
+sub-MB stages) fans the residual byte-small reduces out across the
+executors. Wall time plus per-stage task distributions land in the
+JSON artifact.
 
 Usage: python tools/advisory_check.py [sf_dir] [n_rep] [out_json]
 """
@@ -68,7 +64,11 @@ def main() -> None:
         "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate",
         "o_totalprice",
     )
-    big = replicate_orders(orders, n_rep).localCheckpoint()
+    big = (
+        replicate_orders(orders, n_rep)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
     def flagship():
         ev = big.select(

@@ -7,8 +7,9 @@ Replication follows tools/scale_check.py's honest key-space scaling:
 10 replicas with shifted primary/foreign keys (so join fan-outs and
 group cardinalities scale WITH the data, as in production), dimension
 tables (region, nation) kept fixed like TPC-H does. Documents get
-per-replica token prefixes (disjoint shingle spaces — pair structure
-stays linear); embeddings replicate as plain copies (a near-dup-rich
+per-replica token prefixes — in-alphabet 'rNx…', so tokenizer-facing
+filters like BPE's ^[a-z0-9]+$ still see the corpus, and shingle
+spaces stay disjoint (pair structure stays linear); embeddings replicate as plain copies (a near-dup-rich
 corpus at 10x density — the harder regime for dedup blocking).
 
 DuckDB does the writing: single-process, preserves the source's
@@ -64,11 +65,11 @@ SQL = {
     "documents": """
         SELECT doc_id + r*{off} AS doc_id,
                array_to_string(list_transform(string_split(text, ' '),
-                 tok -> 'r' || r || '_' || tok), ' ') AS text,
+                 tok -> 'r' || r || 'x' || tok), ' ') AS text,
                lang, source,
                CAST(length(array_to_string(list_transform(
                  string_split(text, ' '),
-                 tok -> 'r' || r || '_' || tok), ' ')) AS BIGINT) AS n_chars
+                 tok -> 'r' || r || 'x' || tok), ' ')) AS BIGINT) AS n_chars
         FROM '{src}', range({k}) t(r)""",
     "embeddings": """
         SELECT vec_id + r*{off} AS vec_id, embedding, label

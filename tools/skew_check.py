@@ -56,6 +56,11 @@ def time_warm(fn, reps: int = 3) -> float:
 
 
 def replicate_orders(orders, n_rep: int):
+    """Nx replica with shifted keys, partitioned the way a real cluster
+    input is: the caller repartitions the checkpoint to cluster width
+    (a 100 TB scan arrives in thousands of splits; leaving the fixture
+    on the crossJoin's 1-3 partitions would serialize the first map
+    side and measure the fixture, not the engine — round-10 lesson)."""
     rep = orders.crossJoin(
         F.broadcast(
             orders.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
@@ -210,7 +215,8 @@ def main() -> None:
         "o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate",
         "o_totalprice",
     )
-    uniform = replicate_orders(orders, n_rep).localCheckpoint()
+    width = spark.sparkContext.defaultParallelism
+    uniform = replicate_orders(orders, n_rep).repartition(width).localCheckpoint()
     skewed = zipf_head_orders(uniform).localCheckpoint()
     hot_rows = skewed.filter(F.col("o_orderpriority") == "HOT#KEY").count()
     total_rows = skewed.count()
@@ -245,7 +251,7 @@ def main() -> None:
 
     # ---------------- LSH bands under a boilerplate head ----------------
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    docs_uni = replicate_docs(docs, n_rep).localCheckpoint()
+    docs_uni = replicate_docs(docs, n_rep).repartition(width).localCheckpoint()
     docs_skew = zipf_head_docs(docs_uni).localCheckpoint()
 
     def lsh(d, cap):
