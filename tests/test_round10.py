@@ -68,3 +68,22 @@ def test_staged_table_layout_and_reuse(spark, tmp_path, monkeypatch):
     # second call serves from the artifact — nothing is rewritten
     reg["point_target_disease_staged"](spark, SF_DIR).count()
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == stamp
+
+
+def test_scoring_fold_plan_shape(spark):
+    """Round-10 rewrite pins (operators/scoring.py): the flagship scoring
+    plan must have exactly ONE scan of the evidence table (the old
+    scaffold split the aggregate into two non-reusable exchanges and
+    re-scanned the corpus), NO Window node (the cumulation is a per-key
+    ArrayAggregate fold), and the fold exchange pinned as
+    REPARTITION_BY_NUM (AQE-exempt against byte-based coalescing)."""
+    from timeseries_spark.queries import all_queries
+
+    df = all_queries()["assoc_score_yearly"](spark, SF_DIR)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted mode lists every node twice (tree + detail header)
+    assert p.count("Scan parquet") // 2 == 1, "evidence must be scanned once"
+    assert p.count("Window") == 0, "cumulation must be the fold, not a window"
+    assert "REPARTITION_BY_NUM" in p, "fold exchange must be pinned"
