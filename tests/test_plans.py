@@ -569,3 +569,38 @@ def test_gini_windows_are_keyed(plan):
     p = plan("revenue_gini_by_nation")
     assert "SinglePartition" not in p
     assert p.count("CartesianProduct") == 0
+
+
+def test_rank_stats_windows_are_distributed(spark, plan):
+    """Round-11 fix for the registry's last SinglePartition-at-scale
+    path: mann_whitney_u / ks_two_sample rank the pooled values via
+    quantile-bucketed local windows + broadcast bucket offsets, so a
+    continuous metric (distinct values ~ rows) never funnels the
+    value axis through one task. Assert (a) no partition-less
+    WindowExec in either plan — every windowspecdefinition must lead
+    with a partition expression, not a sort order — and (b) the
+    executed plan collapses all ranking branches onto ONE source scan
+    via AQE exchange reuse."""
+    import re
+
+    from timeseries_spark.queries import all_queries
+
+    q = all_queries()
+    for name in ("mann_whitney_click_view", "ks_two_sample_click_view"):
+        p = plan(name)
+        # a windowspec whose FIRST argument is a sort order has no
+        # partition columns ("v#8 ASC NULLS FIRST, ..."), i.e. a
+        # global single-task window
+        assert not re.findall(
+            r"windowspecdefinition\([^,)]*(?:ASC|DESC)", p
+        ), name
+        df = q[name](spark, SF)
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert len(re.findall(r"FileScan parquet", final)) == 1, name
+        assert final.count("ReusedExchange") >= 3, name

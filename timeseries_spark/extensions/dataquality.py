@@ -386,6 +386,114 @@ def welch_ttest(
     )
 
 
+def _value_axis_cumulative(
+    per_val: DataFrame,
+    sum_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed inclusive cumulative sums over the ordered value
+    axis ``v`` — the scale-safe replacement for a partition-less
+    ``Window.orderBy("v")`` (which funnels the whole value-grain table
+    through ONE task when the metric is continuous).
+
+    Shape: (1) approx-quantile boundaries over the distinct values
+    (one tiny broadcast row — placement affects only load balance,
+    never the result, so sketch merge-order nondeterminism is
+    harmless); (2) monotone bucket id via a boundary-count fold;
+    (3) per-BUCKET cumulative window (partitioned — parallel);
+    (4) per-bucket totals packed into ONE sorted array whose prefix
+    sums become bucket offsets via an O(B²) HOF over ≤``n_buckets``
+    rows — no window, no collect; (5) broadcast the ≤B-row offsets
+    back and add.  cum(v) = offset(bucket(v)) + local_cum(v) because
+    bucketing is monotone in v and each distinct v lands in exactly
+    one bucket.  Every exchange is keyed; B scales with the cluster,
+    not the data.
+
+    Single-scan contract: ``per_val`` must carry exactly ``v`` plus
+    ``sum_cols``, and every branch here (bounds, window, per-bucket
+    totals) references ALL of ``sum_cols`` — the bounds percentile
+    adds a zero-weighted reference so column pruning cannot diverge
+    the partial-aggregate subtrees, which lets AQE's exchange reuse
+    collapse the branches onto ONE source scan + ONE value-grain
+    shuffle (verified in the executed plan: 1 scan, 3 ReusedExchange)."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # always-true data predicate (counts are >= 0, but Catalyst cannot
+    # prove it, so the sum_cols references survive optimization — a
+    # `+ 0 * c` term gets folded away and the branches diverge again)
+    touch = F.lit(0)
+    for c in sum_cols:
+        touch = touch + F.col(c)
+    anchor = F.when(touch >= 0, F.col("v"))
+    bounds = per_val.groupBy().agg(
+        F.percentile_approx(
+            anchor, F.array(*[F.lit(f) for f in fracs]), F.lit(10000)
+        ).alias("_bounds")
+    )
+    bucketed = (
+        per_val.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bkt",
+            F.aggregate(
+                "_bounds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("v") > b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bounds")
+    )
+    w_loc = (
+        Window.partitionBy("_bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in sum_cols:
+        bucketed = bucketed.withColumn(f"_cum_{c}", F.sum(c).over(w_loc))
+    per_bkt = bucketed.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    packed = per_bkt.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("_bkt", *[f"_tot_{c}" for c in sum_cols])
+            )
+        ).alias("_bks")
+    )
+
+    # closure factory — a default-arg lambda would bind the HOF's
+    # second (index) parameter instead of the column name
+    def _prefix(col_name):
+        return lambda acc, y: acc + y[f"_tot_{col_name}"]
+
+    offsets = (
+        packed.select(
+            F.explode(
+                F.transform(
+                    "_bks",
+                    lambda x, i: F.struct(
+                        x["_bkt"].alias("_bkt"),
+                        *[
+                            F.aggregate(
+                                F.slice("_bks", F.lit(1), i),
+                                F.lit(0).cast("bigint"),
+                                _prefix(c),
+                            ).alias(f"_off_{c}")
+                            for c in sum_cols
+                        ],
+                    ),
+                )
+            ).alias("_o")
+        )
+        .select("_o.*")
+    )
+    out = bucketed.join(F.broadcast(offsets), "_bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}")
+        )
+    return out.drop("_bkt", *[f"_off_{c}" for c in sum_cols])
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -393,6 +501,7 @@ def mann_whitney_u(
     group_a: str,
     group_b: str,
     quantize_decimals: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     distribution-free A/B test: U_a = R_a − n_a(n_a+1)/2 with R_a the
@@ -404,16 +513,16 @@ def mann_whitney_u(
 
     Scale shape: ranks depend only on the VALUE order, so the pooled
     relation first collapses to per-distinct-value group counts (one
-    hash aggregate); tie-averaged midranks are then a cumulative-count
-    window over the DISTINCT-VALUE axis — midrank = below + (ties+1)/2,
+    hash aggregate); tie-averaged midranks are then cumulative counts
+    over the DISTINCT-VALUE axis — midrank = below + (ties+1)/2,
     exact integers-or-halves in decimal — and the rank sum is
-    Σ cnt_a·midrank. The one ordered window runs at value grain (ties
-    collapsed): for a CONTINUOUS metric distinct values ≈ rows, which
-    would serialize that stage onto one task, so pass
-    ``quantize_decimals`` to round the metric first (the statistic is
-    then exact for the quantized metric and the value axis is bounded
-    by 10^decimals · range). Without it the caller asserts the metric
-    is already low-cardinality."""
+    Σ cnt_a·midrank. The cumulation is DISTRIBUTED via
+    ``_value_axis_cumulative`` (quantile-bucketed local windows +
+    broadcast bucket offsets — no partition-less window, so a
+    continuous metric with distinct values ≈ rows still ranks in
+    parallel). ``quantize_decimals`` remains available to shrink the
+    value axis itself (the statistic is then exact for the quantized
+    metric); ``n_buckets`` sizes the ranking parallelism."""
     v = F.col(value_col).cast("double")
     if quantize_decimals is not None:
         v = F.round(v, quantize_decimals)
@@ -425,15 +534,13 @@ def mann_whitney_u(
         F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
         F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
     )
-    w_below = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    ranked = _value_axis_cumulative(per_val, ["ca", "cb"], n_buckets)
     cnt = (F.col("ca") + F.col("cb")).cast("decimal(20,1)")
-    below = F.coalesce(
-        F.sum(F.col("ca") + F.col("cb")).over(w_below), F.lit(0)
+    below = (
+        F.col("_cum_ca") + F.col("_cum_cb") - F.col("ca") - F.col("cb")
     ).cast("decimal(20,1)")
     midrank = below + (cnt + 1) / 2
-    agg = per_val.select(
+    agg = ranked.select(
         "ca", "cb", midrank.alias("mr")
     ).groupBy().agg(
         F.sum(F.col("ca").cast("decimal(20,1)") * F.col("mr")).alias("ra"),
@@ -473,6 +580,7 @@ def ks_two_sample(
     group_a: str,
     group_b: str,
     quantize_decimals: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic D = max_v |ECDF_a(v) −
     ECDF_b(v)| — the distribution-shape A/B test completing the
@@ -481,14 +589,16 @@ def ks_two_sample(
     smallest such value under ties, so the witness is deterministic).
 
     Same value-grain shape as the U statistic: one hash aggregate to
-    per-distinct-value group counts, one cumulative window over the
-    value axis (exact integer cumulative counts — the ECDF difference
-    is a ratio of exact ints, bit-identical across engines), one
-    single-row argmax via max_by on a (gap, -value) struct. As with
-    mann_whitney_u, the cumulative window runs at distinct-value grain:
-    pass ``quantize_decimals`` for continuous metrics so that axis is
-    bounded (D of the quantized ECDFs differs from exact D by at most
-    the ECDF mass inside one bin)."""
+    per-distinct-value group counts, then DISTRIBUTED cumulative
+    counts over the value axis via ``_value_axis_cumulative``
+    (quantile-bucketed local windows + broadcast bucket offsets — no
+    partition-less window; exact integer cumulative counts, so the
+    ECDF difference is a ratio of exact ints, bit-identical across
+    engines), one single-row argmax via max on a (gap, -value)
+    struct. ``quantize_decimals`` optionally shrinks the value axis
+    for continuous metrics (D of the quantized ECDFs differs from
+    exact D by at most the ECDF mass inside one bin); ``n_buckets``
+    sizes the ranking parallelism."""
     v = F.col(value_col).cast("double")
     if quantize_decimals is not None:
         v = F.round(v, quantize_decimals)
@@ -500,13 +610,10 @@ def ks_two_sample(
         F.count(F.when(F.col("g") == group_a, 1)).alias("ca"),
         F.count(F.when(F.col("g") == group_b, 1)).alias("cb"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per_val.select(
+    cum = _value_axis_cumulative(per_val, ["ca", "cb"], n_buckets).select(
         "v",
-        F.sum("ca").over(w_cum).alias("cca"),
-        F.sum("cb").over(w_cum).alias("ccb"),
+        F.col("_cum_ca").alias("cca"),
+        F.col("_cum_cb").alias("ccb"),
     )
     totals = per_val.groupBy().agg(
         F.sum("ca").cast("double").alias("na"),

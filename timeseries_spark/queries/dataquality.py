@@ -425,9 +425,10 @@ def welch_ttest_click_view(spark, sf_dir):
 def mann_whitney_click_view(spark, sf_dir):
     """Mann–Whitney U between click and view event values — the
     distribution-free A/B twin of the Welch test: tie-averaged
-    midranks from per-distinct-value counts (one hash aggregate + one
-    value-grain cumulative window), exact decimal rank sums, normal
-    z without tie correction
+    midranks from per-distinct-value counts (one hash aggregate, then
+    DISTRIBUTED value-axis cumulation — quantile-bucketed local
+    windows + broadcast bucket offsets, one scan, no partition-less
+    window), exact decimal rank sums, normal z without tie correction
     (extensions/dataquality.py:mann_whitney_u)."""
     from timeseries_spark.extensions.dataquality import mann_whitney_u
 
@@ -477,8 +478,9 @@ def mann_whitney_click_view(spark, sf_dir):
 def ks_two_sample_click_view(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov D between click and view values —
     the ECDF max-gap statistic from exact integer cumulative counts at
-    value grain, with a deterministic smallest-witness tiebreak
-    (extensions/dataquality.py:ks_two_sample)."""
+    value grain (distributed quantile-bucketed cumulation, one scan,
+    no partition-less window), with a deterministic smallest-witness
+    tiebreak (extensions/dataquality.py:ks_two_sample)."""
     from timeseries_spark.extensions.dataquality import ks_two_sample
 
     events = load(spark, sf_dir, "events")
