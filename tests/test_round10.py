@@ -83,7 +83,9 @@ def test_scoring_fold_plan_shape(spark):
     p = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # formatted mode lists every node twice (tree + detail header)
-    assert p.count("Scan parquet") // 2 == 1, "evidence must be scanned once"
+    # formatted mode lists every node twice (tree + detail header), so
+    # exactly one scan node means exactly two occurrences (// 2 would
+    # also have accepted three)
+    assert p.count("Scan parquet") == 2, "evidence must be scanned once"
     assert p.count("Window") == 0, "cumulation must be the fold, not a window"
     assert "REPARTITION_BY_NUM" in p, "fold exchange must be pinned"

@@ -228,3 +228,67 @@ def test_cluster_cohesion_and_balanced_sample(spark, cloud):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(asn, n_per_cluster=0)
+
+
+def test_staged_table_preserves_numeric_looking_partition_strings(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 advice fix: Hive partition values round-trip through
+    directory names, so a STRING partition column holding numeric-
+    looking values ('001', '2') would come back retyped (and zero-
+    stripped) by partition-type inference. The schema sidecar must
+    restore the declared type and column order on read."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.extensions.staging import staged_table
+
+    src = str(tmp_path / "src.parquet")
+    base = spark.createDataFrame(
+        [("001", 1.5), ("2", 2.5)], ["pid", "val"]
+    )
+    base.write.parquet(src)
+
+    def build():
+        return spark.read.parquet(src)
+
+    for _ in range(2):  # first call writes, second serves the cache
+        out = staged_table(spark, build, src, "ptypes", ("pid",))
+        assert [f.name for f in out.schema.fields] == ["pid", "val"]
+        assert dict(out.dtypes)["pid"] == "string"
+        assert sorted(r.pid for r in out.collect()) == ["001", "2"]
+
+
+def test_staged_table_publish_is_atomic(spark, tmp_path, monkeypatch):
+    """No half-written artifact is ever visible at the final path: the
+    write lands in a temp sibling and renames into place, and a lost
+    rename race leaves the winner's artifact untouched."""
+    import os
+
+    from timeseries_spark.extensions import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    src = str(tmp_path / "src2.parquet")
+    spark.range(5).write.parquet(src)
+
+    observed = []
+    orig_rename = os.rename
+
+    def spy_rename(a, b):
+        if "tbl_atomic_" in str(b):
+            # at publish time the final path must not exist yet
+            observed.append(os.path.exists(b))
+        return orig_rename(a, b)
+
+    monkeypatch.setattr(staging.os, "rename", spy_rename)
+    out = staging.staged_table(
+        spark, lambda: spark.read.parquet(src), src, "atomic"
+    )
+    assert out.count() == 5
+    assert observed == [False]
+    # simulate losing the race: a second publish onto the existing
+    # artifact must not clobber it and must clean its temp dir
+    path = staging.table_stage_path(src, "atomic")
+    staging._publish_atomic(
+        lambda tmp: spark.range(3).write.parquet(tmp), path
+    )
+    assert spark.read.parquet(path).count() == 5
+    assert not [p for p in os.listdir(os.path.dirname(path)) if ".tmp-" in p]

@@ -25,9 +25,13 @@ training pipeline.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 
 def _stage_root() -> str:
@@ -65,6 +69,23 @@ def _source_fingerprint(source_path: str) -> str:
         pass
     entries.sort()
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+
+
+def _publish_atomic(write, path: str) -> None:
+    """Write to a temp sibling directory then atomically rename into
+    place. The old check-then-overwrite was racy: two sessions sharing
+    a stage dir could both miss `_SUCCESS` and one overwrite would
+    delete files the other was mid-read. With rename-publish a reader
+    only ever sees a complete artifact, and of two racing writers one
+    wins the rename while the loser discards its temp dir (both
+    artifacts are equivalent — same fingerprint key, same build)."""
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race — the winner's artifact is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def centroid_stage_path(
@@ -108,7 +129,12 @@ def staged_centroids(
         )
         # k rows: one output file is correct (coalesce(1) here is a
         # k-row presentation move, not a data-plane collapse)
-        centroids.coalesce(1).write.mode("overwrite").parquet(path)
+        _publish_atomic(
+            lambda tmp: centroids.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -138,7 +164,12 @@ def staged_pq_books(
             vectors, m=m, dims=dims, n_clusters=n_clusters,
             kmeans_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
         )
-        books.coalesce(1).write.mode("overwrite").parquet(path)
+        _publish_atomic(
+            lambda tmp: books.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -171,8 +202,48 @@ def staged_table(
     sub-second regardless of corpus size."""
     path = table_stage_path(source_path, tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        w = build().write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-    return spark.read.parquet(path)
+        df = build()
+        schema_json = df.schema.jsonValue()
+
+        def write(tmp: str) -> None:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            # schema sidecar ("_"-prefixed → invisible to the parquet
+            # reader): Hive partition-column values round-trip through
+            # DIRECTORY NAMES, so a numeric-looking string partition
+            # value would come back retyped by partition-type
+            # inference; the sidecar restores declared types and
+            # column order on every read
+            with open(os.path.join(tmp, "_spark_schema.json"), "w") as f:
+                json.dump(schema_json, f)
+
+        _publish_atomic(write, path)
+    # partition values live in DIRECTORY NAMES: read them back verbatim
+    # as strings (inference would retype-and-normalize '001' -> 1) and
+    # let the sidecar cast restore any declared non-string type
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "false")
+    try:
+        out = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    sidecar = os.path.join(path, "_spark_schema.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            declared = StructType.fromJson(json.load(f))
+        out = out.select(
+            *[
+                F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                for fld in declared.fields
+            ]
+        )
+    return out

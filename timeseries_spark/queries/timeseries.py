@@ -241,10 +241,14 @@ def rolling_anomaly(spark, sf_dir):
       JOIN (SELECT day, total FROM daily WHERE event_type = 'purchase') p
         USING (day)
     )
-    SELECT floor((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-                 * 1e6 + 0.5) / 1e6 AS corr_cp,
-           floor((sxy - sx * sy / n) / (n - 1) * 1e6 + 0.5) / 1e6 AS cov_cp,
+    SELECT CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1e6 + 0.5) / 1e6
+           END AS corr_cp,
+           CASE WHEN n > 1
+                THEN floor((sxy - sx * sy / n) / (n - 1) * 1e6 + 0.5) / 1e6
+           END AS cov_cp,
            n_days
     FROM m
     """,
@@ -302,12 +306,23 @@ def daily_series_correlation(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # degenerate guards (round-11 advice): with one joined day the
+    # covariance denominator is n-1 = 0, and a constant series zeroes a
+    # variance — the old corr/covar_samp builtins returned NULL there,
+    # so the explicit-moment rewrite must too (CaseWhen evaluates its
+    # branches lazily, keeping 0/0 = NaN out of the output); the oracle
+    # SQL mirrors the same CASE WHEN
     return m.select(
-        snap(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        F.when(
+            ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0),
+            snap(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ),
         ).alias("corr_cp"),
-        snap((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("cov_cp"),
+        F.when(
+            n > 1, snap((sxy - sx * sy / n) / (n - F.lit(1.0)))
+        ).alias("cov_cp"),
         "n_days",
     )
 

@@ -12,9 +12,12 @@ disease-target pair; one boilerplate template across a scraped corpus):
   harmonic-score + logistic-novelty pipeline. The engine's skew
   tolerance here is STRUCTURAL, not tuned: the wide aggregate runs at
   (key, year) grain so the hot key fans out across the year axis, each
-  cell truncates to top-k immediately, and the cumulative window's
-  partitions are bounded by the year spine — no reducer ever holds the
-  hot key's full row mass.
+  cell truncates to top-k immediately, and the round-10 fold rewrite
+  (operators/scoring.py) then cumulates per KEY over the bounded
+  year-spine array — a per-key ArrayAggregate behind one
+  REPARTITION_BY_NUM-pinned exchange, no window — so no reducer ever
+  holds the hot key's full row mass, only its truncated per-year
+  top-k cells.
 - LSH: 10% of replicated docs are rewritten to share one boilerplate
   template (+1 unique trailing token each). UNCAPPED, those docs agree
   on nearly every band and mint a quadratic mega-bucket — the
