@@ -889,28 +889,36 @@ def semantic_decontaminate(
     surviving hits. Output: (vec_id, n_eval_hits, max_cos) per FLAGGED
     train vector — the drop list plus the evidence an audit wants."""
     from timeseries_spark.functions.parallelism import ensure_parallelism
-    from timeseries_spark.functions.vectors import cosine_similarity
+    from timeseries_spark.functions.vectors import cosine_from_norms, l2_norm
 
     as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    # norms fold once per train row / per eval row; each (train, eval)
+    # pair then pays a single dot fold (bit-identical cosine)
     hits = (
         ensure_parallelism(train_vecs)
         .select(
-            F.col(id_col).alias("train_id"), as_d(F.col(vec_col)).alias("tv")
+            F.col(id_col).alias("train_id"),
+            as_d(F.col(vec_col)).alias("tv"),
+            l2_norm(as_d(F.col(vec_col))).alias("ntv"),
         )
         .crossJoin(
             F.broadcast(
                 eval_vecs.select(
                     F.col(id_col).alias("eval_id"),
                     as_d(F.col(vec_col)).alias("ev"),
+                    l2_norm(as_d(F.col(vec_col))).alias("nev"),
                 )
             )
         )
         .select(
             "train_id",
             "eval_id",
-            F.round(cosine_similarity(F.col("tv"), F.col("ev")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                cosine_from_norms(
+                    F.col("tv"), F.col("ev"), F.col("ntv"), F.col("nev")
+                ),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

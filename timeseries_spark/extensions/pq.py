@@ -42,7 +42,9 @@ from timeseries_spark.functions.parallelism import ensure_parallelism
 from timeseries_spark.functions.vectors import (
     as_double,
     checked_dims,
+    cosine_from_norms,
     cosine_similarity,
+    l2_norm,
 )
 
 
@@ -50,8 +52,9 @@ def _pool_and_rerank(
     scored: DataFrame, k: int, rerank_factor: int
 ) -> DataFrame:
     """Shared approximate-pool + exact-re-rank tail: ``scored`` carries
-    (query_id, neighbor_id, v, q, approx_sim, __salt); the salted local
-    top-pool bounds every window partition, the global pool caps at
+    (query_id, neighbor_id, v, q, nq, approx_sim, __salt) — ``nq`` is
+    the query norm, folded once per query; the salted local top-pool
+    bounds every window partition, the global pool caps at
     ``k * rerank_factor`` rows per query, and the exact cosine re-ranks
     the winners (ties broken by neighbor id throughout)."""
     pool_n = k * rerank_factor
@@ -74,7 +77,12 @@ def _pool_and_rerank(
     return (
         pool.withColumn(
             "cos_sim",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("v"), F.col("nq"), l2_norm(F.col("v"))
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
@@ -298,14 +306,20 @@ def pq_topk(
         kmeans_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
         books=books,
     ).select(F.col(id_col).alias("neighbor_id"), "v", "dq")
+    # reconstruction norms fold once per corpus row, query norms once
+    # per query: the full-corpus approx phase is one dot fold per pair
     scored = (
-        enc.crossJoin(
+        enc.withColumn("ndq", l2_norm(F.col("dq")))
+        .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
                     checked_dims(
                         F.col(query_vec_col), dims, "pq_topk"
                     ).alias("q"),
+                    l2_norm(
+                        checked_dims(F.col(query_vec_col), dims, "pq_topk")
+                    ).alias("nq"),
                 )
             )
         )
@@ -315,9 +329,13 @@ def pq_topk(
             "neighbor_id",
             "v",
             "q",
-            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
-                "approx_sim"
-            ),
+            "nq",
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("dq"), F.col("nq"), F.col("ndq")
+                ),
+                6,
+            ).alias("approx_sim"),
             F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias(
                 "__salt"
             ),
@@ -404,6 +422,9 @@ def ivf_pq_topk(
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         checked_dims(F.col(query_vec_col), dims, "ivf_pq_topk").alias("q"),
+        l2_norm(
+            checked_dims(F.col(query_vec_col), dims, "ivf_pq_topk")
+        ).alias("nq"),
     )
     routed = qs.crossJoin(F.broadcast(reps)).withColumn(
         "rep_sim", F.round(cosine_similarity(F.col("q"), F.col("rep_vec")), 6)
@@ -414,7 +435,7 @@ def ivf_pq_topk(
     probe = (
         routed.withColumn("rr", F.row_number().over(w_route))
         .filter(F.col("rr") <= nprobe)
-        .select("query_id", "q", "cluster")
+        .select("query_id", "q", "nq", "cluster")
     )
     enc = pq_encode(
         vectors, m=m, dims=dims, n_clusters=pq_clusters,
@@ -423,16 +444,21 @@ def ivf_pq_topk(
     ).select(F.col(id_col), "v", "dq")
     encc = enc.join(clusters.select(id_col, "cluster"), id_col)
     scored = (
-        encc.join(F.broadcast(probe), "cluster")
+        encc.withColumn("ndq", l2_norm(F.col("dq")))
+        .join(F.broadcast(probe), "cluster")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             "v",
             "q",
-            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
-                "approx_sim"
-            ),
+            "nq",
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("dq"), F.col("nq"), F.col("ndq")
+                ),
+                6,
+            ).alias("approx_sim"),
             F.pmod(F.hash(F.col(id_col)), F.lit(num_salts)).alias("__salt"),
         )
     )

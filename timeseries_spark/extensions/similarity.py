@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.functions.parallelism import ensure_parallelism
-from timeseries_spark.functions.vectors import cosine_similarity
+from timeseries_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def _as_double(col):
@@ -62,15 +66,20 @@ def brute_force_topk(
         # into one null salt bucket, reviving the single-task sort
         raise ValueError(f"num_salts must be >= 1, got {num_salts}")
     vectors = ensure_parallelism(vectors)
+    # norms folded once per corpus row / per query row (the projection
+    # sits below the crossJoin), so the per-PAIR score is one dot fold
     scored = (
         vectors.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            l2_norm(_as_double(F.col(vec_col))).alias("nv"),
         )
         .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
                     _as_double(F.col(query_vec_col)).alias("q"),
+                    l2_norm(_as_double(F.col(query_vec_col))).alias("nq"),
                 )
             )
         )
@@ -78,7 +87,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("v"), F.col("nq"), F.col("nv")
+                ),
+                6,
+            ).alias("cos_sim"),
             F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias("__salt"),
         )
     )
@@ -130,10 +144,17 @@ def embedding_near_dup(
     # cosine stage, so a round-robin pre-shuffle would just move the
     # full vector payload one extra time (measured ~1 s at sf0.1)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    # per-VECTOR norms, folded once before the shuffle/explode: the
+    # per-pair verify then costs ONE array fold (the dot) instead of
+    # three — bit-identical cosine (see cosine_from_norms), measured
+    # as the dominant share of semantic-dedup task time (69%, round-10
+    # profile) with no candidate-pruning alternative on isotropic
+    # embeddings (a provable-slack quantized prescreen keeps 100%)
     lhs = vectors.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("va"),
+        l2_norm(_as_double(F.col(vec_col))).alias("na"),
         F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("__salt"),
     ).repartition(n_parts, "block", "__salt")
     rhs = (
@@ -141,6 +162,7 @@ def embedding_near_dup(
             F.col(block_col).alias("block"),
             F.col(id_col).alias("id_b"),
             _as_double(F.col(vec_col)).alias("vb"),
+            l2_norm(_as_double(F.col(vec_col))).alias("nb"),
         )
         .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         .repartition(n_parts, "block", "__salt")
@@ -162,9 +184,12 @@ def embedding_near_dup(
             F.col("block"),
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -240,6 +265,7 @@ def ivf_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(query_vec_col)).alias("q"),
+            l2_norm(_as_double(F.col(query_vec_col))).alias("nq"),
         )
         .crossJoin(F.broadcast(reps))
         .withColumn(
@@ -252,13 +278,16 @@ def ivf_topk(
     probe = (
         routed.withColumn("rr", F.row_number().over(w_route))
         .filter(F.col("rr") <= nprobe)
-        .select("query_id", "q", cluster_col)
+        .select("query_id", "q", "nq", cluster_col)
     )
+    # corpus-side norms fold once per probed row, query norms once per
+    # query: the probe-join score is a single dot fold per pair
     scored = (
         vectors.select(
             F.col(cluster_col),
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("v"),
+            l2_norm(_as_double(F.col(vec_col))).alias("nv"),
         )
         .join(F.broadcast(probe), cluster_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -266,7 +295,12 @@ def ivf_topk(
             "query_id",
             F.col(cluster_col).alias("cluster"),
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("v"), F.col("nq"), F.col("nv")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -511,12 +545,17 @@ def sq8_topk(
             / 255.0,
         ),
     )
+    # dequantized-corpus norms fold once per row (enc projection sits
+    # below the crossJoin), query norms once per query: the full-corpus
+    # approx phase pays one dot fold per pair instead of three
     scored = (
-        enc.crossJoin(
+        enc.withColumn("ndq", l2_norm(F.col("dq")))
+        .crossJoin(
             F.broadcast(
                 queries.select(
                     F.col(query_id_col).alias("query_id"),
                     checked_vec(F.col(query_vec_col)).alias("q"),
+                    l2_norm(checked_vec(F.col(query_vec_col))).alias("nq"),
                 )
             )
         )
@@ -526,9 +565,13 @@ def sq8_topk(
             "neighbor_id",
             "v",
             "q",
-            F.round(cosine_similarity(F.col("q"), F.col("dq")), 6).alias(
-                "approx_sim"
-            ),
+            "nq",
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("dq"), F.col("nq"), F.col("ndq")
+                ),
+                6,
+            ).alias("approx_sim"),
             F.pmod(F.hash(F.col("neighbor_id")), F.lit(num_salts)).alias(
                 "__salt"
             ),
@@ -554,7 +597,12 @@ def sq8_topk(
     return (
         pool.withColumn(
             "cos_sim",
-            F.round(cosine_similarity(F.col("q"), F.col("v")), 6),
+            F.round(
+                cosine_from_norms(
+                    F.col("q"), F.col("v"), F.col("nq"), l2_norm(F.col("v"))
+                ),
+                6,
+            ),
         )
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)

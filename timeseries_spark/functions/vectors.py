@@ -32,6 +32,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def cosine_from_norms(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """cos(a, b) with PRECOMPUTED per-side l2 norms — bit-identical to
+    ``cosine_similarity`` (each norm is the same sqrt-of-fold
+    expression, evaluated at vector grain instead of pair grain, and
+    the division keeps the same ``dot / (na * nb)`` association), but
+    the per-PAIR work drops from three array folds to one. This is the
+    round-11 answer to the semantic-dedup verify cost: a quantized
+    prescreen with a PROVABLE no-false-negative slack keeps 100% of
+    candidate pairs on isotropic unit embeddings (measured: PQ m=8/K=16
+    residual |e| ~ 0.74 per unit vector, so the slack exceeds any
+    usable threshold), so the honest lever is the constant factor of
+    the exact verify itself, not candidate reduction."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
 def as_double(col: Column) -> Column:
     """Cast an array column's elements to double (score math contract)."""
     return F.transform(col, lambda x: x.cast("double"))
