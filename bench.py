@@ -160,7 +160,11 @@ def main() -> None:
     # medians). The printed contract line now carries ONLY the required
     # fields; the noise diagnostics land in bench_diag.json alongside
     # the full record, committed per round for the spread analysis.
-    with open(os.path.join(os.path.dirname(__file__), "bench_diag.json"), "w") as f:
+    diag_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIAG",
+        os.path.join(os.path.dirname(__file__), "bench_diag.json"),
+    )
+    with open(diag_path, "w") as f:
         json.dump(
             {**record, "n_reps": n_reps, "spread": spread, "reps_used": reps_used},
             f,

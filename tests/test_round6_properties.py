@@ -138,19 +138,21 @@ def test_zorder_interleave_is_bijective(spark, xs, ys):
 
 
 @SLOW
-@given(corpus=corpus, bm=st.sampled_from([2, 4, 16]))
+@given(corpus=corpus, bm=st.sampled_from([2, 4, 16, 64, 256]))
 def test_batched_bpe_matches_sequential_reference(spark, corpus, bm):
     """The strict-boundary disjoint-prefix batch is provably equal to
     sequential greedy BPE — asserted against the same pure-Python
     reference the sequential operator is pinned to, across batch
-    widths."""
+    widths (round 11 widens the sampled widths to the 64/256 regime
+    the production-depth vocabulary run uses; a deeper merge budget
+    exercises multi-round batching at every width)."""
     from timeseries_spark.extensions.bpe import induce_bpe_batched
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
     )
-    want_merges, want_words = _bpe_reference(corpus, 4)
-    got_m, got_w = induce_bpe_batched(docs, n_merges=4, batch_max=bm)
+    want_merges, want_words = _bpe_reference(corpus, 12)
+    got_m, got_w = induce_bpe_batched(docs, n_merges=12, batch_max=bm)
     got_merges = [
         (r["step"], r["pair_left"], r["pair_right"], r["merged"], r["pair_count"])
         for r in got_m.orderBy("step").collect()

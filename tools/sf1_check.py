@@ -29,10 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from check_oracle import TABLES, value_hash  # noqa: E402
 
-# cross-engine subset: the flagship pipeline + one representative per
-# extension family, weighted toward queries whose arithmetic is most
-# exposed to scale (cumulative windows, folds, rank formulas)
+# cross-engine subset, widened in round 11 from 16 to the full
+# FLOAT-SENSITIVE set: sf1 magnitudes are exactly what break 1e-6
+# snaps (daily_series_correlation's partial-order double sums proved
+# it in round 10), so every query whose output passes through a snap,
+# a ratio of large aggregates, an iterative float recurrence, or a
+# rank formula gets the DuckDB cross-check at sf1 — not just digest
+# self-consistency. Structural/set-valued queries (joins, dedup pair
+# sets, point lookups) keep the digest gate plus their full sf0.01 /
+# sf0.1 oracle coverage.
 ORACLE_SUBSET = (
+    # flagship + original round-10 representatives
     "pricing_summary",
     "revenue_by_nation",
     "assoc_score_yearly",
@@ -49,6 +56,59 @@ ORACLE_SUBSET = (
     "downsample_m4",
     "revenue_gini_by_nation",
     "point_target_disease",
+    # time-series recurrences and snapped statistics
+    "acf_daily",
+    "series_trend",
+    "daily_series_correlation",
+    "ema_daily",
+    "twa_daily",
+    "cusum_daily",
+    "holt_daily",
+    "holt_winters_daily",
+    "hw_residual_anomaly",
+    "stl_daily",
+    "theil_sen_daily",
+    "rolling_anomaly",
+    "rolling_mad_daily",
+    "rolling_median_daily",
+    "seasonal_naive_eval",
+    "novelty_null_correlation",
+    # rank / distribution statistics
+    "welch_ttest_click_view",
+    "mann_whitney_click_view",
+    "ks_two_sample_click_view",
+    "zipf_fit",
+    "benford_first_digit",
+    "psi_value_drift",
+    "lang_source_chi2",
+    "value_percentiles",
+    "weighted_median_price",
+    "winsorized_values",
+    "order_price_deciles",
+    "quantile_histogram_by_type",
+    "token_burstiness",
+    # iterative float algorithms (GD / power iteration / LM scores)
+    "logreg_quality_train",
+    "logreg_quality_scores",
+    "classifier_calibration",
+    "classifier_confusion",
+    "pca_top_component",
+    "pca_top3",
+    "pca_scores",
+    "pca_whiten_scores",
+    "embedding_covariance",
+    "embedding_standardize",
+    "embedding_projection",
+    "embedding_outliers",
+    # token-grain log/entropy arithmetic
+    "bigram_logprob",
+    "unigram_logprob",
+    "trigram_backoff",
+    "collocations_pmi",
+    "tfidf_top_terms",
+    "source_divergence",
+    "token_source_mi",
+    "doc_quality",
 )
 
 
