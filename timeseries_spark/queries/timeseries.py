@@ -942,12 +942,33 @@ def holt_daily(spark, sf_dir):
 
 @query(
     "winsorized_values",
+    # quantile_cont would NOT replay Spark's exact `percentile` at
+    # scale (caught by the round-11 sf1 cross-engine gate): DuckDB
+    # interpolates with the two-weight form (1-f)*lo + f*hi, which
+    # between two EQUAL neighbors returns 2.52 + 5e-16, while Spark
+    # computes lo + f*(hi - lo), exactly 2.52 when hi == lo — and a
+    # band off by 5e-16 flips `was_clipped` for every row sitting
+    # exactly on it (5% of a group). The oracle therefore replays
+    # Spark's formula verbatim on the sorted value array.
     oracle="""
-    WITH bands AS (
+    WITH pb AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
+             list_sort(list(value) FILTER (value IS NOT NULL)) AS xs,
+             CAST(count(value) - 1 AS DOUBLE) * 0.05 AS p05,
+             CAST(count(value) - 1 AS DOUBLE) * 0.95 AS p95
       FROM events GROUP BY event_type
+    ),
+    bands AS (
+      SELECT event_type,
+             xs[CAST(floor(p05) AS BIGINT) + 1]
+               + (p05 - floor(p05))
+                 * (xs[CAST(ceil(p05) AS BIGINT) + 1]
+                    - xs[CAST(floor(p05) AS BIGINT) + 1]) AS lo,
+             xs[CAST(floor(p95) AS BIGINT) + 1]
+               + (p95 - floor(p95))
+                 * (xs[CAST(ceil(p95) AS BIGINT) + 1]
+                    - xs[CAST(floor(p95) AS BIGINT) + 1]) AS hi
+      FROM pb
     )
     SELECT e.event_id, e.event_type, e.value,
            round(least(greatest(e.value, b.lo), b.hi), 4) AS clamped,
