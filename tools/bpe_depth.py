@@ -13,7 +13,16 @@ greedy) is width-independent. This script is the SCALE evidence:
 rounds ~= n_merges / effective-batch, each round touching only the
 (token, cnt, s) vocabulary table, never the corpus.
 
-Usage: python tools/bpe_depth.py [sf_dir] [n_merges] [batch_max] [out]
+The synthetic documents table carries only ~31 distinct word types —
+far too few pairs to sustain thousands of merges — so the depth corpus
+replicates it ``n_rep``x with per-replica IN-ALPHABET token prefixes
+(``r7xtoken``, not ``r7_token`` — an underscore would fall out of the
+``^[a-z0-9]+$`` vocab filter and silently empty the run, the round-10
+fixture trap), scaling vocabulary and pair space together exactly as
+tools/scale_check.py scales key spaces.
+
+Usage:
+  python tools/bpe_depth.py [sf_dir] [n_merges] [batch_max] [n_rep] [out]
 """
 
 from __future__ import annotations
@@ -25,6 +34,38 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def replicate_vocab(docs, n_rep: int):
+    """n_rep doc SUBSETS; replica r keeps a hash-deterministic
+    (n_rep - r)/n_rep fraction of docs and prefixes every token with
+    'r{r}x' (in-alphabet). Subsetting is load-bearing: a FULL copy per
+    replica gives every replica's pairs IDENTICAL counts, and the
+    batched inducer's strict-boundary rule (count(p_m) must strictly
+    exceed count(p_{m+1}), the exactness proof's premise) then shrinks
+    every batch to 1 merge — a uniform-count plateau degenerates
+    batched induction to sequential. Distinct per-replica subset sizes
+    give a Zipf-ish count spectrum, the shape a real corpus has."""
+    rep = docs.crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
+        )
+    ).where(
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_rep))
+        < (F.lit(n_rep) - F.col("__r"))
+    )
+    return rep.select(
+        (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    F.lit("r"), F.col("__r").cast("string"), F.lit("x"), t
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
 
 
 def main() -> None:
@@ -39,11 +80,19 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     batch_max = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    n_rep = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     out_json = (
-        sys.argv[4] if len(sys.argv) > 4 else "experiments/BPE_DEPTH_r11.json"
+        sys.argv[5] if len(sys.argv) > 5 else "experiments/BPE_DEPTH_r11.json"
     )
     spark = get_spark("bpe_depth")
+    width = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if n_rep > 1:
+        docs = (
+            replicate_vocab(docs, n_rep)
+            .repartition(width)
+            .localCheckpoint(eager=True)
+        )
 
     # the induce_bpe_batched loop, instrumented per round (same code
     # path: _vocab -> [_pair_counts -> top -> disjoint prefix -> chained
@@ -97,6 +146,7 @@ def main() -> None:
     wall = round(time.perf_counter() - t_start, 1)
     out = {
         "sf": sf_dir,
+        "n_rep": n_rep,
         "n_merges_requested": n_merges,
         "n_merges_done": n_done,
         "batch_max": batch_max,
