@@ -292,3 +292,22 @@ def test_staged_table_publish_is_atomic(spark, tmp_path, monkeypatch):
     )
     assert spark.read.parquet(path).count() == 5
     assert not [p for p in os.listdir(os.path.dirname(path)) if ".tmp-" in p]
+
+
+def test_staged_point_query_keeps_partition_pruning(spark, monkeypatch, tmp_path):
+    """The round-11 schema-sidecar read path casts every column back to
+    its declared type; identity casts must be ELIMINATED so the staged
+    point query still reaches the scan with PartitionFilters (diseaseId)
+    and pushed targetId filters — at 100 TB this is the difference
+    between a point read and a full scan of the serving table."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries import all_queries
+
+    df = all_queries()["point_target_disease_staged"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(diseaseId" in p
+    assert "EqualTo(targetId,T7)" in p
