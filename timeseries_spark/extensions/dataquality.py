@@ -433,11 +433,20 @@ def _value_axis_cumulative(
         per_val.crossJoin(F.broadcast(bounds))
         .withColumn(
             "_bkt",
-            F.aggregate(
-                "_bounds",
+            # coalesce: when EVERY pooled value is NULL the percentile
+            # returns a NULL _bounds array and the fold yields NULL —
+            # an un-coalesced NULL bucket id would silently DROP every
+            # row at the offsets equi-join below, turning the degenerate
+            # all-null input into an empty result instead of a row of
+            # NULL statistics
+            F.coalesce(
+                F.aggregate(
+                    "_bounds",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("v") > b, 1).otherwise(0),
+                ),
                 F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col("v") > b, 1).otherwise(0),
             ),
         )
         .drop("_bounds")

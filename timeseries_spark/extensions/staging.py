@@ -30,7 +30,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
@@ -80,12 +80,37 @@ def _publish_atomic(write, path: str) -> None:
     wins the rename while the loser discards its temp dir (both
     artifacts are equivalent — same fingerprint key, same build)."""
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    write(tmp)
+    try:
+        write(tmp)
+    except BaseException:
+        # a failed build (Spark job error mid-materialization) must not
+        # leave tmp-* litter accumulating in the stage root
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except OSError:
-        # lost the publish race — the winner's artifact is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
+        # rename failed: EITHER we lost the publish race (the winner's
+        # artifact is equivalent — same fingerprint key, same build) OR
+        # the destination is a stale/partial leftover (e.g. a crashed
+        # run of the old in-place writer). Only a _SUCCESS marker
+        # distinguishes the two; a partial artifact must be evicted or
+        # every later call silently serves it forever.
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # a racing writer republished between our rmtree and
+                # rename; accept their artifact only if it is complete
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise RuntimeError(
+                        f"stage publish failed and {path!r} holds no "
+                        "complete artifact (_SUCCESS missing)"
+                    )
 
 
 def centroid_stage_path(
@@ -220,30 +245,20 @@ def staged_table(
                 json.dump(schema_json, f)
 
         _publish_atomic(write, path)
-    # partition values live in DIRECTORY NAMES: read them back verbatim
-    # as strings (inference would retype-and-normalize '001' -> 1) and
-    # let the sidecar cast restore any declared non-string type
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    try:
-        prev = spark.conf.get(conf_key)
-    except Exception:
-        prev = None
-    spark.conf.set(conf_key, "false")
-    try:
-        out = spark.read.parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+    # partition values live in DIRECTORY NAMES: supplying the declared
+    # schema to the READER (not a session-global inference toggle, which
+    # is not thread-safe under concurrent point serving — interleaved
+    # set/unset would let another thread read with inference on and
+    # retype '001' -> 1) makes Spark parse each partition value directly
+    # as the declared type: a string partition column keeps '001'
+    # verbatim, a typed one casts from the raw directory string
     sidecar = os.path.join(path, "_spark_schema.json")
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             declared = StructType.fromJson(json.load(f))
-        out = out.select(
-            *[
-                F.col(fld.name).cast(fld.dataType).alias(fld.name)
-                for fld in declared.fields
-            ]
-        )
-    return out
+        out = spark.read.schema(declared).parquet(path)
+        # restore build-time column order (partition columns trail the
+        # data columns in the raw read)
+        return out.select(*[fld.name for fld in declared.fields])
+    # legacy artifact without a sidecar: plain read, session conf governs
+    return spark.read.parquet(path)
