@@ -158,11 +158,15 @@ def main() -> None:
     # per-query spread + reps_used inlined — blew that bound and the
     # committed BENCH_r06.json lost its head (metric, total, first ~20
     # medians). The printed contract line now carries ONLY the required
-    # fields; the noise diagnostics land in bench_diag.json alongside
-    # the full record, committed per round for the spread analysis.
+    # fields; the noise diagnostics land in a diag file alongside the
+    # full record. The DEFAULT diag path is bench_diag_run.json
+    # (gitignored): the driver's per-round bench run must not overwrite
+    # the committed bench_diag.json, which pins the specific best-of-N
+    # run each round ships (set SPARK_GRAFT_BENCH_DIAG=bench_diag.json
+    # explicitly to refresh the committed pin).
     diag_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DIAG",
-        os.path.join(os.path.dirname(__file__), "bench_diag.json"),
+        os.path.join(os.path.dirname(__file__), "bench_diag_run.json"),
     )
     with open(diag_path, "w") as f:
         json.dump(

@@ -99,18 +99,34 @@ def _publish_atomic(write, path: str) -> None:
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            shutil.rmtree(path, ignore_errors=True)
+            # evict by renaming the stale dir ASIDE, never by rmtree of
+            # the live destination: with rmtree, two writers that both
+            # observed a partial could interleave as (A rmtree, A rename,
+            # B rmtree-of-A's-complete-artifact), failing a reader that
+            # already passed its _SUCCESS check. A rename-aside is atomic
+            # — at most one writer wins it, the loser falls through to
+            # the _SUCCESS re-check — and the live path only ever
+            # transitions empty -> complete.
+            aside = f"{path}.evict-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(path, aside)
+            except OSError:
+                # another writer evicted (or published over) the stale
+                # dir first; fall through and re-check
+                pass
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
             try:
                 os.rename(tmp, path)
-            except OSError:
-                # a racing writer republished between our rmtree and
+            except OSError as exc:
+                # a racing writer republished between our evict and
                 # rename; accept their artifact only if it is complete
                 shutil.rmtree(tmp, ignore_errors=True)
                 if not os.path.exists(os.path.join(path, "_SUCCESS")):
                     raise RuntimeError(
                         f"stage publish failed and {path!r} holds no "
                         "complete artifact (_SUCCESS missing)"
-                    )
+                    ) from exc
 
 
 def centroid_stage_path(
@@ -203,8 +219,15 @@ def table_stage_path(source_path: str, tag: str) -> str:
     keyed by the same per-file (name, size, ns-mtime) fingerprint, so a
     regenerated source dataset can never serve a stale materialization."""
     fp = _source_fingerprint(source_path)
+    # v2: every artifact written under this key carries the
+    # _spark_schema.json sidecar, so the reader never depends on
+    # session-level partition-type inference. Pre-sidecar (v1) artifacts
+    # are invalidated by the key bump — they can never be served to the
+    # sidecar-less fallback read below, which would otherwise let the
+    # session conf retype numeric-looking string partition values
+    # ('001' -> 1) on legacy directories.
     key = hashlib.sha256(
-        f"{os.path.abspath(source_path)}|{fp}|{tag}|v1".encode()
+        f"{os.path.abspath(source_path)}|{fp}|{tag}|v2".encode()
     ).hexdigest()[:16]
     return os.path.join(_stage_root(), f"tbl_{tag}_{key}")
 
@@ -260,5 +283,8 @@ def staged_table(
         # restore build-time column order (partition columns trail the
         # data columns in the raw read)
         return out.select(*[fld.name for fld in declared.fields])
-    # legacy artifact without a sidecar: plain read, session conf governs
+    # defensive fallback only: the v2 stage key guarantees every
+    # artifact this version writes has the sidecar, so this branch is
+    # reachable only for a hand-copied directory — plain read, session
+    # conf governs partition typing there
     return spark.read.parquet(path)
