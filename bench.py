@@ -77,6 +77,10 @@ HEADLINE = [
     #   latency on the SERVING path (staged association tables; the
     #   first rep pays the one-time materialization, the adaptive-rep
     #   median converges on the ~0.5 s pruned-read serve)
+    "semantic_dedup_scaled",  # round-13: corpus-sized blocker (k=auto) —
+    #   the linear-pair-generation configuration; its sf1/sf0.1 ratio in
+    #   BENCH_RATIO is the scale proof for the dedup path
+    "semantic_dedup_scaled_staged",  # round-13: auto-k + staged quantizer
 ]
 
 

@@ -1,0 +1,80 @@
+"""Round 13: the corpus-sized (auto-k) semantic-dedup blocker.
+
+The contract: k = max(min_k, ceil(n / target_block_size)) holds the
+expected cluster block near the target as the corpus grows, making
+per-block pair generation linear in the corpus instead of the pinned-k
+quadratic (measured 11.7x-18.9x wall for 10x data at sf1 with k=4,
+experiments/SEMDEDUP_KNOB_r11.json). k changes the ANSWER (different
+blocks -> different candidate pairs -> different kept set), so auto-k
+ships as its own oracle-gated query pair (semantic_dedup_scaled,
+semantic_dedup_scaled_staged) and never changes pinned-k defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from timeseries_spark.extensions.dedup import auto_n_clusters
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auto_n_clusters_math():
+    # exact block fit, remainder rounds up, floor binds only below it
+    assert auto_n_clusters(512, target_block_size=512) == 2  # floor wins
+    assert auto_n_clusters(1025, target_block_size=512) == 3
+    assert auto_n_clusters(20000, target_block_size=512) == 40
+    assert auto_n_clusters(1, target_block_size=512) == 2
+    assert auto_n_clusters(5000, target_block_size=512, min_k=2) == 10
+    assert auto_n_clusters(100, target_block_size=50, min_k=2) == 2
+    # 100 TB sanity: 10^11 vectors -> k ~ 2*10^8 blocks of ~512
+    assert auto_n_clusters(10**11, target_block_size=512) == -(
+        -(10**11) // 512
+    )
+
+
+def test_scaled_default_stays_opt_in(spark):
+    # the pinned-k default is untouched: semantic_dedup with no k arg
+    # still blocks with k=4 (the compat contract — auto-k must never
+    # silently change an existing query's answer)
+    import inspect
+
+    from timeseries_spark.extensions.dedup import semantic_dedup
+
+    assert inspect.signature(semantic_dedup).parameters[
+        "n_clusters"
+    ].default == 4
+
+
+def test_scaled_staged_matches_inplan(spark, tmp_path, monkeypatch):
+    # the staged-quantizer variant is answer-identical to the in-plan
+    # auto-k fit (staging changes WHEN the quantizer trains, never what
+    # it answers) — the same set-equality contract the pinned-k staged
+    # query is held to
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries.similarity import (
+        semantic_dedup_scaled,
+        semantic_dedup_scaled_staged,
+    )
+
+    plain = sorted(map(tuple, semantic_dedup_scaled(spark, SF).collect()))
+    staged = sorted(
+        map(tuple, semantic_dedup_scaled_staged(spark, SF).collect())
+    )
+    assert plain == staged
+    assert len(plain) > 0
+
+
+def test_scaled_k_binds(spark):
+    # auto-k at this fixture (n=500 -> k=2) must produce a DIFFERENT
+    # kept set than the pinned k=4 query: proves the knob actually
+    # reaches the blocker (a regression that drops the auto path back
+    # to the pinned default would make these equal)
+    from timeseries_spark.queries.similarity import (
+        semantic_dedup,
+        semantic_dedup_scaled,
+    )
+
+    pinned = sorted(map(tuple, semantic_dedup(spark, SF).collect()))
+    scaled = sorted(map(tuple, semantic_dedup_scaled(spark, SF).collect()))
+    assert pinned != scaled

@@ -580,12 +580,33 @@ def connected_components(
         edges.unpersist()
 
 
+def auto_n_clusters(
+    n_vectors: int, target_block_size: int = 512, min_k: int = 2
+) -> int:
+    """Corpus-sized blocker width: k = ceil(n / target_block_size),
+    floored at ``min_k`` so tiny corpora still exercise blocking.
+
+    Why this must scale with the corpus: the per-block self-join costs
+    Σ block² ≈ n²/k pair evaluations — at FIXED k that term is
+    quadratic in n (measured: the pinned k=4 blocker ran 11.7×/18.9×
+    wall for 10× data at sf1, experiments/SEMDEDUP_KNOB_r11.json shows
+    k=4→16 alone cut sf1 wall 82→19 s). Holding the BLOCK size
+    constant instead makes pair generation n·target_block_size — linear
+    in the corpus — while the Lloyd fit grows n·k·dims, also ~linear
+    at fixed target. target 512 keeps blocks inside the 500-2000
+    sweet band: small enough that a block self-join is a few hundred
+    thousand cosine folds per task, large enough that true near-dup
+    pairs rarely straddle a centroid boundary."""
+    return max(min_k, -(-n_vectors // target_block_size))
+
+
 def semantic_dedup(
     documents: DataFrame,
     vectors: DataFrame,
     threshold: float = 0.30,
-    n_clusters: int = 4,
+    n_clusters: int | str = 4,
     kmeans_iter: int = 3,
+    target_block_size: int = 512,
     doc_id_col: str = "doc_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -613,7 +634,12 @@ def semantic_dedup(
     and the keep-one is a filter + two equi joins. Every stage is
     individually oracle-gated elsewhere; the composed oracle replays
     quantize -> block -> pair -> closure -> keep-one in one recursive
-    CTE."""
+    CTE.
+
+    ``n_clusters="auto"`` sizes the blocker to the corpus
+    (see ``auto_n_clusters``): blocks stay ~``target_block_size``
+    vectors as data grows, keeping pair generation linear instead of
+    the fixed-k quadratic. k changes the answer, so callers opt in."""
     from timeseries_spark.extensions.kmeans import (
         assign_to_centroids,
         kmeans_assign,
@@ -637,6 +663,19 @@ def semantic_dedup(
         ).localCheckpoint(eager=True)
         sc.setJobDescription(None)
     else:
+        if n_clusters == "auto":
+            # corpus-sized blocker: one count() action (a distributed
+            # aggregate, the only driver materialization this adds)
+            # sizes k so BLOCKS stay ~target_block_size as the corpus
+            # grows — pair generation then costs n·target (linear)
+            # instead of the fixed-k n²/k (quadratic). NOTE k is
+            # semantics-affecting (different k ⇒ different blocks ⇒
+            # different candidate pairs ⇒ different kept set), so
+            # auto-k is opt-in and oracle-gated by its own query
+            # (semantic_dedup_scaled), never a silent default change.
+            n_clusters = auto_n_clusters(
+                vectors.count(), target_block_size=target_block_size
+            )
         clusters = kmeans_assign(
             vectors,
             k=n_clusters,

@@ -100,12 +100,19 @@ def ann_ivf_nprobe2(spark, sf_dir):
     )
 
 
-def _kmeans_oracle_sql(k: int = 4, dims: int = 64, rounds: int = 3) -> str:
+def _kmeans_oracle_sql(
+    k: int | str = 4, dims: int = 64, rounds: int = 3
+) -> str:
     """DuckDB replay of the deterministic Lloyd loop (extensions/kmeans.py):
     init = k lowest-id vectors; per round argmin assignment (ties to the
     lowest cid) then per-dimension means, empty clusters keeping their old
     centroid via left join + coalesce. Distances fold dimensions in array
-    order in BOTH engines, so assignments match exactly."""
+    order in BOTH engines, so assignments match exactly.
+
+    ``k`` may be a SQL expression string (e.g. a scalar subquery) — k
+    only enters the replay through c0's LIMIT, so a data-derived k
+    (the auto-sized blocker) replays exactly: DuckDB evaluates the
+    subquery against the same table Spark counts."""
     d = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
 
     def assign(name: str, cents: str) -> str:
@@ -290,12 +297,15 @@ def dedup_embedding_kmeans(spark, sf_dir):
     return embedding_near_dup(vecs, threshold=0.30, block_col="cluster")
 
 
-@query(
-    "semantic_dedup",
-    oracle=_KM_BODY.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
+def _semantic_dedup_oracle(km_body: str, km_last: str) -> str:
+    """quantize -> block -> pair -> closure -> keep-one replay, shared
+    by the pinned-k and auto-k (scaled) semantic-dedup queries — the
+    only degree of freedom between them is the Lloyd replay's k."""
+    return (
+        km_body.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
     vcl AS (
-      SELECT vid AS vec_id, v AS embedding, cluster FROM {_KM_LAST}
+      SELECT vid AS vec_id, v AS embedding, cluster FROM {km_last}
     ),
     prs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -327,7 +337,13 @@ def dedup_embedding_kmeans(spark, sf_dir):
     JOIN sizes s USING (component)
     JOIN documents d ON d.doc_id = c.vec_id
     WHERE c.vec_id = c.component
-    """,
+    """
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(_KM_BODY, _KM_LAST),
 )
 def semantic_dedup(spark, sf_dir):
     """End-to-end semantic dedup over documents+embeddings — the composed
@@ -344,6 +360,44 @@ def semantic_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     return sd(docs, emb, threshold=0.30, n_clusters=4, kmeans_iter=3)
+
+
+# auto-k Lloyd replay: k enters the oracle only through c0's LIMIT, so a
+# scalar subquery over the same pts CTE Spark counts replays the
+# data-derived k exactly (same count, same ceil, same floor-at-2)
+_AUTO_K_SQL = (
+    "(SELECT CAST(greatest(2, ceil(count(*) / 512.0)) AS BIGINT) FROM pts)"
+)
+_KM_AUTO_BODY, _KM_AUTO_LAST = _kmeans_oracle_sql(
+    k=_AUTO_K_SQL, dims=64, rounds=3
+)
+
+
+@query(
+    "semantic_dedup_scaled",
+    oracle=_semantic_dedup_oracle(_KM_AUTO_BODY, _KM_AUTO_LAST),
+)
+def semantic_dedup_scaled(spark, sf_dir):
+    """Semantic dedup with the CORPUS-SIZED blocker — the 100 TB
+    configuration: k = max(2, ceil(n_vectors / 512)) holds the expected
+    cluster block near 512 vectors as the corpus grows, so per-block
+    pair generation costs n·512 cosine folds (linear) instead of the
+    pinned-k n²/k (quadratic; measured 11.7×-18.9× wall for 10× data at
+    sf1 with k=4 — experiments/SEMDEDUP_KNOB_r11.json). k is
+    semantics-affecting (different blocks ⇒ different candidate pairs ⇒
+    a different kept set), so auto-k is its own oracle-gated query: the
+    DuckDB replay derives the SAME k from the same table via a scalar
+    subquery in the Lloyd init's LIMIT, then replays
+    quantize->block->pair->closure->keep-one verbatim. The pinned-k
+    `semantic_dedup` stays registered for compat."""
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return sd(
+        docs, emb, threshold=0.30, n_clusters="auto", kmeans_iter=3,
+        target_block_size=512,
+    )
 
 
 def _hp_bucket_sql(vec: str, planes) -> str:
@@ -789,6 +843,32 @@ def semantic_dedup_staged(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     cents = staged_centroids(
         spark, emb, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3
+    )
+    return sd(docs, emb, threshold=0.30, centroids=cents)
+
+
+@query(
+    "semantic_dedup_scaled_staged",
+    oracle=REGISTRY["semantic_dedup_scaled"].oracle,
+)
+def semantic_dedup_scaled_staged(spark, sf_dir):
+    """The production composition at 100 TB: CORPUS-SIZED k (see
+    semantic_dedup_scaled) AND the staged quantizer — the auto-k Lloyd
+    fit runs once per (corpus fingerprint, k) and every later dedup run
+    is a broadcast-argmin blocking against the persisted k-row centroid
+    table. The stage key includes k, so a corpus regeneration that
+    changes n past a k boundary refits automatically. Hash-identical to
+    semantic_dedup_scaled (same oracle): staging changes WHEN the
+    quantizer trains, never what it answers."""
+    from timeseries_spark.extensions.dedup import auto_n_clusters
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    k = auto_n_clusters(emb.count(), target_block_size=512)
+    cents = staged_centroids(
+        spark, emb, f"{sf_dir}/embeddings.parquet", k=k, max_iter=3
     )
     return sd(docs, emb, threshold=0.30, centroids=cents)
 
