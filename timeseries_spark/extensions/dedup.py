@@ -17,7 +17,7 @@ joins/groupBys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.hashing import md5_h1, md5_h2, md5_long
@@ -471,10 +471,14 @@ def connected_components(
     Each round does (a) a neighbor-min hop across the edges and (b) one
     pointer-jump (``label <- label[label]``), so convergence is
     O(log(diameter)) rounds instead of O(diameter) — chain-shaped clusters
-    (the LSH worst case) collapse in a handful of rounds. Convergence is
-    detected by the label SUM, which strictly decreases while any label
-    can still shrink: one cheap aggregate action per round, no comparison
-    join. The sum runs in decimal(38,0): a bigint sum over ~10^11
+    (the LSH worst case) collapse in a handful of rounds; the SEED itself
+    performs the first hop (label = min(vid, min neighbor)) inside the
+    endpoint-enumerating groupBy, so the loop starts one step ahead at no
+    extra shuffle. Convergence is detected by the label SUM, which
+    strictly decreases while any label can still shrink — collected as an
+    ``observe()`` metric on each round's OWN checkpoint job (CollectMetrics
+    evaluates during the materialization), so detection costs zero extra
+    jobs and no comparison join. The sum runs in decimal(38,0): a bigint sum over ~10^11
     64-bit doc ids can exceed 2^63 (ANSI overflow error, or a silent
     wrap that could mask a change with ANSI off) — decimal headroom
     (10^38) makes the check safe at any realistic row count. Each round ends in an eager ``localCheckpoint``: caching alone
@@ -508,10 +512,28 @@ def connected_components(
     # also executes the upstream pair subtree (block cosine + edge build)
     sc = pairs.sparkSession.sparkContext
     sc.setJobDescription("cc: seed labels (runs pair subtree)")
-    labels = edges.select(F.col("src").alias("vid")).distinct().select(
-        "vid", F.col("vid").alias("label")
-    ).localCheckpoint()
-    prev_sum = None
+    # the seed ABSORBS round 0's neighbor-min hop: instead of seeding
+    # label = vid (one distinct shuffle) and spending a full loop round
+    # on the first hop, seed label = min(vid, min neighbor) in the same
+    # groupBy that enumerates the endpoints — every endpoint appears as
+    # `src` in the undirected edge set, so the grouping covers exactly
+    # the paired-vertex set the old distinct did, at the same shuffle
+    # cost, one propagation step ahead (round-13 CC-overhead cut: the
+    # r11 profile charged 38% of semantic-dedup task time to the loop)
+    seed_obs = Observation()
+    labels = (
+        edges.groupBy(F.col("src").alias("vid"))
+        .agg(F.least(F.col("vid"), F.min("dst")).alias("label"))
+        .observe(
+            seed_obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        )
+        .localCheckpoint()
+    )
+    # convergence sums ride each materialization's OWN job as observe()
+    # metrics (CollectMetrics evaluates during the checkpoint action), so
+    # the per-round standalone aggregate job — and its scheduler
+    # round-trip — is gone entirely
+    prev_sum = seed_obs.get["s"]
     try:
         for _round in range(max_iter):
             neighbor_min = (
@@ -537,6 +559,7 @@ def connected_components(
             # pointer jump: adopt the label of one's label — squares the
             # propagation distance per round
             sc.setJobDescription(f"cc: round {_round} hop+jump")
+            round_obs = Observation()
             updated = (
                 hopped.alias("h")
                 .join(
@@ -552,12 +575,13 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
                     ).alias("label"),
                 )
+                .observe(
+                    round_obs,
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                )
                 .localCheckpoint()
             )
-            sc.setJobDescription(f"cc: round {_round} convergence sum")
-            cur_sum = updated.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).first()[0]
+            cur_sum = round_obs.get["s"]
             labels = updated
             if cur_sum == prev_sum:
                 break
