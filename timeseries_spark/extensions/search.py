@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from timeseries_spark.extensions.text import ws_tokens as tokens
+from timeseries_spark.functions.parallelism import ensure_parallelism
 
 K1 = 1.2
 B = 0.75
@@ -37,9 +38,16 @@ def build_postings(
 ) -> DataFrame:
     """(term, doc_id, tf, dl): one explode + one hash agg. dl rides
     along (constant per doc) so scoring needs no join back to the docs.
+
+    The doc scan goes through the parallelism guard: tokenize+explode is
+    per-row compute over a byte-small parquet (the round-13 sf1 profile,
+    experiments/SEARCH_PROFILE_r13.json `before`, shows the postings
+    build serialized onto 2 tasks carrying 11.4 of 20.9 task-seconds —
+    the dominant term of bm25's sf1 wall). At real scale the corpus
+    arrives in thousands of splits and the guard is a no-op.
     """
     return (
-        docs.select(
+        ensure_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             F.size(tokens(F.col(text_col))).alias("dl"),
             F.explode(tokens(F.col(text_col))).alias("term"),

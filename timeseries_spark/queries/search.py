@@ -103,8 +103,15 @@ def token_cooccurrence_topk(spark, sf_dir):
     Σ(per-doc distinct tokens)² — bounded by doc vocabulary, not corpus
     size (a real corpus caps to the top-frequency vocabulary first,
     exactly like the dedup layer's hot-shingle cap). Top-k is
-    TakeOrderedAndProject on the fully-ordered (n desc, t1, t2)."""
-    docs = load(spark, sf_dir, "documents")
+    TakeOrderedAndProject on the fully-ordered (n desc, t1, t2).
+
+    The doc scan goes through the parallelism guard: the pair stage is
+    per-row quadratic compute over a byte-small parquet — the round-13
+    sf1 profile (experiments/SEARCH_PROFILE_r13.json) caught it
+    serialized onto 2 tasks carrying 2.7 of 3.4 task-seconds."""
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
