@@ -78,3 +78,74 @@ def test_scaled_k_binds(spark):
     pinned = sorted(map(tuple, semantic_dedup(spark, SF).collect()))
     scaled = sorted(map(tuple, semantic_dedup_scaled(spark, SF).collect()))
     assert pinned != scaled
+
+
+def _rows(*tups):
+    return [{"a": a, "b": b, "total": t} for a, b, t in tups]
+
+
+def test_bpe_tie_plateau_batches_when_no_steal_possible():
+    # round-13: equal-count disjoint pairs batch together when the
+    # window proves no minted output can tie into the ranking — the
+    # (b_i, *) successor check finds no count-c pair starting with any
+    # batch member's right component, so (a_i b_i, y) can never reach
+    # count c and lex order alone cannot steal a slot
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 9), ("x", "a", 9)),
+        16,
+        99,
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [
+        ("a", "b"),
+        ("c", "d"),
+        ("e", "f"),
+    ]
+
+
+def test_bpe_tie_plateau_truncates_on_real_steal():
+    # the counterexample that makes the lex guard necessary: words
+    # {"a z y" x c, "c d" x c} give pairs (a,z), (c,d), (z,y) all at
+    # count c; merging (a,z) mints (az, y) at count c and "az" < "c",
+    # so sequential greedy merges (az, y) BEFORE (c, d) — the batch
+    # must stop after (a, z). The window contains (z, y) at count c
+    # (a count-c successor of z), so the refined guard fires.
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    batch = _disjoint_prefix(
+        _rows(("a", "z", 9), ("c", "d", 9), ("z", "y", 9)), 16, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "z")]
+
+
+def test_bpe_tie_plateau_conservative_on_truncated_window():
+    # window truncated mid-plateau (last collected row still at count
+    # c): hidden count-c successors may exist, so ties fall back to
+    # single-merge behavior
+    from timeseries_spark.extensions.bpe import _disjoint_prefix
+
+    batch = _disjoint_prefix(
+        _rows(("a", "b", 9), ("c", "d", 9), ("e", "f", 9)), 2, 99
+    )
+    assert [(r["a"], r["b"]) for r in batch] == [("a", "b")]
+
+
+def test_bpe_batched_equals_sequential_on_steal_corpus(spark):
+    # end-to-end pin of the counterexample corpus: batched induction
+    # must reproduce sequential greedy's merge table exactly even
+    # though round 1 is a pure count-tie plateau
+    from timeseries_spark.extensions.bpe import induce_bpe, induce_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(i, "az zy yq") for i in range(9)] + [(100 + i, "cc dd") for i in range(9)],
+        "doc_id bigint, text string",
+    )
+    seq_m, seq_w = induce_bpe(docs, n_merges=6)
+    bat_m, bat_w = induce_bpe_batched(docs, n_merges=6, batch_max=8)
+    assert sorted(map(tuple, seq_m.collect())) == sorted(
+        map(tuple, bat_m.collect())
+    )
+    assert sorted(map(tuple, seq_w.collect())) == sorted(
+        map(tuple, bat_w.collect())
+    )

@@ -150,50 +150,192 @@ def segment_topk(words: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
-def _disjoint_prefix(rows, batch_max: int, remaining: int):
+def _disjoint_prefix(rows, batch_max: int, remaining: int, probe=None):
     """The exactness-preserving batch: the longest PREFIX of the
     (total desc, a, b)-ordered pair list that is pairwise
-    symbol-disjoint, shrunk until the last member's count STRICTLY
-    exceeds the first unselected pair's (floor at 1 = plain greedy).
+    symbol-disjoint, truncated at the first member the minted-output
+    lex guard rejects (below). Equal-count (tie-plateau) members ARE
+    batched — the round-11 strict-count boundary serialized full-copy
+    corpora to 1 merge/round — and exactness is preserved by checking
+    the one way a tie can actually be stolen.
 
     Why this equals sequential greedy BPE, merge for merge:
     - prefix + first-conflict stop ⇒ every non-batch pair ranks at or
-      below the stopping pair, so its count <= count(p_{m+1});
+      below the stopping pair nxt, so its count <= count(nxt);
     - disjointness ⇒ merging p_i never changes the count of p_j (no
       shared symbol, and adjacency of a disjoint pair is untouched by
-      a bracket rewrite elsewhere in the word);
-    - a NEW pair created by merging (a,b)->ab, say (x,ab), occurs at
-      most as often as the OLD pair (x,a) — which conflicts with the
-      batch and therefore ranks <= p_{m+1};
-    - the strict boundary count(p_m) > count(p_{m+1}) then puts every
-      competitor STRICTLY below every batch member, so sequential
-      greedy must pick exactly p_1..p_m in order (equal-count batch
-      members resolve by the same (a, b) lex tie-break in both).
+      a bracket rewrite elsewhere in the word); merges only DECREASE
+      old pairs' counts, so at slot j every un-batched OLD pair still
+      (count, lex)-ranks below p_j: below by count when
+      count(p_j) > count(nxt); at equal count its lex rank is its
+      identity, unchanged, and already after p_j's;
+    - a NEW pair minted by merging p_i = (a, b) -> ab occurs at most
+      as often as an OLD pair that shares a symbol with p_i — which
+      conflicts with the batch, hence ranks <= nxt. So when
+      count(p_j) > count(nxt), no new pair can outrank p_j either,
+      and ties are decided by lex, where exactly one jump-in exists:
+        (x, ab): needs lex (x, ab) < (a_j, b_j) while the old pair
+        (x, a) it derives from ranked after p_j. Both force x == a_j,
+        then a > b_j and a+b < b_j — impossible, since a+b has a as
+        a strict prefix so a+b > a > b_j. SAFE unconditionally.
+        (ab, y): lex is decided by the MINTED STRING itself; nothing
+        relates ab to a_j. If ab <= a_j (string compare), a count-c
+        (ab, y) can rank above a tied p_j and sequential would merge
+        it first — e.g. words {"a z y", "c d"} x c: merging (a, z)
+        mints (az, y), and "az" < "c" steals slot 2 from (c, d).
+    The guard therefore drops batch members from the first j where
+    count(p_j) == count(nxt) AND some earlier kept member's minted
+    output a_i+b_i <= a_j; members above the tie count never need it.
 
-    "Symbol-disjoint" must include MERGED OUTPUTS, not just
-    components: merging (a,b) mints new "ab" symbols, so a later pair
-    with an "ab" component (possible when the vocabulary already
-    contains multi-char symbols from earlier rounds) would see its
-    count change mid-batch. Each selected pair therefore reserves
-    {a, b, a+b}, and a candidate conflicts if any of ITS three strings
-    is reserved.
+    "Disjoint" is POSITIONAL (round 13): two pairs interfere only when
+    a symbol is shared across OPPOSITE positions. Merging (a,b)
+    destroys occurrences of (x,a) ("x a b" -> "x ab") and of (b,y)
+    ("a b y" -> "ab y"), but never of (a,c) — an `a` followed by `b`
+    is not followed by `c`, so same-LEFT pairs have disjoint occurrence
+    sets (same for same-RIGHT); their counts are mutually invariant and
+    their literal rewrites cannot overlap, so rewrite order stays
+    immaterial. This is what unlocks plateau runs like (r,1),(r,2),...
+    that the component-set rule serialized to one merge per round.
+    A candidate (x, y) therefore conflicts iff y is some member's LEFT,
+    x is some member's RIGHT, either component is a member's MINTED
+    string, or its own minted output x+y collides with any reserved
+    string (minting instances of a reserved symbol would inflate
+    other members' pair counts mid-batch).
+
+    A second, rarer hazard is a MINT COLLISION: the minted string
+    a_i+b_i may ALREADY exist as a symbol (two different merge paths
+    can build the same string — leftmost-overlap resolution segments
+    the same substring differently in different contexts), in which
+    case an OLD pair (x, a_ib_i) GAINS count from p_i's merge and can
+    outrank later batch members regardless of count boundaries. The
+    batch therefore stops right after the first member whose minted
+    output appears as a component of any existing pair.
+
+    ``probe(c, minted)`` is the lazy exact resolver for windows that
+    were truncated by limit(batch_max+1): it returns
+    (set of left symbols holding a count-c pair, subset of ``minted``
+    appearing as a component of any existing pair) from one tiny
+    vocab-grain aggregate. When the window provably contains the
+    relevant rows, both sets come from the window and the probe is
+    never called; probe-less callers (unit fixtures) fall back to
+    single-merge on unprovable ties.
     """
+    rows = list(rows)
     batch: list = []
-    used: set[str] = set()
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    mints: set[str] = set()
     nxt = None
     for r in rows:
         if len(batch) >= min(batch_max, remaining):
             nxt = r
             break
-        if {r["a"], r["b"], r["a"] + r["b"]} & used:
+        a, b, m = r["a"], r["b"], r["a"] + r["b"]
+        if (
+            b in lefts
+            or a in rights
+            or a in mints
+            or b in mints
+            or m in lefts
+            or m in rights
+            or m in mints
+        ):
             nxt = r
             break
         batch.append(r)
-        used |= {r["a"], r["b"], r["a"] + r["b"]}
-    if nxt is not None:
-        while len(batch) > 1 and batch[-1]["total"] <= nxt["total"]:
-            nxt = batch.pop()
-    return batch
+        lefts.add(a)
+        rights.add(b)
+        mints.add(m)
+    if len(batch) <= 1:
+        return batch  # single merge == plain greedy, exact by definition
+    minted = [r["a"] + r["b"] for r in batch]
+    c = nxt["total"] if nxt is not None else None
+    # completeness of the collected window: all pairs are visible iff
+    # limit(batch_max+1) returned fewer rows than requested; all
+    # count-c pairs are visible if additionally the last row ranks
+    # strictly below c
+    all_pairs_visible = len(rows) <= batch_max
+    ties_visible = all_pairs_visible or (
+        c is not None and rows[-1]["total"] < c
+    )
+    resolved: tuple[set, set] | None = None
+
+    def _resolve() -> tuple[set, set]:
+        nonlocal resolved
+        if resolved is None:
+            if probe is not None:
+                lefts, coll = probe(c, minted)
+                resolved = (set(lefts), set(coll))
+            else:
+                resolved = (None, None)  # unknowable -> conservative
+        return resolved
+
+    def tie_lefts() -> set | None:
+        if ties_visible:
+            return {r["a"] for r in rows if r["total"] == c}
+        return _resolve()[0]
+
+    def colliding() -> set | None:
+        if all_pairs_visible:
+            ms = set(minted)
+            return {
+                s for r in rows for s in (r["a"], r["b"]) if s in ms
+            }
+        return _resolve()[1]
+
+    def may_steal(k) -> bool:
+        # (ab, y) can only reach count c if an OLD pair (b, y) holds
+        # count exactly c (the new pair's occurrences are a subset of
+        # the old pair's): a steal needs a count-c successor of b
+        lefts = tie_lefts()
+        return lefts is None or k["b"] in lefts
+
+    kept: list = []
+    for r in batch:
+        if (
+            nxt is not None
+            and r["total"] == c
+            and any(
+                k["a"] + k["b"] <= r["a"] and may_steal(k) for k in kept
+            )
+        ):
+            break
+        kept.append(r)
+        coll = colliding()
+        if coll is None or r["a"] + r["b"] in coll:
+            # p_i's own merge is still the i-th sequential pick; the
+            # inflated (x, a_ib_i) pairs only compete with LATER slots
+            break
+    return kept
+
+
+def select_batch(pc: DataFrame, batch_max: int, remaining: int) -> list:
+    """One batched round's merge selection over a pair-count DataFrame:
+    collect the top (batch_max + 1) window, run ``_disjoint_prefix``
+    with the lazy exact probe. The probe is one extra vocab-grain
+    aggregate fired only on rounds the window can't decide (boundary
+    count-tie wider than the window, or a possible mint collision below
+    it) — the same bounded metadata-only collect discipline as the
+    window itself: count-c left symbols and colliding minted strings
+    are both bounded by the symbol vocabulary, never the corpus."""
+    top = (
+        pc.orderBy(F.desc("total"), "a", "b").limit(batch_max + 1).collect()
+    )
+    if not top:
+        return []
+
+    def probe(c, minted, pc=pc):
+        cond = F.col("a").isin(list(minted)) | F.col("b").isin(list(minted))
+        if c is not None:
+            cond = cond | (F.col("total") == c)
+        rows = pc.filter(cond).select("a", "b", "total").collect()
+        ms = set(minted)
+        return (
+            {r["a"] for r in rows if r["total"] == c},
+            {s for r in rows for s in (r["a"], r["b"]) if s in ms},
+        )
+
+    return _disjoint_prefix(top, batch_max, remaining, probe)
 
 
 def induce_bpe_batched(
@@ -223,17 +365,11 @@ def induce_bpe_batched(
     words = _vocab(docs, text_col).localCheckpoint(eager=True)
     merge_lits: list[tuple] = []
     while len(merge_lits) < n_merges:
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("total"), "a", "b")
-            .limit(batch_max + 1)
-            .collect()
+        batch = select_batch(
+            _pair_counts(words), batch_max, n_merges - len(merge_lits)
         )
-        if not top:
+        if not batch:
             break
-        batch = _disjoint_prefix(
-            top, batch_max, n_merges - len(merge_lits)
-        )
         for r in batch:
             merge_lits.append(
                 (len(merge_lits) + 1, r["a"], r["b"], r["a"] + r["b"], r["total"])

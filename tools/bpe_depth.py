@@ -23,6 +23,12 @@ tools/scale_check.py scales key spaces.
 
 Usage:
   python tools/bpe_depth.py [sf_dir] [n_merges] [batch_max] [n_rep] [out]
+                            [mode: subset|full]
+
+``mode=full`` replicates every doc into every replica (identical
+per-replica counts -> a pure count-tie plateau, the regime that
+serialized the round-11 strict-boundary rule to 1 merge/round); the
+round-13 tie-plateau batching rule is measured against exactly this.
 """
 
 from __future__ import annotations
@@ -36,7 +42,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def replicate_vocab(docs, n_rep: int):
+def replicate_vocab(docs, n_rep: int, full: bool = False):
     """n_rep doc SUBSETS; replica r keeps a hash-deterministic
     (n_rep - r)/n_rep fraction of docs and prefixes every token with
     'r{r}x' (in-alphabet). Subsetting is load-bearing: a FULL copy per
@@ -50,10 +56,12 @@ def replicate_vocab(docs, n_rep: int):
         F.broadcast(
             docs.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
         )
-    ).where(
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_rep))
-        < (F.lit(n_rep) - F.col("__r"))
     )
+    if not full:
+        rep = rep.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_rep))
+            < (F.lit(n_rep) - F.col("__r"))
+        )
     return rep.select(
         (F.col("doc_id") + F.col("__r") * 10_000_000).alias("doc_id"),
         F.array_join(
@@ -70,9 +78,9 @@ def replicate_vocab(docs, n_rep: int):
 
 def main() -> None:
     from timeseries_spark.extensions.bpe import (
-        _disjoint_prefix,
         _pair_counts,
         _vocab,
+        select_batch,
     )
     from timeseries_spark.queries import load
     from timeseries_spark.session import get_spark
@@ -84,12 +92,13 @@ def main() -> None:
     out_json = (
         sys.argv[5] if len(sys.argv) > 5 else "experiments/BPE_DEPTH_r11.json"
     )
+    mode = sys.argv[6] if len(sys.argv) > 6 else "subset"
     spark = get_spark("bpe_depth")
     width = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     if n_rep > 1:
         docs = (
-            replicate_vocab(docs, n_rep)
+            replicate_vocab(docs, n_rep, full=(mode == "full"))
             .repartition(width)
             .localCheckpoint(eager=True)
         )
@@ -106,17 +115,11 @@ def main() -> None:
     n_done = 0
     while n_done < n_merges:
         t0 = time.perf_counter()
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("total"), "a", "b")
-            .limit(batch_max + 1)
-            .collect()
-        )
-        if not top:
-            break
-        # _disjoint_prefix floors at 1 (plain greedy), so the loop
+        # select_batch floors at 1 (plain greedy), so the loop
         # always advances while pairs remain
-        batch = _disjoint_prefix(top, batch_max, n_merges - n_done)
+        batch = select_batch(_pair_counts(words), batch_max, n_merges - n_done)
+        if not batch:
+            break
         s = F.col("s")
         for r in batch:
             s = F.replace(
@@ -147,6 +150,7 @@ def main() -> None:
     out = {
         "sf": sf_dir,
         "n_rep": n_rep,
+        "mode": mode,
         "n_merges_requested": n_merges,
         "n_merges_done": n_done,
         "batch_max": batch_max,
