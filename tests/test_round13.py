@@ -149,3 +149,45 @@ def test_bpe_batched_equals_sequential_on_steal_corpus(spark):
     assert sorted(map(tuple, seq_w.collect())) == sorted(
         map(tuple, bat_w.collect())
     )
+
+
+def _plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scaled_dedup_pair_stage_no_all_pairs(spark):
+    # the auto-k blocker must keep the pinned-k pair stage's plan
+    # shape: candidates meet only inside a cluster block (block-keyed
+    # equi join) — no CartesianProduct, no broadcast nested loop, no
+    # SinglePartition funnel — at the k auto_n_clusters derives
+    from timeseries_spark.extensions.dedup import auto_n_clusters
+    from timeseries_spark.extensions.kmeans import kmeans_assign
+    from timeseries_spark.extensions.similarity import embedding_near_dup
+    from timeseries_spark.queries import load
+
+    emb = load(spark, SF, "embeddings")
+    k = auto_n_clusters(emb.count(), target_block_size=512)
+    clusters = kmeans_assign(emb, k=k, max_iter=3)
+    blocked = emb.join(clusters.select("vec_id", "cluster"), "vec_id")
+    pairs = embedding_near_dup(blocked, threshold=0.30, block_col="cluster")
+    p = _plan(spark, pairs)
+    assert p.count("CartesianProduct") == 0
+    assert p.count("BroadcastNestedLoopJoin") == 0
+    assert "SinglePartition" not in p
+
+
+def test_postings_build_fans_out_small_scans(spark):
+    # round-13 starvation fix: the postings tokenize+explode is per-row
+    # compute over a byte-small scan, so on a low-split input the plan
+    # must carry the round-robin fan-out (at real scale the guard is a
+    # no-op and the exchange disappears — conditional at build time)
+    from timeseries_spark.extensions.search import build_postings
+    from timeseries_spark.queries import load
+
+    docs = load(spark, SF, "documents")
+    if docs.rdd.getNumPartitions() >= 32:
+        return  # guard is a no-op on this box; nothing to pin
+    p = _plan(spark, build_postings(docs))
+    assert "RoundRobinPartitioning" in p
