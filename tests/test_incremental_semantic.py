@@ -1,0 +1,169 @@
+"""Incremental (shard-vs-corpus) semantic dedup — the embedding-space
+twin of incremental_dedup's n-gram path.
+
+Contract pins:
+- the quantizer fits on the CORPUS only: a shard must never move the
+  blocks it is judged against;
+- a new doc drops iff some corpus vector in its block reaches the
+  cosine threshold; shard-internal near-dups BOTH survive (within-shard
+  dedup is semantic_dedup's job on the merged corpus);
+- the staged-centroid path is answer-identical to the fresh-fit path;
+- the candidate join is a salted (cluster, salt) equi join — no
+  CartesianProduct, no corpus self-join, no SinglePartition funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.dedup import incremental_semantic_dedup
+from timeseries_spark.extensions.kmeans import kmeans_fit
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, ids_sources):
+    return spark.createDataFrame(
+        [(i, s) for i, s in ids_sources], "doc_id bigint, source string"
+    )
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_drop_iff_block_neighbor_hits(spark):
+    # two well-separated corpus blocks; one shard doc lands next to a
+    # corpus vector (drops), one lands far from everything (survives)
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.1, 0.9, 0.0]),
+        ],
+    )
+    shard = _vecs(
+        spark,
+        [
+            (10, [0.95, 0.05, 0.0, 0.0]),  # near corpus block A -> drop
+            (11, [0.0, 1.0, 0.0, 1.0]),  # near neither -> keep
+        ],
+    )
+    docs = _docs(spark, [(10, "s"), (11, "s")])
+    out = incremental_semantic_dedup(
+        docs, shard, corpus, threshold=0.8, n_clusters=2, kmeans_iter=3
+    )
+    assert [r.doc_id for r in out.collect()] == [11]
+
+
+def test_within_shard_dups_both_survive(spark):
+    # two IDENTICAL shard docs far from the corpus: neither drops —
+    # incremental dedup judges shard-vs-corpus only, like the n-gram
+    # incremental path
+    corpus = _vecs(
+        spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0])]
+    )
+    shard = _vecs(
+        spark,
+        [(10, [0.0, 0.0, 0.0, 1.0]), (11, [0.0, 0.0, 0.0, 1.0])],
+    )
+    docs = _docs(spark, [(10, "s"), (11, "s")])
+    out = incremental_semantic_dedup(
+        docs, shard, corpus, threshold=0.8, n_clusters=2, kmeans_iter=3
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [10, 11]
+
+
+def test_quantizer_ignores_shard(spark):
+    # blocks come from the corpus fit alone: passing wildly different
+    # shards against the same corpus must reuse identical centroids,
+    # i.e. the corpus-side blocking is shard-independent by
+    # construction (fit consumes corpus_vecs only)
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.1, 0.9, 0.0]),
+        ],
+    )
+    _, cents = kmeans_fit(corpus, k=2, max_iter=3)
+    shard_a = _vecs(spark, [(10, [1.0, 0.0, 0.0, 0.0])])
+    shard_b = _vecs(spark, [(20, [0.0, 0.0, 1.0, 0.0])])
+    docs_a = _docs(spark, [(10, "s")])
+    docs_b = _docs(spark, [(20, "s")])
+    # staged path: both shards judged against the SAME centroid table
+    out_a = incremental_semantic_dedup(
+        docs_a, shard_a, corpus, threshold=0.95, centroids=cents
+    )
+    out_b = incremental_semantic_dedup(
+        docs_b, shard_b, corpus, threshold=0.95, centroids=cents
+    )
+    # both land exactly on a corpus vector -> both drop
+    assert out_a.count() == 0 and out_b.count() == 0
+
+
+def test_staged_equals_fresh_fit(spark):
+    # answer-identity of the staged-centroid path: feeding kmeans_fit's
+    # returned centroids through assign_to_centroids reproduces the
+    # fresh-fit keep set exactly (the assign_to_centroids exactness
+    # contract, exercised end-to-end through the incremental composer)
+    from timeseries_spark.queries import load
+
+    emb = load(spark, SF, "embeddings")
+    docs = load(spark, SF, "documents")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    corpus = emb.filter(~is_shard)
+    shard = emb.filter(is_shard)
+    sdocs = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    fresh = incremental_semantic_dedup(
+        sdocs, shard, corpus, threshold=0.40, n_clusters=4, kmeans_iter=3
+    )
+    _, cents = kmeans_fit(corpus, k=4, max_iter=3)
+    staged = incremental_semantic_dedup(
+        sdocs, shard, corpus, threshold=0.40, centroids=cents
+    )
+    a = sorted(tuple(r) for r in fresh.collect())
+    b = sorted(tuple(r) for r in staged.collect())
+    assert a == b and len(a) > 0
+
+
+def test_plan_shape_no_allpairs(spark):
+    # the candidate join must be the salted block equi join: no
+    # CartesianProduct, no corpus self-join, no SinglePartition funnel
+    # anywhere in the ingestion plan (the broadcast argmin quantize is
+    # a BroadcastNestedLoopJoin-free projection)
+    from timeseries_spark.queries import load
+
+    emb = load(spark, SF, "embeddings")
+    docs = load(spark, SF, "documents")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    _, cents = kmeans_fit(emb.filter(~is_shard), k=4, max_iter=3)
+    out = incremental_semantic_dedup(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        emb.filter(~is_shard),
+        threshold=0.40,
+        centroids=cents,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # every SinglePartition collapse must be a BOUNDED aggregate: the
+    # k-row centroid collect_list (the sq8-stats broadcast idiom) or a
+    # Spark-injected runtime bloom-filter sketch over a join key —
+    # never a data-grain exchange of the corpus or the shard
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert (
+            "partial_bloom_filter_agg" in below
+            or "partial_collect_list" in below
+        ), ln

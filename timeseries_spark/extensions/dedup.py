@@ -865,6 +865,138 @@ def incremental_dedup(
     return new_df.join(keep, id_col, "left_semi")
 
 
+def incremental_semantic_dedup(
+    new_docs: DataFrame,
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.30,
+    n_clusters: int | str = 4,
+    kmeans_iter: int = 3,
+    target_block_size: int = 512,
+    centroids: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = ("source",),
+    salt: int = 4,
+) -> DataFrame:
+    """Ingestion-time SEMANTIC dedup — the embedding-space twin of
+    ``incremental_dedup``: a new shard is deduplicated against the
+    EXISTING corpus, dropping every new doc whose cosine against ANY
+    corpus vector in its coarse-quantizer block reaches ``threshold``.
+    Shard-internal near-dups both survive, exactly as in the n-gram
+    incremental path (within-shard dedup is ``semantic_dedup``'s job on
+    the merged corpus, or the next shard's ingestion pass).
+
+    Blocking contract: the corpus's quantizer decides the blocks. When
+    ``centroids`` is given (the staged-artifact production path) both
+    sides quantize by the same zero-shuffle broadcast argmin
+    (``assign_to_centroids``); otherwise a deterministic Lloyd fit runs
+    on the CORPUS only (never the shard — a shard must not move the
+    blocks it is judged against) and the shard assigns against the
+    fitted centroids. ``n_clusters="auto"`` sizes k from the CORPUS
+    row count (see ``auto_n_clusters``).
+
+    Plan shape at 100 TB: centroids are k rows (broadcast); the
+    shard-vs-corpus candidate join is a salted equi join on
+    (cluster, salt) — shard rows carry one deterministic salt, corpus
+    block rows replicate per salt — so each shard row meets only its
+    own block, pair cost is |shard| x block_size cosine folds (norms
+    precomputed per side, one dot fold per pair), and parallelism is
+    blocks x salt tasks regardless of block skew. The corpus is
+    scanned once and never self-joined. Output: the surviving new
+    docs as (doc_id, *carry_cols); a new doc with no embedding row is
+    dropped by the inner contract (one vector per doc), matching
+    ``semantic_dedup``."""
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+    from timeseries_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    n_parts = new_vecs.sparkSession.sparkContext.defaultParallelism
+
+    if centroids is None:
+        if n_clusters == "auto":
+            n_clusters = auto_n_clusters(
+                corpus_vecs.count(), target_block_size=target_block_size
+            )
+        # Lloyd on the corpus only; the fit's own final assignment IS
+        # the corpus blocking (no second argmin pass over the corpus)
+        corpus_assigned, centroids = kmeans_fit(
+            corpus_vecs,
+            k=n_clusters,
+            max_iter=kmeans_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        corpus_blocked = corpus_assigned.select("cluster", "v")
+    else:
+        ca = assign_to_centroids(
+            corpus_vecs, centroids, id_col=id_col, vec_col=vec_col
+        )
+        corpus_blocked = (
+            corpus_vecs.select(
+                F.col(id_col).alias("vid"), as_d(F.col(vec_col)).alias("v")
+            )
+            .join(ca.select(F.col(id_col).alias("vid"), "cluster"), "vid")
+            .select("cluster", "v")
+        )
+    rhs = (
+        corpus_blocked.select(
+            "cluster",
+            F.col("v").alias("cv"),
+            l2_norm(F.col("v")).alias("ncv"),
+        )
+        .withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        .repartition(n_parts, "cluster", "__salt")
+    )
+    sh_assign = assign_to_centroids(
+        new_vecs, centroids, id_col=id_col, vec_col=vec_col
+    )
+    lhs = (
+        new_vecs.select(
+            F.col(id_col).alias("vid"), as_d(F.col(vec_col)).alias("sv")
+        )
+        .join(sh_assign.select(F.col(id_col).alias("vid"), "cluster"), "vid")
+        .select(
+            "vid",
+            "cluster",
+            "sv",
+            l2_norm(F.col("sv")).alias("nsv"),
+            F.pmod(F.hash(F.col("vid")), F.lit(salt)).alias("__salt"),
+        )
+        .repartition(n_parts, "cluster", "__salt")
+    )
+    hit_ids = (
+        lhs.join(rhs, ["cluster", "__salt"])
+        .filter(
+            F.round(
+                cosine_from_norms(
+                    F.col("sv"), F.col("cv"), F.col("nsv"), F.col("ncv")
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select("vid")
+        .distinct()
+    )
+    survivors = (
+        new_vecs.select(F.col(id_col).alias("vid"))
+        .join(hit_ids, "vid", "left_anti")
+        .select(F.col("vid").alias(doc_id_col))
+    )
+    return new_docs.join(survivors, doc_id_col).select(
+        doc_id_col, *carry_cols
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

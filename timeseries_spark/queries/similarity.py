@@ -101,7 +101,7 @@ def ann_ivf_nprobe2(spark, sf_dir):
 
 
 def _kmeans_oracle_sql(
-    k: int | str = 4, dims: int = 64, rounds: int = 3
+    k: int | str = 4, dims: int = 64, rounds: int = 3, where: str = ""
 ) -> str:
     """DuckDB replay of the deterministic Lloyd loop (extensions/kmeans.py):
     init = k lowest-id vectors; per round argmin assignment (ties to the
@@ -112,7 +112,12 @@ def _kmeans_oracle_sql(
     ``k`` may be a SQL expression string (e.g. a scalar subquery) — k
     only enters the replay through c0's LIMIT, so a data-derived k
     (the auto-sized blocker) replays exactly: DuckDB evaluates the
-    subquery against the same table Spark counts."""
+    subquery against the same table Spark counts.
+
+    ``where`` restricts the point set (e.g. the incremental-dedup
+    replay fits the quantizer on the CORPUS rows only) — pass a full
+    ``WHERE ...`` clause; it lands inside the pts CTE so init, every
+    Lloyd round, and any k-deriving subquery all see the same subset."""
     d = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
 
     def assign(name: str, cents: str) -> str:
@@ -148,7 +153,7 @@ def _kmeans_oracle_sql(
         f"""WITH pts AS (
       SELECT vec_id AS vid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM embeddings {where}
     ),
     c0 AS (
       SELECT (row_number() OVER (ORDER BY vid)) - 1 AS cid, v AS c
@@ -871,6 +876,123 @@ def semantic_dedup_scaled_staged(spark, sf_dir):
         spark, emb, f"{sf_dir}/embeddings.parquet", k=k, max_iter=3
     )
     return sd(docs, emb, threshold=0.30, centroids=cents)
+
+
+def _semantic_incremental_oracle(
+    shard_pred: str = "vec_id % 5 = 0",
+    rounds: int = 3,
+    dims: int = 64,
+    threshold: float = 0.40,
+) -> str:
+    """Replay of incremental (shard-vs-corpus) semantic dedup: Lloyd on
+    the CORPUS rows only, shard rows argmin-assigned against the FINAL
+    centroid table (the one the corpus's last assignment ranked
+    against — c{rounds-1}, exactly what kmeans_fit returns and
+    assign_to_centroids consumes), then a shard drops iff any corpus
+    vector in its block reaches cosine >= threshold (0.40 keeps both
+    the drop and the keep sets non-empty at every proof tier — an
+    empty result would gate nothing)."""
+    body, last = _kmeans_oracle_sql(
+        k=4, dims=dims, rounds=rounds,
+        where=f"WHERE NOT ({shard_pred})",
+    )
+    cents = f"c{rounds - 1}"
+    d = "(s.v[i] - c.c[i]) * (s.v[i] - c.c[i])"
+    return (
+        body
+        + f""",
+    shard AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE {shard_pred}
+    ),
+    sassign AS (
+      SELECT vid, v, cid AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY sq_dist, cid) AS rn
+        FROM (
+          SELECT s.vid, s.v, c.cid,
+                 list_sum(list_transform(
+                   generate_series(1, {dims}), i -> {d})) AS sq_dist
+          FROM shard s CROSS JOIN {cents} c
+        )
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT DISTINCT s.vid
+      FROM sassign s JOIN {last} c ON c.cluster = s.cluster
+      WHERE {_COS.format(a="s.v", b="c.v")} >= {threshold}
+    )
+    SELECT s.vid AS doc_id, d.source
+    FROM shard s
+    JOIN documents d ON d.doc_id = s.vid
+    WHERE s.vid NOT IN (SELECT vid FROM hits)
+    """
+    )
+
+
+@query(
+    "semantic_dedup_incremental",
+    oracle=_semantic_incremental_oracle(),
+)
+def semantic_dedup_incremental(spark, sf_dir):
+    """Ingestion-time semantic dedup: the 'new shard' (every 5th
+    embedding) is deduplicated AGAINST the existing corpus (the rest) —
+    a new doc drops when any corpus vector in its quantizer block
+    reaches cosine >= 0.40. The quantizer (k=4, 3 Lloyd rounds) fits on
+    the CORPUS only — a shard must never move the blocks it is judged
+    against — and the shard assigns by the zero-shuffle broadcast
+    argmin. The corpus is scanned once, never self-joined; the
+    candidate join is the salted (cluster, salt) equi join, so pair
+    cost is |shard| x block_size cosine folds. The embedding-space
+    twin of dedup_incremental's n-gram path."""
+    from timeseries_spark.extensions.dedup import incremental_semantic_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    return incremental_semantic_dedup(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        emb.filter(~is_shard),
+        threshold=0.40,
+        n_clusters=4,
+        kmeans_iter=3,
+    )
+
+
+@query(
+    "semantic_dedup_incremental_staged",
+    oracle=REGISTRY["semantic_dedup_incremental"].oracle,
+)
+def semantic_dedup_incremental_staged(spark, sf_dir):
+    """The production shape of incremental semantic dedup: the corpus
+    quantizer is a STAGED artifact (fit once per corpus fingerprint,
+    tag-keyed apart from the full-table IVF quantizer), so every
+    shard's ingestion pass is a pure Catalyst plan — two broadcast
+    argmin assignments against a k-row parquet read, the salted
+    block equi join, one anti join. No Lloyd subtree per shard.
+    Hash-identical to semantic_dedup_incremental (same oracle):
+    staging changes WHEN the quantizer trains, never what it
+    answers."""
+    from timeseries_spark.extensions.dedup import incremental_semantic_dedup
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    corpus = emb.filter(~is_shard)
+    cents = staged_centroids(
+        spark, corpus, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3,
+        tag="semincr",
+    )
+    return incremental_semantic_dedup(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        corpus,
+        threshold=0.40,
+        centroids=cents,
+    )
 
 
 _RECALL_TIERS = (
