@@ -519,7 +519,9 @@ def unigram_logprob(
     Output: (id, n_tokens, mean_logprob 6dp)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = df.select(
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
     )
@@ -597,7 +599,15 @@ def bigram_logprob(
     Output: (id, n_bigrams, mean_logprob 6dp, perplexity 6dp)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = df.select(
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    # the tokenize+explode is per-row compute over a byte-small scan
+    # (the postings-build starvation lesson): fan the doc rows out once
+    # BEFORE the explode so both consumers of the token stream (the
+    # transition window and the vocab count) parallelize — measured 2
+    # tasks carrying the whole sf1 tokenize before the guard
+    # (experiments/BIGRAM_PROFILE_r13.json stage 63)
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
     )
@@ -972,19 +982,30 @@ def token_label_mi(
     (6dp-rounded MI, token) — the rounded sort key plus id tiebreak
     makes the cut deterministic across engines.
 
-    Scale shape: one corpus scan explodes distinct (doc, token)
-    presence; the statistic then lives on the (token × label) grid —
-    vocabulary-grain, never corpus-grain. The label table (handful of
-    rows) and the scalar total broadcast; the absent-class terms for
-    (token, label) pairs with zero joint count are materialized by the
-    vocab × labels broadcast cross join, NOT by a corpus pass (a
-    missing row still carries (n_c/N)·ln(N/(N−d_t)) of information).
-    The final top-k is orderBy+limit — Spark's distributed
-    TakeOrderedAndProject, no single-partition window."""
+    Scale shape: ONE corpus scan (round-robin fanned out — the explode
+    is per-row compute over a byte-small scan, the postings-build
+    starvation lesson) explodes distinct (doc, token) presence, ONE
+    aggregation to (token, label) joint counts, then ONE reduction to
+    token grain carrying the per-label counts as a map (labels are a
+    handful, so the map is bounded). The absent-class terms for
+    (token, label) pairs with zero joint count come from a vocab ×
+    labels broadcast cross join over that token-grain row — NOT from a
+    second corpus pass (a missing row still carries
+    (n_c/N)·ln(N/(N−d_t)) of information; and the previous
+    d_t-join-d_tc formulation made Catalyst execute the whole
+    corpus-scan→distinct→joint-count chain TWICE — the two subtree
+    copies prune different columns, so the exchanges never reuse;
+    measured as the top-4 stages of the sf1 profile,
+    experiments/TOKENMI_PROFILE_r13.json). The final top-k is
+    orderBy+limit — Spark's distributed TakeOrderedAndProject, no
+    single-partition window."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
     pres = (
-        df.select(
+        ensure_parallelism(df.select(id_col, label_col, text_col))
+        .select(
             F.col(id_col).alias("doc"),
             F.col(label_col).alias("lbl"),
             F.explode(ws_tokens(F.col(text_col))).alias("token"),
@@ -999,17 +1020,25 @@ def token_label_mi(
     d_tc = pres.groupBy("token", "lbl").agg(
         F.count(F.lit(1)).cast("double").alias("ntc")
     )
-    d_t = d_tc.groupBy("token").agg(F.sum("ntc").alias("nt"))
+    # token grain: total doc freq + the per-label joint counts as a map,
+    # so the grid below never consumes d_tc a second time
+    tok = d_tc.groupBy("token").agg(
+        F.sum("ntc").alias("nt"),
+        F.map_from_entries(
+            F.collect_list(F.struct("lbl", "ntc"))
+        ).alias("__by_lbl"),
+    )
     grid = (
-        d_t.crossJoin(F.broadcast(n_c))
-        .join(d_tc, ["token", "lbl"], "left")
+        tok.crossJoin(F.broadcast(n_c))
         .crossJoin(F.broadcast(n_total))
         .select(
             "token",
             "nt",
             "n",
             F.col("nc"),
-            F.coalesce("ntc", F.lit(0.0)).alias("ntc"),
+            F.coalesce(
+                F.col("__by_lbl")[F.col("lbl")], F.lit(0.0)
+            ).alias("ntc"),
         )
     )
     present = F.when(
