@@ -239,14 +239,23 @@ def _minhash_parts(
         )
     hp = ex.select("id", md5_h1(F.col("s")).alias("h1"), md5_h2(F.col("s")).alias("h2"))
     # __n counts surviving shingles (NULL h1 rows — empty docs, capped-out
-    # shingles — don't count): __n == 0 <=> the doc is sentinel
+    # shingles — don't count): __n == 0 <=> the doc is sentinel.
+    # persist: every caller consumes this aggregate at least twice (both
+    # sides of the band-digest self-join + the sentinel filter), and the
+    # alias/pruning differences defeat exchange reuse, so without the
+    # cache the WHOLE shingle-explode + md5 + 32-min chain — the
+    # dominant cost — executes once per consumer (measured as the top-3
+    # identical stages of the sf1 profile, 96 of 101 task-seconds,
+    # experiments/MINHASH_PROFILE_r13.json). The entry is compact
+    # (id + num_hashes longs + count ≈ 300 B/doc, far smaller than the
+    # text it derives from) and spills to disk if memory won't hold it.
     agg = hp.groupBy("id").agg(
         *[
             F.min(F.col("h1") + i * F.col("h2")).alias(f"__m{i}")
             for i in range(num_hashes)
         ],
         F.count("h1").alias("__n"),
-    )
+    ).persist()
     sig = agg.filter(F.col("__n") > 0).select(
         "id",
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),

@@ -890,7 +890,12 @@ def trigram_backoff_logprob(
     if not 0.0 < backoff <= 1.0:
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
     b = float(backoff)
-    toks = df.select(
+    from timeseries_spark.functions.parallelism import ensure_parallelism
+
+    # fan the byte-small doc scan out before the explode (the
+    # bigram_logprob starvation fix: 2 tasks carried the whole sf1
+    # tokenize, experiments/TRIGRAM_PROFILE_r13.json stage 31)
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         (F.col(id_col) % 2 == 0).alias("is_train"),
         F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),

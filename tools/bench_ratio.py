@@ -24,7 +24,21 @@ def main() -> None:
         if t_big is None or t_small <= 0:
             continue
         ratios[q] = round(t_big / t_small, 2)
-    flagged = {q: r for q, r in sorted(ratios.items()) if r > growth}
+    # pinned-k compat entries are super-linear BY DESIGN (frozen k=4
+    # blocker; see bench.py BY_DESIGN_QUADRATIC) — report them apart so
+    # flagged_super_linear only ever names genuine regressions
+    by_design = set(
+        big.get("by_design_quadratic") or small.get("by_design_quadratic") or ()
+    )
+    flagged = {
+        q: r
+        for q, r in sorted(ratios.items())
+        if r > growth and q not in by_design
+    }
+    compat = {
+        q: r for q, r in sorted(ratios.items())
+        if q in by_design and r > growth
+    }
     out = {
         "small_sf": small.get("sf"),
         "big_sf": big.get("sf"),
@@ -35,6 +49,7 @@ def main() -> None:
             "big": big.get("calibration"),
         },
         "flagged_super_linear": flagged,
+        "compat_quadratic": compat,
         "worst": max(ratios.items(), key=lambda kv: kv[1]) if ratios else None,
         "ratios": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
     }
