@@ -335,3 +335,31 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert c["containment_a"] == 1.0  # every quote shingle is in doc 2
     assert c["containment_b"] < 0.05
     assert jaccard_pairs(docs, n=3, threshold=0.5).count() == 0
+
+
+def test_simhash_bucket_cap_binds_and_preserves_cold_pairs(spark):
+    """The max_bucket cap drops only hot-band candidates: a twin pair
+    living in small buckets survives the cap; a boilerplate mega-cluster
+    whose every band bucket exceeds the cap emits no pairs. Capped
+    output is always a subset of uncapped output."""
+    from timeseries_spark.extensions.dedup import simhash_pairs
+
+    twins = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    boiler = [(100 + i, "lorem ipsum dolor sit amet") for i in range(12)]
+    docs = spark.createDataFrame(
+        twins + boiler, "doc_id bigint, text string"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=6, max_bucket=4).collect()
+    }
+    assert capped <= uncapped
+    # identical twins share every band; their buckets hold 2 docs (< cap)
+    assert (1, 2) in capped
+    # the 12-doc boilerplate cluster busts every one of its band buckets
+    assert not any(a >= 100 and b >= 100 for a, b in capped)
+    assert any(a >= 100 and b >= 100 for a, b in uncapped)

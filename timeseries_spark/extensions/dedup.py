@@ -106,8 +106,16 @@ def jaccard_pairs(
             ),
         )
     )
+    # persist the posting rows at every multi-consumer point: the
+    # tokenize+shingle explode feeds the hot-shingle aggregate, the doc
+    # sizes, and BOTH self-join sides, and alias/pruning differences
+    # defeat exchange reuse — without the cache the whole explode chain
+    # executes once per consumer (4 parquet scans measured; the same
+    # lesson as _minhash_parts' signature aggregate)
     if max_doc_freq is not None:
+        sh = sh.persist()
         sh = sh.join(F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -412,6 +420,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -419,7 +428,19 @@ def simhash_pairs(
     4 bits, any pair differing in at most 7 bits must agree exactly on at
     least one band, so the self-join runs on (band, band_bits) instead of
     all-pairs — with NO recall loss for ``max_hamming <= 7``. Exact
-    distance is then verified with xor+bit_count."""
+    distance is then verified with xor+bit_count.
+
+    ``max_bucket`` is the corpus-scale knob: 4-bit bands have only 16
+    values, so band buckets grow ~n/16 and the bucket self-join turns
+    quadratic (measured 19.8× wall for 10× data at sf1 uncapped,
+    experiments/SIMHASH_PROFILE_r13.json). Buckets holding more than
+    ``max_bucket`` docs are dropped BEFORE the join (broadcast
+    anti-join against the tiny hot set — the hot-shingle idiom), which
+    bounds every posting list at the cap and makes candidate volume
+    linear. The trade is recall on pairs whose EVERY agreeing band is
+    hot — at corpus scale those are boilerplate mega-clusters better
+    handled by exact/minhash tiers. The cap changes the answer, so it
+    ships as its own oracle-gated query (dedup_simhash_capped)."""
     if max_hamming > 7:
         raise ValueError("banded plan guarantees recall only for max_hamming <= 7")
     n_bands = 8
@@ -452,6 +473,18 @@ def simhash_pairs(
             )
         ).alias("bd"),
     ).select("id", "sk", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
+    if max_bucket is not None:
+        banded = banded.persist()
+        hot = (
+            banded.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bits")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bits"], "left_anti")
+    # both self-join sides re-run the per-row simhash fold (the
+    # operator's dominant cost) without the cache — 8 compact rows/doc
+    banded = banded.persist()
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bits"])
@@ -1033,10 +1066,14 @@ def containment_pairs(
             F.array_distinct(shingles(tokens(F.col(text_col)), n))
         ).alias("sh"),
     )
+    # same multi-consumer caching as jaccard_pairs (sizes + both join
+    # sides + the hot aggregate would each re-run the explode chain)
     if max_doc_freq is not None:
+        sh = sh.persist()
         sh = sh.join(
             F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti"
         )
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")

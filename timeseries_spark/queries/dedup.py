@@ -253,6 +253,54 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_capped",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents
+    ),
+    th AS (SELECT id, {md5_long_sql('t')} AS h FROM tok),
+    bits AS (
+      SELECT id, j,
+             CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT << j ELSE 0 END AS bitval
+      FROM th, unnest(generate_series(0, 31)) AS g(j)
+      GROUP BY id, j
+    ),
+    sk AS (SELECT id, CAST(sum(bitval) AS BIGINT) AS sk FROM bits GROUP BY id),
+    banded AS (
+      SELECT id, sk, band, (sk >> (band * 4)) & 15 AS bb
+      FROM sk, unnest(generate_series(0, 7)) AS t(band)
+    ),
+    kept AS (
+      SELECT band, bb FROM banded GROUP BY band, bb HAVING count(*) <= 64
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN kept k ON k.band = a.band AND k.bb = a.bb
+    JOIN banded b ON b.band = a.band AND b.bb = a.bb AND a.id < b.id
+    WHERE bit_count(xor(a.sk, b.sk)) <= 6
+    """,
+)
+def dedup_simhash_capped(spark, sf_dir):
+    """SimHash near-dup pairs with the BUCKET CAP — the corpus-scale
+    configuration: 4-bit bands have 16 values, so uncapped buckets grow
+    ~n/16 and the bucket self-join turns quadratic (measured 19.8× wall
+    for 10× data at sf1, experiments/SIMHASH_PROFILE_r13.json). Band
+    buckets holding more than 64 docs are dropped before the join
+    (broadcast anti-join), bounding candidate volume linearly in the
+    corpus; recall is lost only for pairs whose every agreeing band is
+    a hot boilerplate mega-bucket. The cap changes the answer, so the
+    uncapped ``dedup_simhash`` stays registered for compat and the
+    oracle replays the identical banded route + cap + exact hamming
+    verify."""
+    out = simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=6, max_bucket=64
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@query(
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE sh AS (
