@@ -167,3 +167,71 @@ def test_plan_shape_no_allpairs(spark):
             "partial_bloom_filter_agg" in below
             or "partial_collect_list" in below
         ), ln
+
+
+def test_streaming_ingest_equals_sequential_batch(spark, tmp_path_factory):
+    """SemanticIngestSink: two shards drained file-by-file through
+    foreachBatch must accept exactly the docs a sequential batch fold
+    accepts — shard 2 judged against base corpus PLUS shard 1's
+    survivors, under the same fixed quantizer."""
+    from timeseries_spark.queries import load
+    from timeseries_spark.streaming.incremental import SemanticIngestSink
+
+    base = tmp_path_factory.mktemp("semingest")
+    emb = load(spark, SF, "embeddings")
+    docs = load(spark, SF, "documents")
+    rows = emb.join(docs.select("doc_id", "source"),
+                    emb.vec_id == docs.doc_id).select(
+        "doc_id", "source", "embedding"
+    )
+    corpus = rows.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    shard1 = rows.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    shard2 = rows.filter(
+        (F.pmod("doc_id", F.lit(5)) == 0) & (F.pmod("doc_id", F.lit(10)) != 0)
+    )
+    corpus_path = str(base / "corpus")
+    corpus.write.parquet(corpus_path)
+    stream_dir = str(base / "in")
+    shard1.coalesce(1).write.parquet(stream_dir)
+    shard2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    _, cents = kmeans_fit(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=4, max_iter=3,
+    )
+    sink = SemanticIngestSink(
+        corpus_path, str(base / "accepted"), cents, threshold=0.40
+    )
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    sink.run(stream)
+    got = {
+        r.doc_id
+        for d in sink._accepted_batches(spark)
+        for r in spark.read.parquet(d).select("doc_id").collect()
+    }
+
+    # sequential batch fold over the same shards in arrival order
+    def fold(corpus_vecs, shard):
+        surv = incremental_semantic_dedup(
+            shard.select("doc_id", "source"),
+            shard.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            corpus_vecs,
+            threshold=0.40,
+            centroids=cents,
+        )
+        return shard.join(surv.select("doc_id"), "doc_id", "left_semi")
+
+    cv = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    acc1 = fold(cv, shard1)
+    cv2 = cv.unionByName(
+        acc1.select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    acc2 = fold(cv2, shard2)
+    want = {r.doc_id for r in acc1.unionByName(acc2).collect()}
+    assert got == want and len(want) > 0
+    # and the ingestion is consequential: not every shard doc survives
+    assert len(want) < shard1.count() + shard2.count()

@@ -261,6 +261,120 @@ class IncrementalAssociationSink:
         fresh.write.mode("overwrite").parquet(f"{self.assoc_dir}/v{batch_id}")
 
 
+class SemanticIngestSink:
+    """foreachBatch bridge from a stream of new document shards to
+    incremental SEMANTIC dedup (extensions/dedup.py:
+    incremental_semantic_dedup) — the streaming face of ingestion-time
+    embedding dedup: each micro-batch is judged against the CURRENT
+    accepted corpus (the base corpus plus every previously accepted
+    shard row) under a FIXED quantizer, and the surviving rows publish
+    as an idempotent batch-keyed append.
+
+    Stream rows carry (doc_id, source, embedding) — one vector per doc
+    (the corpus contract). Invariants:
+
+    - the quantizer (a staged centroid table; extensions/staging.py)
+      never refits inside the stream: a shard must not move the blocks
+      it is judged against, and block assignment stays replayable —
+      refit cadence is an offline decision, after which the stream
+      restarts against the new artifact;
+    - the accepted store is append-only (``accepted_dir/batch=<id>``)
+      and micro-batch replay after a crash overwrites its own subdir,
+      so the corpus a later shard is judged against is always a
+      complete, deterministic prefix of the stream;
+    - within a shard, near-dups BOTH survive (the incremental contract
+      — shard-internal dedup belongs to the periodic full
+      ``semantic_dedup`` pass), so acceptance depends only on the
+      corpus prefix, never on intra-batch ordering.
+
+    State across restarts is the accepted directory itself — no state
+    store, no watermark: dedup state IS the corpus, which a 100 TB
+    deployment already persists."""
+
+    def __init__(
+        self,
+        corpus_path: str,
+        accepted_dir: str,
+        centroids: DataFrame,
+        threshold: float = 0.40,
+        doc_id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        carry_cols: tuple[str, ...] = ("source",),
+    ):
+        self.corpus_path = corpus_path
+        self.accepted_dir = accepted_dir
+        self.centroids = centroids
+        self.threshold = threshold
+        self.doc_id_col = doc_id_col
+        self.vec_col = vec_col
+        self.carry_cols = tuple(carry_cols)
+
+    def _accepted_batches(self, spark: SparkSession) -> list[str]:
+        from timeseries_spark.sources.io import table_exists
+
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.accepted_dir)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return []
+        dirs = [
+            f"{self.accepted_dir}/{f.getPath().getName()}"
+            for f in fs.listStatus(path)
+            if f.getPath().getName().startswith("batch=")
+        ]
+        # only complete publications join the corpus (a torn write from
+        # a killed micro-batch has no _SUCCESS and is overwritten on
+        # replay)
+        return sorted(d for d in dirs if table_exists(spark, d))
+
+    def corpus_vectors(self, spark: SparkSession) -> DataFrame:
+        """Base corpus ∪ all accepted shard rows, as (doc_id, embedding)."""
+        cols = [self.doc_id_col, self.vec_col]
+        corpus = spark.read.parquet(self.corpus_path).select(*cols)
+        for d in self._accepted_batches(spark):
+            corpus = corpus.unionByName(spark.read.parquet(d).select(*cols))
+        return corpus
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch callback (bind with ``.foreachBatch(sink.process)``)."""
+        from timeseries_spark.extensions.dedup import (
+            incremental_semantic_dedup,
+        )
+
+        spark = batch_df.sparkSession
+        survivors = incremental_semantic_dedup(
+            batch_df.select(self.doc_id_col, *self.carry_cols),
+            batch_df.select(
+                F.col(self.doc_id_col).alias("vec_id"), self.vec_col
+            ),
+            self.corpus_vectors(spark).select(
+                F.col(self.doc_id_col).alias("vec_id"), self.vec_col
+            ),
+            threshold=self.threshold,
+            centroids=self.centroids,
+            doc_id_col=self.doc_id_col,
+            carry_cols=(),
+        )
+        batch_df.join(
+            survivors.select(self.doc_id_col), self.doc_id_col, "left_semi"
+        ).write.mode("overwrite").parquet(
+            f"{self.accepted_dir}/batch={batch_id}"
+        )
+
+    def run(self, shard_stream: DataFrame):
+        """Attach the sink and drain everything currently available."""
+        q = (
+            shard_stream.writeStream.foreachBatch(self.process)
+            .option(
+                "checkpointLocation", f"{self.accepted_dir}/_checkpoint"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
 def run_incremental(
     new_evidence_stream: DataFrame, sink: IncrementalAssociationSink
 ):
