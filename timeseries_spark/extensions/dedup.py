@@ -376,25 +376,31 @@ def lsh_verified_pairs(
     return verified.unionByName(sent_pairs)
 
 
-def simhash32(toks: Column) -> Column:
-    """32-bit SimHash as a bigint, in ONE HOF fold (no explode, no shuffle):
-    accumulate a 32-slot ±1 vector over token hashes, then pack sign bits.
+def simhash_bits(toks: Column, n_bits: int = 32) -> Column:
+    """``n_bits``-bit SimHash as a bigint, in ONE HOF fold (no explode,
+    no shuffle): accumulate an ``n_bits``-slot ±1 vector over token
+    hashes, then pack sign bits. ``n_bits <= 60`` (md5_long supplies 60
+    hash bits per token).
 
     ``bit_j = 1 iff sum over tokens of (token_hash bit j ? +1 : -1) > 0``.
     """
-    # 1 << j with a Column j: pow(2, j) is exact in double for j <= 31
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
+
+    # 1 << j with a Column j: pow(2, j) is exact in double for any
+    # j < 62 (powers of two are exactly representable)
     def mask(j: Column) -> Column:
         return F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
 
     # hash each token ONCE up front — md5 inside the bit lambda would be
-    # re-evaluated for all 32 bits of every token
+    # re-evaluated for all n_bits bits of every token
     acc = F.aggregate(
         F.transform(toks, md5_long),
-        F.array_repeat(F.lit(0).cast("bigint"), 32),
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
                 lambda j: F.when(
                     h.bitwiseAND(mask(j)) > 0,
                     F.lit(1).cast("bigint"),
@@ -406,7 +412,7 @@ def simhash32(toks: Column) -> Column:
     packed = F.aggregate(
         F.zip_with(
             acc,
-            F.sequence(F.lit(0), F.lit(31)),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
             lambda v, j: F.when(v > 0, mask(j)).otherwise(F.lit(0).cast("bigint")),
         ),
         F.lit(0).cast("bigint"),
@@ -415,12 +421,19 @@ def simhash32(toks: Column) -> Column:
     return packed
 
 
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash (compat wrapper; see :func:`simhash_bits`)."""
+    return simhash_bits(toks, 32)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    n_bits: int = 32,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -440,36 +453,54 @@ def simhash_pairs(
     linear. The trade is recall on pairs whose EVERY agreeing band is
     hot — at corpus scale those are boilerplate mega-clusters better
     handled by exact/minhash tiers. The cap changes the answer, so it
-    ships as its own oracle-gated query (dedup_simhash_capped)."""
-    if max_hamming > 7:
-        raise ValueError("banded plan guarantees recall only for max_hamming <= 7")
-    n_bands = 8
-    width = 32 // n_bands
+    ships as its own oracle-gated query (dedup_simhash_capped).
+
+    ``n_bits``/``n_bands`` widen the sketch — the OTHER scale lever:
+    a 60-bit sketch in 7 bands of 8 bits has 256 values per band, so
+    uncapped buckets run ~n/256 (16x the dilution of the 32-bit
+    default) while the pigeonhole recall bound holds for
+    ``max_hamming < n_bands`` (any pair with fewer differing bits than
+    bands must leave one band untouched; bits past
+    n_bands*(n_bits//n_bands) never enter a band, which only ever adds
+    candidates, never loses one). Wider sketches also discriminate
+    hamming distance better, so the same max_hamming is a STRICTER
+    near-dup test — n_bits changes the answer and ships as its own
+    oracle-gated query (dedup_simhash_wide)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banded plan guarantees recall only for max_hamming < n_bands"
+        )
+    width = n_bits // n_bands
+    if width < 1:
+        raise ValueError(f"n_bits={n_bits} too narrow for {n_bands} bands")
     df = ensure_parallelism(df)
     # NOTE: an explode + 32-conditional-SUM groupBy formulation was
     # measured 2x SLOWER than this per-row HOF fold at sf0.1 (the token
     # shuffle costs more than the fold's array allocations save)
     sk = df.select(
         F.col(id_col).alias("id"),
-        simhash32(tokens(F.col(text_col))).alias("sk"),
+        simhash_bits(tokens(F.col(text_col)), n_bits).alias("sk"),
     )
     banded = sk.select(
         "id",
         "sk",
+        # band extraction must stay in INTEGER arithmetic: a double
+        # round-trip (pow/floor) silently rounds sketches past 2^53,
+        # corrupting low band bits at n_bits=60 (caught by the sf0.1
+        # oracle: 3 candidate pairs vanished). n_bands is a plain
+        # Python int, so unrolling to literal-shift structs keeps
+        # every shift an exact bigint op.
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                # sk >> (b*width) with Column b: sk < 2^32 so the double
-                # division is exact
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.floor(
-                        F.col("sk") / F.pow(F.lit(2.0), (b * width).cast("double"))
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftright(F.col("sk"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
                     )
-                    .cast("bigint")
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("bits"),
-                ),
+                    for b in range(n_bands)
+                ]
             )
         ).alias("bd"),
     ).select("id", "sk", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))

@@ -301,6 +301,52 @@ def dedup_simhash_capped(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents
+    ),
+    th AS (SELECT id, {md5_long_sql('t')} AS h FROM tok),
+    bits AS (
+      SELECT id, j,
+             CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT << j ELSE 0 END AS bitval
+      FROM th, unnest(generate_series(0, 59)) AS g(j)
+      GROUP BY id, j
+    ),
+    sk AS (SELECT id, CAST(sum(bitval) AS BIGINT) AS sk FROM bits GROUP BY id),
+    banded AS (
+      SELECT id, sk, band, (sk >> (band * 8)) & 255 AS bb
+      FROM sk, unnest(generate_series(0, 6)) AS t(band)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN banded b ON b.band = a.band AND b.bb = a.bb AND a.id < b.id
+    WHERE bit_count(xor(a.sk, b.sk)) <= 6
+    """,
+)
+def dedup_simhash_wide(spark, sf_dir):
+    """SimHash near-dup pairs with the WIDE sketch — the other scale
+    lever: a 60-bit sketch (md5 supplies 60 deterministic bits) in 7
+    bands of 8 bits gives 256 values per band, so uncapped buckets run
+    ~n/256 — 16x the dilution of the 32-bit default whose band join
+    measured 19.8x wall for 10x data. Pigeonhole recall holds for
+    hamming <= 6 (< 7 bands); the wider sketch also discriminates
+    distance better, so the same threshold is a stricter (and at 60
+    bits, far more precise) near-dup test. n_bits changes the answer —
+    own oracle-gated query; the 32-bit ``dedup_simhash`` stays for
+    compat."""
+    out = simhash_pairs(
+        load(spark, sf_dir, "documents"),
+        max_hamming=6,
+        n_bits=60,
+        n_bands=7,
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@query(
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE sh AS (
