@@ -235,3 +235,59 @@ def test_streaming_ingest_equals_sequential_batch(spark, tmp_path_factory):
     assert got == want and len(want) > 0
     # and the ingestion is consequential: not every shard doc survives
     assert len(want) < shard1.count() + shard2.count()
+
+
+def test_accepted_store_compaction_preserves_answers(spark, tmp_path_factory):
+    """compact(): N accepted batch dirs fold into one consolidated dir
+    with the identical accepted row set, and a later shard is judged
+    identically against the compacted corpus."""
+    from timeseries_spark.queries import load
+    from timeseries_spark.streaming.incremental import SemanticIngestSink
+
+    base = tmp_path_factory.mktemp("semcompact")
+    emb = load(spark, SF, "embeddings")
+    docs = load(spark, SF, "documents")
+    rows = emb.join(docs.select("doc_id", "source"),
+                    emb.vec_id == docs.doc_id).select(
+        "doc_id", "source", "embedding"
+    )
+    corpus = rows.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    corpus_path = str(base / "corpus")
+    corpus.write.parquet(corpus_path)
+    _, cents = kmeans_fit(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=4, max_iter=3,
+    )
+
+    def mk(name):
+        return SemanticIngestSink(
+            corpus_path, str(base / name), cents, threshold=0.40
+        )
+
+    shard1 = rows.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    shard2 = rows.filter(
+        (F.pmod("doc_id", F.lit(5)) == 0) & (F.pmod("doc_id", F.lit(10)) != 0)
+    )
+    shard3 = rows.filter(F.pmod("doc_id", F.lit(5)) != 0).limit(0)  # empty
+
+    a, b = mk("acc_plain"), mk("acc_compacted")
+    for s in (a, b):
+        s.process(shard1, 0)
+        s.process(shard2, 1)
+    before = {r.doc_id for r in b.corpus_vectors(spark).collect()}
+    assert b.compact(spark) == 2
+    assert len(b._accepted_batches(spark)) == 1
+    assert b._accepted_batches(spark)[0].endswith("batch=c1")
+    after = {r.doc_id for r in b.corpus_vectors(spark).collect()}
+    assert after == before
+    # idempotent: nothing left to fold
+    assert b.compact(spark) == 0
+    # a later shard sees the identical corpus either way
+    shard3 = rows.filter(F.pmod("doc_id", F.lit(10)) == 3)
+    a.process(shard3, 2)
+    b.process(shard3, 2)
+    got_a = {r.doc_id for r in spark.read.parquet(
+        f"{a.accepted_dir}/batch=2").collect()}
+    got_b = {r.doc_id for r in spark.read.parquet(
+        f"{b.accepted_dir}/batch=2").collect()}
+    assert got_a == got_b

@@ -361,6 +361,49 @@ class SemanticIngestSink:
             f"{self.accepted_dir}/batch={batch_id}"
         )
 
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite all complete accepted batch dirs into ONE consolidated
+        dir (``batch=c<max_id>``) and remove the originals. Past ~10^4
+        shards the per-read file listing and union fan-in dominate the
+        corpus read; compaction restores O(1) dirs and composes with the
+        atomic rename-publish (extensions/staging.py), so a reader only
+        ever sees complete artifacts. The transient window where the
+        consolidated dir and the originals coexist (crash between
+        publish and cleanup, or a checkpoint-replayed micro-batch
+        re-publishing a compacted id) double-counts corpus ROWS but can
+        never change an ANSWER: the corpus side of incremental semantic
+        dedup is an existential near-neighbor test, insensitive to
+        duplicates, and the next compaction folds the stragglers in.
+        Returns the number of dirs compacted away (0 = nothing to do)."""
+        import re
+
+        from timeseries_spark.extensions.staging import _publish_atomic
+
+        dirs = self._accepted_batches(spark)
+        if len(dirs) < 2:
+            return 0
+        max_id = max(
+            int(re.search(r"batch=c?(\d+)$", d).group(1)) for d in dirs
+        )
+        out = f"{self.accepted_dir}/batch=c{max_id}"
+        merged = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            merged = merged.unionByName(spark.read.parquet(d))
+        _publish_atomic(
+            lambda tmp: merged.write.mode("overwrite").parquet(tmp), out
+        )
+        jvm = spark.sparkContext._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self.accepted_dir).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        removed = 0
+        for d in dirs:
+            if d == out:
+                continue  # the collision case: out replaced an old c-dir
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            removed += 1
+        return removed
+
     def run(self, shard_stream: DataFrame):
         """Attach the sink and drain everything currently available."""
         q = (
