@@ -81,6 +81,11 @@ HEADLINE = [
     #   the linear-pair-generation configuration; its sf1/sf0.1 ratio in
     #   BENCH_RATIO is the scale proof for the dedup path
     "semantic_dedup_scaled_staged",  # round-13: auto-k + staged quantizer
+    "semantic_dedup_incremental_staged",  # round-13: ingestion-time
+    #   shard-vs-corpus dedup from the staged quantizer — the per-shard
+    #   production path; pure Catalyst plan, no Lloyd subtree
+    "dedup_simhash_wide",  # round-13: 60-bit/7x8 banding — the uncapped
+    #   simhash configuration whose buckets stay ~n/256
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:

@@ -108,7 +108,7 @@ def test_python_boundary_only_in_multimodal(plan):
             assert py == 0, name
 
 
-def test_dedup_pipelines_avoid_all_pairs(plan):
+def test_dedup_pipelines_avoid_all_pairs(plan, spark):
     """Candidate generation must be index/bucket joins, never all-pairs:
     no cartesian, no nested-loop join on the document side.
 
@@ -116,7 +116,11 @@ def test_dedup_pipelines_avoid_all_pairs(plan):
     subtree per alias, and since the parallelism guard ends each copy in
     an identical round-robin Exchange, AQE's ReusedExchange computes it
     once at runtime (the textual count is the upper bound, not the
-    executed count)."""
+    executed count). Audit COLD: the round-13 multi-consumer persist()
+    points otherwise splice each warm InMemoryRelation's full lineage —
+    exchanges included — into the plan TEXT of whichever test runs
+    second, making the count depend on suite order."""
+    spark.catalog.clearCache()
     budget = {
         "dedup_jaccard_pairs": 7,  # 3 aliases of the shingle subtree
         # sentinel routing references the signature aggregate twice
