@@ -279,9 +279,11 @@ class SemanticIngestSink:
       refit cadence is an offline decision, after which the stream
       restarts against the new artifact;
     - the accepted store is append-only (``accepted_dir/batch=<id>``)
-      and micro-batch replay after a crash overwrites its own subdir,
-      so the corpus a later shard is judged against is always a
-      complete, deterministic prefix of the stream;
+      and micro-batch replay after a crash overwrites its own subdir —
+      the replayed batch's previous output is EXCLUDED from the corpus
+      it is judged against (see ``corpus_vectors``) — so the corpus a
+      later shard sees is always a complete, deterministic prefix of
+      the stream;
     - within a shard, near-dups BOTH survive (the incremental contract
       — shard-internal dedup belongs to the periodic full
       ``semantic_dedup`` pass), so acceptance depends only on the
@@ -309,29 +311,57 @@ class SemanticIngestSink:
         self.vec_col = vec_col
         self.carry_cols = tuple(carry_cols)
 
-    def _accepted_batches(self, spark: SparkSession) -> list[str]:
-        from timeseries_spark.sources.io import table_exists
-
+    def _accepted_batches(
+        self, spark: SparkSession, exclude_batch_id: int | None = None
+    ) -> list[str]:
         jvm = spark.sparkContext._jvm
         path = jvm.org.apache.hadoop.fs.Path(self.accepted_dir)
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if not fs.exists(path):
             return []
+        skip = (
+            None
+            if exclude_batch_id is None
+            else f"batch={exclude_batch_id}"
+        )
         dirs = [
             f"{self.accepted_dir}/{f.getPath().getName()}"
             for f in fs.listStatus(path)
             if f.getPath().getName().startswith("batch=")
+            and f.getPath().getName() != skip
         ]
-        # only complete publications join the corpus (a torn write from
-        # a killed micro-batch has no _SUCCESS and is overwritten on
-        # replay)
-        return sorted(d for d in dirs if table_exists(spark, d))
+        # only COMPLETE publications join the corpus: the _SUCCESS marker
+        # must itself exist (listStatus already proved the directory
+        # does, so a bare dir-exists check gated nothing) — a torn write
+        # from a killed micro-batch has no marker, is excluded here, and
+        # is overwritten whole on replay
+        return sorted(
+            d
+            for d in dirs
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d + "/_SUCCESS"))
+        )
 
-    def corpus_vectors(self, spark: SparkSession) -> DataFrame:
-        """Base corpus ∪ all accepted shard rows, as (doc_id, embedding)."""
+    def corpus_vectors(
+        self, spark: SparkSession, exclude_batch_id: int | None = None
+    ) -> DataFrame:
+        """Base corpus ∪ all accepted shard rows, as (doc_id, embedding).
+
+        ``exclude_batch_id`` drops ``batch=<id>`` from the union — the
+        checkpoint-replay guard: when micro-batch N completed its write
+        but crashed before the offset commit, the replay of batch N must
+        NOT be judged against its own previous output (reading the path
+        it is about to overwrite raises Spark's cannot-overwrite-a-path-
+        being-read error, and semantically self-inclusion would drop
+        every previously accepted row at cosine 1.0). A compacted dir
+        ``batch=c<id>`` that swallowed batch N between the crash and the
+        restart is deliberately KEPT: its batch-N rows make the replay
+        drop those rows again (they are already in the corpus), so the
+        replayed ``batch=<id>`` publishes empty and the corpus row-set
+        is unchanged — whereas excluding the c-dir would wrongly remove
+        every PRIOR batch from the corpus."""
         cols = [self.doc_id_col, self.vec_col]
         corpus = spark.read.parquet(self.corpus_path).select(*cols)
-        for d in self._accepted_batches(spark):
+        for d in self._accepted_batches(spark, exclude_batch_id):
             corpus = corpus.unionByName(spark.read.parquet(d).select(*cols))
         return corpus
 
@@ -347,7 +377,7 @@ class SemanticIngestSink:
             batch_df.select(
                 F.col(self.doc_id_col).alias("vec_id"), self.vec_col
             ),
-            self.corpus_vectors(spark).select(
+            self.corpus_vectors(spark, exclude_batch_id=batch_id).select(
                 F.col(self.doc_id_col).alias("vec_id"), self.vec_col
             ),
             threshold=self.threshold,
