@@ -82,22 +82,32 @@ HEADLINE = [
     #   BENCH_RATIO is the scale proof for the dedup path
     "semantic_dedup_scaled_staged",  # round-13: auto-k + staged quantizer
     "semantic_dedup_incremental_staged",  # round-13: ingestion-time
-    #   shard-vs-corpus dedup from the staged quantizer — the per-shard
-    #   production path; pure Catalyst plan, no Lloyd subtree
+    #   shard-vs-corpus dedup from the staged quantizer — kept for
+    #   answer/latency continuity; k=4 pinned, so BY_DESIGN_QUADRATIC
+    "semantic_dedup_incremental_scaled_staged",  # round-14: the
+    #   ingestion production path — auto-k staged quantizer; its
+    #   BENCH_RATIO entry is the scale proof for shard ingestion
     "dedup_simhash_wide",  # round-13: 60-bit/7x8 banding — the uncapped
     #   simhash configuration whose buckets stay ~n/256
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:
-# k=4 is frozen for answer-compat, so the per-block self-join costs
-# Σ block² ≈ n²/4 — quadratic in the corpus, measured 13-19x wall for
-# 10x data (BENCH_RATIO_SF1_r11/r13). The corpus-sized twins
-# (semantic_dedup_scaled*) are the headline scale path; these stay in
-# the bench for answer/latency continuity but are reported under
-# compat_quadratic by tools/bench_ratio.py instead of
-# flagged_super_linear, so a real regression can't hide behind the
-# two permanent by-design flags.
-BY_DESIGN_QUADRATIC = ("semantic_dedup", "semantic_dedup_staged")
+# k=4 is frozen for answer-compat, so the batch pair's per-block
+# self-join costs Σ block² ≈ n²/4 and the incremental pair's
+# shard×block join costs |shard|·(n/4) — both quadratic in the corpus,
+# measured 13-19x (batch) and 14.2x (incremental) wall for 10x data
+# (BENCH_RATIO_SF1_r11/r13). The corpus-sized twins
+# (semantic_dedup_scaled*, semantic_dedup_incremental_scaled*) are the
+# headline scale path; the pinned entries stay in the bench for
+# answer/latency continuity but are reported under compat_quadratic by
+# tools/bench_ratio.py instead of flagged_super_linear, so a real
+# regression can't hide behind the permanent by-design flags.
+BY_DESIGN_QUADRATIC = (
+    "semantic_dedup",
+    "semantic_dedup_staged",
+    "semantic_dedup_incremental",
+    "semantic_dedup_incremental_staged",
+)
 
 
 def _calibration_once(spark, sf_dir: str) -> float:

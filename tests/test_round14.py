@@ -1,0 +1,105 @@
+"""Round-14 pins.
+
+1. Auto-k INCREMENTAL semantic dedup (the last flagged quadratic,
+   BENCH_RATIO_SF1_r13 14.21x): the corpus-sized blocker must bind k
+   from the CORPUS row count only, answer-match the explicit-k call,
+   and keep the salted equi-join plan shape at the derived k.
+2. The streaming ingestion sink's checkpoint-replay exclusion is
+   pinned in tests/test_incremental_semantic.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseries_spark.extensions.dedup import (
+    auto_n_clusters,
+    incremental_semantic_dedup,
+)
+from timeseries_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _shard_corpus(spark):
+    docs = load(spark, SF, "documents")
+    emb = load(spark, SF, "embeddings")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    return (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        emb.filter(~is_shard),
+    )
+
+
+def test_incremental_auto_k_binds_corpus_count(spark):
+    # n_clusters="auto" must derive k from the CORPUS row count (the
+    # shard must not size the blocks it is judged against): the auto
+    # call answers identically to the explicit k=auto_n_clusters(
+    # corpus.count()) call, and differently-sized explicit k would not
+    new_docs, new_vecs, corpus = _shard_corpus(spark)
+    k_corpus = auto_n_clusters(corpus.count(), target_block_size=512)
+    a = incremental_semantic_dedup(
+        new_docs, new_vecs, corpus, threshold=0.40, n_clusters="auto",
+        kmeans_iter=3, target_block_size=512,
+    )
+    b = incremental_semantic_dedup(
+        new_docs, new_vecs, corpus, threshold=0.40, n_clusters=k_corpus,
+        kmeans_iter=3,
+    )
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and len(got_a) > 0
+
+
+def test_incremental_scaled_plan_no_all_pairs(spark):
+    # at the auto-derived k the candidate join must stay the salted
+    # (cluster, salt) equi join: no CartesianProduct, no broadcast
+    # nested loop over the corpus, and every SinglePartition collapse
+    # a bounded aggregate (k-row centroid collect / bloom sketch)
+    new_docs, new_vecs, corpus = _shard_corpus(spark)
+    out = incremental_semantic_dedup(
+        new_docs, new_vecs, corpus, threshold=0.40, n_clusters="auto",
+        kmeans_iter=3, target_block_size=512,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert (
+            "partial_bloom_filter_agg" in below
+            or "partial_collect_list" in below
+        ), ln
+
+
+def test_incremental_scaled_staged_equals_fresh(spark, tmp_path):
+    # staging changes WHEN the quantizer trains, never what it answers:
+    # the staged-artifact composition must be row-identical to the
+    # fresh auto-k fit on the same shard/corpus split
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    new_docs, new_vecs, corpus = _shard_corpus(spark)
+    fresh = incremental_semantic_dedup(
+        new_docs, new_vecs, corpus, threshold=0.40, n_clusters="auto",
+        kmeans_iter=3, target_block_size=512,
+    )
+    k = auto_n_clusters(corpus.count(), target_block_size=512)
+    cents = staged_centroids(
+        spark, corpus, str(tmp_path / "emb.parquet"), k=k, max_iter=3,
+        tag="semincr-test",
+    )
+    staged = incremental_semantic_dedup(
+        new_docs, new_vecs, corpus, threshold=0.40, centroids=cents,
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, staged.collect())
+    )

@@ -883,6 +883,7 @@ def _semantic_incremental_oracle(
     rounds: int = 3,
     dims: int = 64,
     threshold: float = 0.40,
+    k: int | str = 4,
 ) -> str:
     """Replay of incremental (shard-vs-corpus) semantic dedup: Lloyd on
     the CORPUS rows only, shard rows argmin-assigned against the FINAL
@@ -893,7 +894,7 @@ def _semantic_incremental_oracle(
     the drop and the keep sets non-empty at every proof tier — an
     empty result would gate nothing)."""
     body, last = _kmeans_oracle_sql(
-        k=4, dims=dims, rounds=rounds,
+        k=k, dims=dims, rounds=rounds,
         where=f"WHERE NOT ({shard_pred})",
     )
     cents = f"c{rounds - 1}"
@@ -984,6 +985,80 @@ def semantic_dedup_incremental_staged(spark, sf_dir):
     corpus = emb.filter(~is_shard)
     cents = staged_centroids(
         spark, corpus, f"{sf_dir}/embeddings.parquet", k=4, max_iter=3,
+        tag="semincr",
+    )
+    return incremental_semantic_dedup(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        corpus,
+        threshold=0.40,
+        centroids=cents,
+    )
+
+
+@query(
+    "semantic_dedup_incremental_scaled",
+    oracle=_semantic_incremental_oracle(k=_AUTO_K_SQL),
+)
+def semantic_dedup_incremental_scaled(spark, sf_dir):
+    """Incremental semantic dedup with the CORPUS-SIZED blocker — the
+    ingestion path's 100 TB configuration. The pinned-k twin
+    (semantic_dedup_incremental) holds k=4, so its block_size grows
+    ∝ n/4 and the shard×block candidate join is structurally quadratic
+    (measured 14.21× wall for 10× data, BENCH_RATIO_SF1_r13.json);
+    here k = max(2, ceil(corpus_n / 512)) pins blocks near 512 vectors,
+    making the candidate join |shard|·512 cosine folds — linear in the
+    shard, flat in the corpus. k derives from the CORPUS row count only
+    (the shard must not size the blocks it is judged against); the
+    DuckDB replay computes the same k via a scalar subquery over the
+    same corpus-filtered pts CTE that Spark counts. k is
+    semantics-affecting, so this is its own oracle-gated query and the
+    pinned pair stays registered for compat (tagged compat_quadratic
+    in bench artifacts)."""
+    from timeseries_spark.extensions.dedup import incremental_semantic_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    return incremental_semantic_dedup(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        emb.filter(is_shard),
+        emb.filter(~is_shard),
+        threshold=0.40,
+        n_clusters="auto",
+        kmeans_iter=3,
+        target_block_size=512,
+    )
+
+
+@query(
+    "semantic_dedup_incremental_scaled_staged",
+    oracle=REGISTRY["semantic_dedup_incremental_scaled"].oracle,
+)
+def semantic_dedup_incremental_scaled_staged(spark, sf_dir):
+    """The production ingestion composition at 100 TB: corpus-sized k
+    AND the staged quantizer — auto_n_clusters sizes k from one corpus
+    count, staged_centroids fits once per (corpus fingerprint, k,
+    tag) and every later shard's pass is a pure Catalyst plan: two
+    broadcast argmin assignments against a k-row parquet read, the
+    salted (cluster, salt) block equi join, one anti join — no Lloyd
+    subtree, no quadratic term. The stage key includes k, so corpus
+    growth past a k boundary refits automatically. Hash-identical to
+    semantic_dedup_incremental_scaled (same oracle): staging changes
+    WHEN the quantizer trains, never what it answers."""
+    from timeseries_spark.extensions.dedup import (
+        auto_n_clusters,
+        incremental_semantic_dedup,
+    )
+    from timeseries_spark.extensions.staging import staged_centroids
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    is_shard = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    corpus = emb.filter(~is_shard)
+    k = auto_n_clusters(corpus.count(), target_block_size=512)
+    cents = staged_centroids(
+        spark, corpus, f"{sf_dir}/embeddings.parquet", k=k, max_iter=3,
         tag="semincr",
     )
     return incremental_semantic_dedup(
