@@ -103,3 +103,33 @@ def test_incremental_scaled_staged_equals_fresh(spark, tmp_path):
     assert sorted(map(tuple, fresh.collect())) == sorted(
         map(tuple, staged.collect())
     )
+
+
+def test_dedup_cache_lifecycle_released_after_materialize(spark):
+    # ADVICE r13: the multi-consumer persist() points in the pair
+    # generators are session-lifetime — materialize_release must (1)
+    # return the identical pair set, (2) leave zero registered caches,
+    # (3) actually drop the blocks (storageLevel back to NONE)
+    from timeseries_spark.extensions import dedup as dd
+
+    docs = load(spark, SF, "documents")
+    baseline = sorted(
+        map(tuple, dd.jaccard_pairs(docs, threshold=0.5).collect())
+    )
+    dd.release_dedup_caches()  # clean slate
+
+    pairs = dd.jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+    live = list(dd._LIVE_CACHES)
+    assert len(live) == 2  # pre-cap posting block + capped block
+    out = dd.materialize_release(pairs)
+    assert dd._LIVE_CACHES == []
+    for cached in live:
+        lvl = cached.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    # released output still answers, and uncapped baseline is unchanged
+    assert out.count() > 0
+    again = sorted(
+        map(tuple, dd.jaccard_pairs(docs, threshold=0.5).collect())
+    )
+    assert again == baseline
+    dd.release_dedup_caches()

@@ -23,6 +23,46 @@ from pyspark.sql import functions as F
 from timeseries_spark.extensions.hashing import md5_h1, md5_h2, md5_long
 from timeseries_spark.functions.parallelism import ensure_parallelism
 
+# Multi-consumer persist() points registered by the pair generators
+# (posting/signature/band blocks). The cached entries are part of the
+# RETURNED DataFrame's lineage, so the generator itself can never
+# unpersist them — but in a long-lived serving session the dead caches
+# accumulate (correctness survives via LRU eviction; executor memory
+# does not). Lifecycle contract: one-shot pipelines let session
+# teardown collect them; serving sessions either call
+# ``release_dedup_caches()`` between queries or wrap the terminal
+# DataFrame in ``materialize_release`` — never mid-query (a registered
+# cache may still be feeding an unmaterialized plan).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_registered(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _LIVE_CACHES.append(out)
+    return out
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every dedup-family cache registered since the last
+    release; returns how many were freed. Async (non-blocking) — the
+    executors drop the blocks in the background."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+    return n
+
+
+def materialize_release(df: DataFrame) -> DataFrame:
+    """Checkpoint-then-release: eagerly materialize ``df`` (truncating
+    its lineage so nothing downstream can reach back into the caches),
+    then free every registered dedup cache. The kmeans localCheckpoint
+    discipline applied at the dedup-family boundary — the call a
+    serving session makes when it wants the pair set but not the
+    posting blocks."""
+    out = df.localCheckpoint(eager=True)
+    release_dedup_caches()
+    return out
+
 
 def tokens(text: Column) -> Column:
     """Single-space tokenizer (the corpus contract for these operators)."""
@@ -113,9 +153,9 @@ def jaccard_pairs(
     # executes once per consumer (4 parquet scans measured; the same
     # lesson as _minhash_parts' signature aggregate)
     if max_doc_freq is not None:
-        sh = sh.persist()
+        sh = _persist_registered(sh)
         sh = sh.join(F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti")
-    sh = sh.persist()
+    sh = _persist_registered(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -263,7 +303,8 @@ def _minhash_parts(
             for i in range(num_hashes)
         ],
         F.count("h1").alias("__n"),
-    ).persist()
+    )
+    agg = _persist_registered(agg)
     sig = agg.filter(F.col("__n") > 0).select(
         "id",
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
@@ -505,7 +546,7 @@ def simhash_pairs(
         ).alias("bd"),
     ).select("id", "sk", F.col("bd.band").alias("band"), F.col("bd.bits").alias("bits"))
     if max_bucket is not None:
-        banded = banded.persist()
+        banded = _persist_registered(banded)
         hot = (
             banded.groupBy("band", "bits")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -515,7 +556,7 @@ def simhash_pairs(
         banded = banded.join(F.broadcast(hot), ["band", "bits"], "left_anti")
     # both self-join sides re-run the per-row simhash fold (the
     # operator's dominant cost) without the cache — 8 compact rows/doc
-    banded = banded.persist()
+    banded = _persist_registered(banded)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bits"])
@@ -1100,11 +1141,11 @@ def containment_pairs(
     # same multi-consumer caching as jaccard_pairs (sizes + both join
     # sides + the hot aggregate would each re-run the explode chain)
     if max_doc_freq is not None:
-        sh = sh.persist()
+        sh = _persist_registered(sh)
         sh = sh.join(
             F.broadcast(hot_shingles(sh, max_doc_freq)), "sh", "left_anti"
         )
-    sh = sh.persist()
+    sh = _persist_registered(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
