@@ -133,3 +133,53 @@ def test_dedup_cache_lifecycle_released_after_materialize(spark):
     )
     assert again == baseline
     dd.release_dedup_caches()
+
+
+def test_routed_assignment_exact_vs_flat(spark):
+    # lever (b): two-level routed argmin must be column-for-column
+    # identical to the flat broadcast path at a k that forces multiple
+    # router cells (k=32, cell_target=4 => 8 cells)
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids,
+        assign_to_centroids_routed,
+        kmeans_fit,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    _, cents = kmeans_fit(emb, k=32, max_iter=3)
+    flat = sorted(map(tuple, assign_to_centroids(emb, cents).collect()))
+    routed = sorted(
+        map(
+            tuple,
+            assign_to_centroids_routed(emb, cents, cell_target=4).collect(),
+        )
+    )
+    assert routed == flat and len(flat) > 0
+
+
+def test_routed_assignment_plans_without_fine_broadcast(spark):
+    # forced-shard configuration: with auto-broadcast disabled the
+    # probe-vs-centroid join must plan as a shuffled equi join on the
+    # cell key — no CartesianProduct, and the ONLY nested-loop node is
+    # the bounded 1-row router-array cross join (the sq8-stats idiom)
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids_routed,
+        kmeans_fit,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    _, cents = kmeans_fit(emb, k=32, max_iter=3)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = assign_to_centroids_routed(emb, cents, cell_target=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    # the explicit F.broadcast hints (router array + flat cell-assign of
+    # the k centroids) survive the disabled threshold; what must NOT
+    # appear is a broadcast of the data-grain fine table into the probe
+    # join: the probe join shows as a non-broadcast equi join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "hashpartitioning(cell" in plan

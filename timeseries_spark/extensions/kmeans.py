@@ -215,6 +215,154 @@ def assign_to_centroids(
     )
 
 
+def assign_to_centroids_routed(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    cell_target: int = 4096,
+    router_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Exact argmin assignment WITHOUT broadcasting the centroid table —
+    the scale path for extreme k (SCALING.md lever (b)): past ~10^7
+    centroids the single collect_list array row of
+    ``assign_to_centroids`` outgrows both the broadcast limit and the
+    per-row O(k) fold. Two-level routing keeps the answer EXACT:
+
+    1. fit a small ROUTER (k_r = ceil(k / cell_target) Lloyd centers)
+       on the centroid table itself — the only thing broadcast is the
+       k_r-row router (plus per-cell radii), bounded by construction;
+    2. key each fine centroid by its router cell; per-cell radius =
+       max distance from the router center to a member;
+    3. per vector, one projection over the broadcast router computes
+       every cell's triangle-inequality bounds: lb_r = d(v, router_r)
+       - radius_r is a LOWER bound on the distance to any member of
+       cell r, ub_r = d(v, router_r) + radius_r an UPPER bound on the
+       distance to at least one member. Probing exactly the cells with
+       lb_r <= min_r'(ub_r') therefore always includes the cell of the
+       true nearest centroid — single-phase exact pruning, typically
+       1-3 cells per vector;
+    4. the probe list explodes to (vid, cell, v) and meets the
+       cell-keyed fine centroids in a CO-PARTITIONED equi join on the
+       cell id (both sides repartitioned by cell — no broadcast of the
+       fine table, no nested loop), followed by a per-vid min(struct(
+       sq_dist, cid)) — the same (distance, lowest-cid) tie-break as
+       the flat path, so output is column-for-column identical to
+       ``assign_to_centroids``.
+
+    ``eps`` cushions the pruning compare against the 6dp rounding of
+    the radius aggregate — it can only ADD probe cells, never drop the
+    true argmin's cell. Distances are the same ``_sq_dist`` fold as
+    the flat path, so the doubles — and hence ties — are bit-identical."""
+    spark = vectors.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    k = centroids.count()
+    k_r = max(2, -(-k // cell_target))
+
+    cent_pts = centroids.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(F.col("c"), lambda x: x.cast("double")).alias("c"),
+    )
+    _, routers = kmeans_fit(
+        cent_pts.select("vec_id", F.col("c").alias("embedding")),
+        k=k_r,
+        max_iter=router_iter,
+    )
+    routers = routers.select(
+        F.col("cid").alias("cell"), F.col("c").alias("rc")
+    )
+    cells = assign_to_centroids(
+        centroids.select(F.col("cid").alias("vec_id"), F.col("c")),
+        routers.select(F.col("cell").alias("cid"), F.col("rc").alias("c")),
+        vec_col="c",
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("cell"),
+        F.sqrt(F.col("sq_dist")).alias("__r"),
+    )
+    # broadcast side: one bounded row of non-empty cells with radii
+    # (an empty cell cannot hold the argmin and must not enter the
+    # upper-bound min)
+    router_arr = (
+        cells.groupBy("cell")
+        .agg(F.max("__r").alias("radius"))
+        .join(routers, "cell")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell", "radius", "rc"))
+            ).alias("cells")
+        )
+    )
+    pts = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    bounds = F.transform(
+        F.col("cells"),
+        lambda cell: F.struct(
+            cell["cell"].alias("cell"),
+            (F.sqrt(_sq_dist(F.col("v"), cell["rc"])) - cell["radius"]).alias(
+                "lb"
+            ),
+            (F.sqrt(_sq_dist(F.col("v"), cell["rc"])) + cell["radius"]).alias(
+                "ub"
+            ),
+        ),
+    )
+    probes = (
+        pts.crossJoin(F.broadcast(router_arr))
+        .withColumn("__b", bounds)
+        .withColumn(
+            "__u", F.array_min(F.transform(F.col("__b"), lambda b: b["ub"]))
+        )
+        .select(
+            "vid",
+            "v",
+            F.explode(
+                F.filter(
+                    F.col("__b"),
+                    lambda b: b["lb"] <= F.col("__u") + F.lit(eps),
+                )
+            ).alias("__p"),
+        )
+        .select("vid", "v", F.col("__p.cell").alias("cell"))
+        .repartition(n_parts, "cell")
+    )
+    fine = (
+        centroids.select(F.col("cid"), F.col("c"))
+        .join(cells.select("cid", "cell"), "cid")
+        .select(
+            "cell",
+            F.col("cid").cast("int").alias("cid"),
+            F.transform(F.col("c"), lambda x: x.cast("double")).alias("c"),
+        )
+        .repartition(n_parts, "cell")
+    )
+    return (
+        probes.join(fine, "cell")
+        .select(
+            "vid",
+            F.struct(
+                _sq_dist(F.col("v"), F.col("c")).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("__cand"),
+        )
+        .groupBy("vid")
+        .agg(F.min("__cand").alias("__best"))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("__best.cid").alias("cluster"),
+            F.round(F.col("__best.d"), 6).alias("sq_dist"),
+        )
+    )
+
+
 def cluster_cohesion(assignments: DataFrame) -> DataFrame:
     """Quantizer-quality report over a (vec_id, cluster, sq_dist)
     assignment table (from ``kmeans_assign`` or

@@ -191,6 +191,31 @@ def kmeans_assignments(spark, sf_dir):
     return kmeans_assign(emb, k=4, max_iter=3)
 
 
+@query(
+    "kmeans_assign_routed",
+    oracle=REGISTRY["kmeans_assignments"].oracle,
+)
+def kmeans_assign_routed(spark, sf_dir):
+    """The extreme-k assignment path (SCALING.md lever (b)) forced at
+    bench scale: the same k=4 Lloyd quantizer as kmeans_assignments,
+    but assignment runs through the two-level router
+    (assign_to_centroids_routed, cell_target=2 ⇒ a 2-cell router) —
+    the fine centroid table is NEVER broadcast; probes meet cell-keyed
+    centroids in a co-partitioned equi join and the per-vector argmin
+    is a min(struct) aggregate. Triangle-inequality pruning is exact,
+    so the output — and the oracle — are identical to the flat
+    broadcast-argmin path: routing changes WHERE the argmin computes,
+    never what it answers."""
+    from timeseries_spark.extensions.kmeans import (
+        assign_to_centroids_routed,
+        kmeans_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(emb, k=4, max_iter=3)
+    return assign_to_centroids_routed(emb, cents, cell_target=2)
+
+
 _KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
 
 
