@@ -183,3 +183,42 @@ def test_routed_assignment_plans_without_fine_broadcast(spark):
     # join: the probe join shows as a non-broadcast equi join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "hashpartitioning(cell" in plan
+
+
+def test_prototype_prune_marginal_variant(spark):
+    # keep_central=False must keep the FARTHEST members: per cluster,
+    # the kept min distance >= the dropped max would be wrong way round;
+    # check kept set == top-n by (sq_dist desc, id) computed naively
+    from timeseries_spark.extensions.kmeans import (
+        cluster_prototype_prune,
+        kmeans_assign,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    asg = kmeans_assign(emb, k=4, max_iter=3)
+    got = cluster_prototype_prune(asg, 5, keep_central=False).collect()
+    rows = asg.collect()
+    want = set()
+    for cl in {r.cluster for r in rows}:
+        members = sorted(
+            (r for r in rows if r.cluster == cl),
+            key=lambda r: (-r.sq_dist, r.vec_id),
+        )[:5]
+        want |= {(cl, r.vec_id) for r in members}
+    assert {(r.cluster, r.vec_id) for r in got} == want
+
+
+def test_hybrid_rerank_no_corpus_shuffle_outside_bm25(spark):
+    # the rerank stage must be broadcast-only: candidate set and query
+    # vector broadcast into the embedding probe; no SinglePartition
+    # funnel beyond bounded aggregates, no cartesian on the corpus side
+    from timeseries_spark.extensions.search import hybrid_rerank
+    from timeseries_spark.queries import load as ld
+
+    docs = ld(spark, SF, "documents")
+    emb = ld(spark, SF, "embeddings")
+    out = hybrid_rerank(docs, emb, ["spark", "hash"], 0, 20, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # both broadcast nested loops are 1-row/50-row bounded builds
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

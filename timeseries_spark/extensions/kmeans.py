@@ -416,3 +416,43 @@ def cluster_balanced_sample(
             F.col("__rn").cast("int").alias("rank_in_cluster"),
         )
     )
+
+
+def cluster_prototype_prune(
+    assignments: DataFrame,
+    n_per_cluster: int,
+    id_col: str = "vec_id",
+    keep_central: bool = True,
+) -> DataFrame:
+    """Prototype-based data pruning over a (id, cluster, sq_dist)
+    assignment table — the published curation move for large training
+    corpora (SSL-prototypes / SemDeDup family): rank every member by
+    its distance to the cluster centroid and keep ``n_per_cluster``
+    per cluster. ``keep_central=True`` keeps the most PROTOTYPICAL
+    members (lowest distance — drop outliers/noise); ``False`` keeps
+    the most MARGINAL (highest distance — the hard-example curriculum,
+    which the prototype-pruning literature finds beats random keep at
+    large dataset sizes).
+
+    Determinism: sq_dist is the 6dp-rounded column both assignment
+    paths emit, and ties break by id — the same (value, id) ordering
+    at any partitioning. One cluster-keyed window, partitions bounded
+    by quantizer balance exactly as ``cluster_balanced_sample``.
+    Output: (cluster, id, sq_dist, rank_in_cluster)."""
+    if n_per_cluster < 1:
+        raise ValueError(f"n_per_cluster must be >= 1, got {n_per_cluster}")
+    order = (
+        F.asc("sq_dist") if keep_central else F.desc("sq_dist"),
+        F.asc(id_col),
+    )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        assignments.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_cluster)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col(id_col),
+            F.col("sq_dist"),
+            F.col("__rn").cast("int").alias("rank_in_cluster"),
+        )
+    )

@@ -129,6 +129,64 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
 
 
+def hybrid_rerank(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec_id: int,
+    n_candidates: int = 50,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage hybrid retrieval — the production RAG shape: a cheap
+    lexical candidate generator (BM25 over the postings index) feeds an
+    exact embedding rerank, so the expensive vector math touches
+    ``n_candidates`` rows instead of the corpus.
+
+    Stage 1: ``bm25_topk(docs, query_terms, n_candidates)`` — the
+    already-oracled ranked retrieval; its (score desc, doc_id) cut is
+    deterministic. Stage 2: the candidate id set (n_candidates rows)
+    BROADCASTS into an equi join against the embedding table — at
+    100 TB this is a semi-join probe that prunes the embedding scan to
+    the candidates — then one cosine per candidate against the single
+    broadcast query vector (the embedding of ``query_vec_id``), rounded
+    to 6dp, and a (cosine desc, doc_id) top-k via TakeOrderedAndProject.
+    No corpus-grain shuffle anywhere: the only wide stages are inside
+    the BM25 postings aggregate.
+
+    Output: (doc_id, bm25_score, cosine) — the rerank keeps BM25's
+    score so downstream mixers can blend lexical and semantic signals."""
+    from timeseries_spark.functions.vectors import cosine_similarity
+
+    cand = bm25_topk(
+        docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.col("score").alias("bm25_score"))
+    as_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = (
+        embeddings.filter(F.col(vec_id_col) == query_vec_id)
+        .select(as_d.alias("__qv"))
+    )
+    return (
+        embeddings.select(
+            F.col(vec_id_col).alias(id_col), as_d.alias("__v")
+        )
+        .join(F.broadcast(cand), id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            id_col,
+            "bm25_score",
+            F.round(
+                cosine_similarity(F.col("__v"), F.col("__qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def boolean_search(
     docs: DataFrame,
     must: Sequence[str],

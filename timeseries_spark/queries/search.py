@@ -59,6 +59,77 @@ def search_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, list(_Q_TERMS), k=_K)
 
 
+_COS6 = (
+    "round("
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y)) * "
+    " sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({b}, v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y)))"
+    ", 6)"
+)
+_N_CAND = 50
+_QVID = 0
+
+
+@query(
+    "search_hybrid_rerank",
+    oracle=f"""
+    WITH post AS ({_POSTINGS}),
+    matched AS (
+      SELECT * FROM post WHERE term IN {repr(tuple(_Q_TERMS))}
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    dfs AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+    scored AS (
+      SELECT m.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * m.tf
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)) AS w
+      FROM matched m JOIN dfs d USING (term) CROSS JOIN stats s
+    ),
+    cand AS (
+      SELECT doc_id,
+             floor(sum(w) * 10000 + 0.5) / 10000 AS bm25_score
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25_score DESC, doc_id LIMIT {_N_CAND}
+    ),
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v FROM emb WHERE vec_id = {_QVID})
+    SELECT c.doc_id, c.bm25_score,
+           {_COS6.format(a="e.v", b="q.v")} AS cosine
+    FROM cand c
+    JOIN emb e ON e.vec_id = c.doc_id
+    CROSS JOIN q
+    ORDER BY cosine DESC, c.doc_id
+    LIMIT {_K}
+    """,
+)
+def search_hybrid_rerank(spark, sf_dir):
+    """Two-stage hybrid retrieval — the production RAG pattern: BM25
+    generates {_N_CAND} lexical candidates (the oracled ranked-retrieval
+    stage), then the exact cosine against one broadcast query embedding
+    reranks them and keeps the top-10. The vector math touches only the
+    candidate set: the 50-row candidate table broadcasts into the
+    embedding probe, so there is no corpus-grain shuffle outside the
+    postings aggregate. Both cut points are deterministic (4dp-rounded
+    BM25 then doc_id; 6dp-rounded cosine then doc_id)."""
+    from timeseries_spark.extensions.search import hybrid_rerank
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return hybrid_rerank(
+        docs, emb, list(_Q_TERMS), query_vec_id=_QVID,
+        n_candidates=_N_CAND, k=_K,
+    )
+
+
 @query(
     "search_boolean",
     oracle=f"""

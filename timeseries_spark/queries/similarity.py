@@ -216,6 +216,39 @@ def kmeans_assign_routed(spark, sf_dir):
     return assign_to_centroids_routed(emb, cents, cell_target=2)
 
 
+@query(
+    "cluster_prototype_prune",
+    oracle=(
+        _kmeans_oracle_sql(k=4, dims=64, rounds=3)[0]
+        + """
+    SELECT cluster, vec_id, sq_dist, rank_in_cluster FROM (
+      SELECT cluster, vid AS vec_id, round(sq_dist, 6) AS sq_dist,
+             CAST(row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY round(sq_dist, 6), vid) AS INT) AS rank_in_cluster
+      FROM a2
+    ) WHERE rank_in_cluster <= 50
+    """
+    ),
+)
+def cluster_prototype_prune(spark, sf_dir):
+    """Prototype-based data pruning (SSL-prototypes / SemDeDup family):
+    quantize the corpus (the same k=4 / 3-round Lloyd the dedup blocker
+    uses), rank members by distance to their centroid, keep the 50 most
+    prototypical per cluster — the curation pass that drops outliers
+    before a training mix. Ties break on the 6dp-rounded distance then
+    id, so the cut is engine-reproducible; the window partitions are
+    cluster-sized (bounded by quantizer balance). keep_central=False
+    flips to the hard-example curriculum (keep the most marginal)."""
+    from timeseries_spark.extensions.kmeans import (
+        cluster_prototype_prune as prune,
+        kmeans_assign,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return prune(kmeans_assign(emb, k=4, max_iter=3), n_per_cluster=50)
+
+
 _KM_BODY, _KM_LAST = _kmeans_oracle_sql(k=4, dims=64, rounds=3)
 
 
