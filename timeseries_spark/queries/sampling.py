@@ -8,6 +8,8 @@ row-set matches, not statistical approximations.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from timeseries_spark.extensions.sampling import (
     _threshold,
     dataset_split,
@@ -115,6 +117,41 @@ def dataset_split_assign(spark, sf_dir):
     codegen'd projection, zero shuffles."""
     docs = load(spark, sf_dir, "documents")
     return dataset_split(docs, _SPLITS).select("doc_id", "lang", "split")
+
+
+@query(
+    "dataset_split_grouped",
+    oracle=f"""
+    SELECT source, split, count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_distinct
+    FROM (
+      SELECT doc_id, source,
+             {dataset_split_sql(_SPLITS, "source", "gsplit")} AS split
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+)
+def dataset_split_grouped(spark, sf_dir):
+    """LEAKAGE-SAFE split: the decision hash keys on ``source`` instead
+    of doc_id, so every doc from one source (site/domain/dump shard)
+    lands in the SAME split — near-duplicates that cluster within a
+    source can never straddle train and eval, the standard contamination
+    guard a per-doc split does not give. Same zero-shuffle cumulative-
+    threshold projection (extensions/sampling.py:dataset_split with
+    key_col='source'); the output is the (source, split) audit rollup —
+    one row per source proves the group property (each source appears
+    under exactly one split). Distinct salt ('gsplit') keeps the band
+    assignment independent of the per-doc split query."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, _SPLITS, key_col="source", salt="gsplit")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("doc_id")).alias("n_distinct"),
+        )
+    )
 
 
 _TMIX_HASH_SPACE = "1152921504606846976.0"  # 2^60, exact as a double
