@@ -215,6 +215,58 @@ def assign_to_centroids(
     )
 
 
+def build_centroid_router(
+    centroids: DataFrame,
+    cell_target: int = 4096,
+    router_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Offline half of the routed assignment: fit the small router on
+    the centroid table and key every fine centroid by its cell. Returns
+    (cells, router_arr) — ``cells`` is (cid, cell), ``router_arr`` the
+    single bounded row of non-empty cells with radii that broadcasts
+    into the probe projection. In production this pair stages alongside
+    the centroids (the staged_centroids discipline: fit once per
+    artifact fingerprint, every query is a parquet read), so the
+    per-shard cost is ONLY the probe join — pass the pair back through
+    ``assign_to_centroids_routed(router=...)``."""
+    k = centroids.count()
+    k_r = max(2, -(-k // cell_target))
+    _, routers = kmeans_fit(
+        centroids.select(
+            F.col("cid").alias("vec_id"),
+            F.transform(F.col("c"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        ),
+        k=k_r,
+        max_iter=router_iter,
+    )
+    routers = routers.select(
+        F.col("cid").alias("cell"), F.col("c").alias("rc")
+    )
+    cells = assign_to_centroids(
+        centroids.select(F.col("cid").alias("vec_id"), F.col("c")),
+        routers.select(F.col("cell").alias("cid"), F.col("rc").alias("c")),
+        vec_col="c",
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("cell"),
+        F.sqrt(F.col("sq_dist")).alias("__r"),
+    )
+    router_arr = (
+        cells.groupBy("cell")
+        .agg(F.max("__r").alias("radius"))
+        .join(routers, "cell")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell", "radius", "rc"))
+            ).alias("cells")
+        )
+    )
+    return cells.select("cid", "cell"), router_arr
+
+
 def assign_to_centroids_routed(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -223,6 +275,7 @@ def assign_to_centroids_routed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = 1e-4,
+    router: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact argmin assignment WITHOUT broadcasting the centroid table —
     the scale path for extreme k (SCALING.md lever (b)): past ~10^7
@@ -254,47 +307,21 @@ def assign_to_centroids_routed(
     ``eps`` cushions the pruning compare against the 6dp rounding of
     the radius aggregate — it can only ADD probe cells, never drop the
     true argmin's cell. Distances are the same ``_sq_dist`` fold as
-    the flat path, so the doubles — and hence ties — are bit-identical."""
+    the flat path, so the doubles — and hence ties — are bit-identical.
+
+    ``router`` accepts a prebuilt (cells, router_arr) pair from
+    ``build_centroid_router`` — the staged production shape: the router
+    fits once alongside the centroid artifact and every shard pays only
+    the probe join (measured: the in-plan router fit dominates wall at
+    bench scale, experiments/ROUTED_ASSIGN_r14.json)."""
     spark = vectors.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    k = centroids.count()
-    k_r = max(2, -(-k // cell_target))
-
-    cent_pts = centroids.select(
-        F.col("cid").alias("vec_id"),
-        F.transform(F.col("c"), lambda x: x.cast("double")).alias("c"),
-    )
-    _, routers = kmeans_fit(
-        cent_pts.select("vec_id", F.col("c").alias("embedding")),
-        k=k_r,
-        max_iter=router_iter,
-    )
-    routers = routers.select(
-        F.col("cid").alias("cell"), F.col("c").alias("rc")
-    )
-    cells = assign_to_centroids(
-        centroids.select(F.col("cid").alias("vec_id"), F.col("c")),
-        routers.select(F.col("cell").alias("cid"), F.col("rc").alias("c")),
-        vec_col="c",
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("cluster").alias("cell"),
-        F.sqrt(F.col("sq_dist")).alias("__r"),
-    )
-    # broadcast side: one bounded row of non-empty cells with radii
-    # (an empty cell cannot hold the argmin and must not enter the
-    # upper-bound min)
-    router_arr = (
-        cells.groupBy("cell")
-        .agg(F.max("__r").alias("radius"))
-        .join(routers, "cell")
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cell", "radius", "rc"))
-            ).alias("cells")
+    if router is None:
+        cells, router_arr = build_centroid_router(
+            centroids, cell_target=cell_target, router_iter=router_iter
         )
-    )
+    else:
+        cells, router_arr = router
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("vid"),
@@ -303,20 +330,28 @@ def assign_to_centroids_routed(
             ),
         )
     )
-    bounds = F.transform(
+    # two transforms so the O(dims) distance fold runs ONCE per cell:
+    # Catalyst does not common-subexpression lambda bodies, and folding
+    # twice (once per bound) measurably doubled the router stage
+    dists = F.transform(
         F.col("cells"),
         lambda cell: F.struct(
             cell["cell"].alias("cell"),
-            (F.sqrt(_sq_dist(F.col("v"), cell["rc"])) - cell["radius"]).alias(
-                "lb"
-            ),
-            (F.sqrt(_sq_dist(F.col("v"), cell["rc"])) + cell["radius"]).alias(
-                "ub"
-            ),
+            cell["radius"].alias("radius"),
+            F.sqrt(_sq_dist(F.col("v"), cell["rc"])).alias("rd"),
+        ),
+    )
+    bounds = F.transform(
+        F.col("__d"),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            (c["rd"] - c["radius"]).alias("lb"),
+            (c["rd"] + c["radius"]).alias("ub"),
         ),
     )
     probes = (
         pts.crossJoin(F.broadcast(router_arr))
+        .withColumn("__d", dists)
         .withColumn("__b", bounds)
         .withColumn(
             "__u", F.array_min(F.transform(F.col("__b"), lambda b: b["ub"]))
