@@ -222,3 +222,66 @@ def test_hybrid_rerank_no_corpus_shuffle_outside_bm25(spark):
     assert "CartesianProduct" not in plan
     # both broadcast nested loops are 1-row/50-row bounded builds
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_duckdb_list_reduce_struct_aliasing_semantics():
+    # pins the footgun the CUSUM oracle's field order depends on:
+    # DuckDB (v1.0.0) evaluates struct_pack fields IN ORDER with the
+    # accumulator ALIASED - a later field reads an earlier field's
+    # UPDATED value (running-max probe yields 11, not the 8 a standard
+    # fold gives). The cusum_changepoint_daily oracle orders fields so
+    # every read is of a not-yet-written field (correct under BOTH
+    # semantics); if a DuckDB upgrade changes this, the probe fails
+    # loudly and the oracle ordering should be re-audited.
+    import duckdb
+
+    out = duckdb.connect().execute(
+        """
+        SELECT list_reduce(
+          list_prepend(struct_pack(s := 0.0::DOUBLE, m := 0.0::DOUBLE),
+            list_transform([1.0,5.0,2.0]::DOUBLE[],
+              v -> struct_pack(s := v::DOUBLE, m := 0.0::DOUBLE))),
+          (acc, e) -> struct_pack(
+             s := acc.s + e.s,
+             m := greatest(acc.m, acc.s + e.s)))
+        """
+    ).fetchall()[0][0]
+    assert out["s"] == 8.0
+    assert out["m"] == 11.0, (
+        "DuckDB list_reduce struct semantics changed "
+        f"(got {out['m']}, aliased=11.0, standard-fold=8.0) - re-audit "
+        "the cusum_changepoint_daily oracle's field ordering"
+    )
+
+
+def test_cusum_flags_injected_level_shift(spark):
+    # behavior: a series with a mid-stream level shift must flag, the
+    # same series without it must not (the 4-sigma excursion gate)
+    from timeseries_spark.queries.timeseries import (
+        cusum_changepoint_daily,
+    )
+    import pyspark.sql.functions as SF
+
+    base = [(float(100 + (i % 3)), i) for i in range(1, 29)]
+    shifted = [
+        (v + (500.0 if d > 14 else 0.0), d) for v, d in base
+    ]
+
+    def run(rows):
+        df = spark.createDataFrame(
+            [("x", d, v) for v, d in rows], "event_type string, day int, value double"
+        ).select(
+            "event_type",
+            SF.to_timestamp(SF.format_string("2024-01-%02d", "day")).alias("ts"),
+            "value",
+        )
+        import tempfile, os
+        tmp = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        return {
+            r.event_type: r.changepoint
+            for r in cusum_changepoint_daily(spark, tmp).collect()
+        }
+
+    assert run(shifted)["x"] == 1
+    assert run(base)["x"] == 0

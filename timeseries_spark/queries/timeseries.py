@@ -779,6 +779,151 @@ def acf_daily(spark, sf_dir):
 
 
 @query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, day(ts) AS day, round(sum(value), 2) AS total
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    ser AS (
+      SELECT event_type, list(total ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, vals, len(vals) AS n,
+        list_reduce(list_prepend(0.0::DOUBLE, vals), (a, v) -> a + v)
+          / len(vals) AS mu
+      FROM ser
+    ),
+    sig AS (
+      SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(vals, v -> (v - mu) * (v - mu))),
+          (a, v) -> a + v) / n) AS sigma
+      FROM stats
+    ),
+    folded AS (
+      -- field order is load-bearing: DuckDB's list_reduce evaluates
+      -- struct_pack fields IN ORDER with the accumulator ALIASED
+      -- (a later field reads an earlier field's UPDATED value - pinned
+      -- by tests/test_round14.py's semantics probe). With (mp, sp, mn,
+      -- sn) every expression reads only fields not yet written this
+      -- step, so the fold is correct under BOTH aliasing and standard
+      -- fold semantics; sp-first was silently wrong under aliasing.
+      SELECT event_type, n, mu, sigma,
+        list_reduce(
+          list_prepend(
+            struct_pack(mp := 0.0::DOUBLE, sp := 0.0::DOUBLE,
+                        mn := 0.0::DOUBLE, sn := 0.0::DOUBLE),
+            list_transform(vals, v ->
+              struct_pack(mp := 0.0::DOUBLE, sp := v::DOUBLE,
+                          mn := 0.0::DOUBLE, sn := 0.0::DOUBLE))),
+          (acc, e) -> struct_pack(
+            mp := greatest(acc.mp,
+                    greatest(0.0, acc.sp + e.sp - mu - 0.5 * sigma)),
+            sp := greatest(0.0, acc.sp + e.sp - mu - 0.5 * sigma),
+            mn := greatest(acc.mn,
+                    greatest(0.0, acc.sn + mu - e.sp - 0.5 * sigma)),
+            sn := greatest(0.0, acc.sn + mu - e.sp - 0.5 * sigma))
+        ) AS st
+      FROM sig
+    )
+    SELECT event_type, n AS n_days,
+           round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+           round(st.mp, 6) AS max_cusum_pos,
+           round(st.mn, 6) AS max_cusum_neg,
+           CAST(st.mp > 4 * sigma OR st.mn > 4 * sigma AS INT)
+             AS changepoint
+    FROM folded
+    """,
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection per daily series — the
+    sequential drift monitor a 100 TB ingestion pipeline runs over its
+    own volume/quality metrics: s⁺_t = max(0, s⁺_{t-1} + x_t − μ − κ)
+    (and the mirrored s⁻), flagging when either excursion exceeds 4σ
+    (κ = σ/2, the standard half-shift slack). The recursion is
+    inherently sequential, so it runs as ONE per-key array fold over
+    the day-sorted totals (the novelty-kernel idiom: collect, sort,
+    F.aggregate with a struct state) — no window exchange, no
+    per-row Python, and the fold order is identical in the DuckDB
+    replay, so μ, σ, and both excursion maxima are bit-exact across
+    engines before the 6dp snap."""
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type", F.dayofmonth("ts").alias("day"), "value"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    zero4 = F.struct(
+        F.lit(0.0).alias("sp"), F.lit(0.0).alias("mp"),
+        F.lit(0.0).alias("sn"), F.lit(0.0).alias("mn"),
+    )
+
+    def step(acc, v):
+        sp = F.greatest(
+            F.lit(0.0),
+            acc["sp"] + v - F.col("mu") - 0.5 * F.col("sigma"),
+        )
+        sn = F.greatest(
+            F.lit(0.0),
+            acc["sn"] + F.col("mu") - v - 0.5 * F.col("sigma"),
+        )
+        return F.struct(
+            sp.alias("sp"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            sn.alias("sn"),
+            F.greatest(acc["mn"], sn).alias("mn"),
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "total"))
+            ).alias("ser")
+        )
+        .withColumn(
+            "vals", F.transform("ser", lambda s: s["total"])
+        )
+        .withColumn("n_days", F.size("vals"))
+        .withColumn(
+            "mu",
+            F.aggregate("vals", F.lit(0.0), lambda a, v: a + v)
+            / F.col("n_days"),
+        )
+        .withColumn(
+            "sigma",
+            F.sqrt(
+                F.aggregate(
+                    "vals",
+                    F.lit(0.0),
+                    lambda a, v: a
+                    + (v - F.col("mu")) * (v - F.col("mu")),
+                )
+                / F.col("n_days")
+            ),
+        )
+        .withColumn("st", F.aggregate("vals", zero4, step))
+        .select(
+            "event_type",
+            "n_days",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            F.round(F.col("st.mp"), 6).alias("max_cusum_pos"),
+            F.round(F.col("st.mn"), 6).alias("max_cusum_neg"),
+            (
+                (F.col("st.mp") > 4 * F.col("sigma"))
+                | (F.col("st.mn") > 4 * F.col("sigma"))
+            )
+            .cast("int")
+            .alias("changepoint"),
+        )
+    )
+
+
+@query(
     "psi_value_drift",
     oracle="""
     WITH b AS (
