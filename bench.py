@@ -89,6 +89,10 @@ HEADLINE = [
     #   BENCH_RATIO entry is the scale proof for shard ingestion
     "dedup_simhash_wide",  # round-13: 60-bit/7x8 banding — the uncapped
     #   simhash configuration whose buckets stay ~n/256
+    "search_hybrid_rerank",  # round-14: BM25 candidates -> exact cosine
+    #   rerank (the production RAG shape; broadcast-only rerank stage)
+    "cusum_changepoint_daily",  # round-14: sequential drift monitor as
+    #   a per-key array fold (no window exchange)
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:
