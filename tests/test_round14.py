@@ -285,3 +285,21 @@ def test_cusum_flags_injected_level_shift(spark):
 
     assert run(shifted)["x"] == 1
     assert run(base)["x"] == 0
+
+
+def test_staged_bm25_plan_has_no_text_rescan(spark):
+    # the staged index query's plan must be a pure index probe: the
+    # documents parquet never appears (stats derive from the index's
+    # distinct (doc_id, dl) grain), and answers match the scan path
+    from timeseries_spark.extensions.search import bm25_topk
+    from timeseries_spark.extensions.staging import staged_postings
+
+    docs = load(spark, SF, "documents")
+    idx = staged_postings(spark, docs, f"{SF}/documents.parquet")
+    staged = bm25_topk(docs, ["spark", "hash"], k=5, postings=idx)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    fresh = bm25_topk(docs, ["spark", "hash"], k=5)
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )

@@ -64,6 +64,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist: bool = True,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Rank the corpus for a bag-of-words query; return the global
     top-k by (score desc, doc_id). Scores are half-up rounded to 4
@@ -76,7 +77,9 @@ def bm25_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = docs.sparkSession
-    postings = build_postings(docs, id_col, text_col)
+    from_index = postings is not None
+    if not from_index:
+        postings = build_postings(docs, id_col, text_col)
     # dedupe the bag: a repeated query term would inflate df (and
     # double-count its weight) because postings match once per copy
     q = spark.createDataFrame(
@@ -91,10 +94,27 @@ def bm25_topk(
     if persist:
         matched = matched.persist()
 
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col))).cast("double")).alias("avgdl"),
-    )
+    if from_index:
+        # corpus stats FROM the index (no text rescan): every doc holds
+        # >=1 posting (the whitespace tokenizer maps empty text to one
+        # "" term), and dl is constant per doc, so distinct (doc_id, dl)
+        # is exactly the doc grain. n_docs is an exact integer and dl
+        # values are integers whose double sum is exact below 2^53 —
+        # the average is bit-identical to the docs-scan path at any
+        # aggregation order, so the staged query shares the oracle.
+        stats = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            )
+        )
+    else:
+        stats = docs.select(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size(tokens(F.col(text_col))).cast("double")).alias("avgdl"),
+        )
     df_counts = matched.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")  # postings are distinct per (term, doc)
     )

@@ -179,6 +179,53 @@ def staged_centroids(
     return spark.read.parquet(path)
 
 
+def postings_stage_path(source_path: str, tag: str = "postings") -> str:
+    """Deterministic artifact path for one corpus's inverted index —
+    the same fingerprint-keyed scheme as ``centroid_stage_path``, so a
+    regenerated corpus can never silently serve a stale index."""
+    fp = _source_fingerprint(source_path)
+    key = hashlib.sha256(
+        f"{os.path.abspath(source_path)}|{fp}|{tag}|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_stage_root(), f"{tag}_{key}")
+
+
+def staged_postings(
+    spark: SparkSession,
+    docs: DataFrame,
+    source_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag: str = "postings",
+) -> DataFrame:
+    """Return the (term, doc_id, dl, tf) inverted index for ``docs``,
+    building and staging it on first use — the index-once/query-many
+    split every production search deployment runs: the tokenize+explode
+    corpus pass happens once per corpus fingerprint, and every later
+    query is a parquet probe of the index with NO text rescan anywhere
+    in its plan (corpus stats derive from the index itself — see
+    ``bm25_topk(postings=...)``).
+
+    The artifact is written term-clustered (repartition + sort by term)
+    so the query-term filter prunes row groups via parquet min/max
+    stats; at 100 TB the same relation would be bucketed by term
+    (sources/io.write_bucketed) for bucket-local probes."""
+    path = postings_stage_path(source_path, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from timeseries_spark.extensions.search import build_postings
+
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+        n_parts = spark.sparkContext.defaultParallelism
+        _publish_atomic(
+            lambda tmp: postings.repartition(n_parts, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(tmp),
+            path,
+        )
+    return spark.read.parquet(path)
+
+
 def staged_pq_books(
     spark: SparkSession,
     vectors: DataFrame,

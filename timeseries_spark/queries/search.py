@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.search import bm25_topk, boolean_search
-from timeseries_spark.queries import load, query
+from timeseries_spark.queries import REGISTRY, load, query
 
 _Q_TERMS = ("spark", "hash", "window")
 _MUST = ("spark", "vector")
@@ -57,6 +57,30 @@ def search_bm25_topk(spark, sf_dir):
     ranking so the cut is engine-reproducible."""
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_Q_TERMS), k=_K)
+
+
+@query(
+    "search_bm25_staged",
+    oracle=REGISTRY["search_bm25_topk"].oracle,
+)
+def search_bm25_staged(spark, sf_dir):
+    """BM25 from a STAGED inverted index — the index-once/query-many
+    split every production search deployment runs: the tokenize+explode
+    corpus pass happens once per corpus fingerprint
+    (extensions/staging.py:staged_postings, term-clustered so the
+    query-term filter prunes row groups), and this query's plan is a
+    pure index probe — corpus stats (n_docs, avgdl) derive from the
+    index's distinct (doc_id, dl) grain, so there is NO text rescan
+    anywhere. Hash-identical to search_bm25_topk (same oracle): staging
+    changes WHEN the index builds, never what it answers — dl values
+    are integers whose double sum is exact, so the index-derived avgdl
+    is bit-equal to the docs-scan average at any aggregation order."""
+    from timeseries_spark.extensions.search import bm25_topk
+    from timeseries_spark.extensions.staging import staged_postings
+
+    docs = load(spark, sf_dir, "documents")
+    idx = staged_postings(spark, docs, f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, list(_Q_TERMS), k=_K, postings=idx)
 
 
 _COS6 = (
