@@ -303,3 +303,19 @@ def test_staged_bm25_plan_has_no_text_rescan(spark):
     assert sorted(map(tuple, staged.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_cusum_plan_no_window_no_single_partition(spark):
+    # the docstring's claim, pinned: the sequential recursion runs as a
+    # per-key array fold - the plan has NO window exchange and no
+    # SinglePartition funnel; the only exchanges are the two key-grain
+    # hash aggregations (daily grain, then event_type grain)
+    from timeseries_spark.queries.timeseries import (
+        cusum_changepoint_daily,
+    )
+
+    out = cusum_changepoint_daily(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2
