@@ -111,6 +111,7 @@ def test_dedup_cache_lifecycle_released_after_materialize(spark):
     # return the identical pair set, (2) leave zero registered caches,
     # (3) actually drop the blocks (storageLevel back to NONE)
     from timeseries_spark.extensions import dedup as dd
+    from timeseries_spark.extensions.caching import live_caches
 
     docs = load(spark, SF, "documents")
     baseline = sorted(
@@ -119,10 +120,10 @@ def test_dedup_cache_lifecycle_released_after_materialize(spark):
     dd.release_dedup_caches()  # clean slate
 
     pairs = dd.jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
-    live = list(dd._LIVE_CACHES)
+    live = live_caches(family="dedup")
     assert len(live) == 2  # pre-cap posting block + capped block
     out = dd.materialize_release(pairs)
-    assert dd._LIVE_CACHES == []
+    assert live_caches(family="dedup") == []
     for cached in live:
         lvl = cached.storageLevel
         assert not (lvl.useMemory or lvl.useDisk)

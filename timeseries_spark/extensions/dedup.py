@@ -20,47 +20,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from timeseries_spark.extensions.caching import (
+    register_cache,
+    release_caches,
+)
 from timeseries_spark.extensions.hashing import md5_h1, md5_h2, md5_long
 from timeseries_spark.functions.parallelism import ensure_parallelism
 
 # Multi-consumer persist() points registered by the pair generators
-# (posting/signature/band blocks). The cached entries are part of the
-# RETURNED DataFrame's lineage, so the generator itself can never
-# unpersist them — but in a long-lived serving session the dead caches
-# accumulate (correctness survives via LRU eviction; executor memory
-# does not). Lifecycle contract: one-shot pipelines let session
+# (posting/signature/band blocks) go through the shared, per-session,
+# lock-guarded registry (extensions/caching.py — the round-14 advice
+# hardening). Lifecycle contract: one-shot pipelines let session
 # teardown collect them; serving sessions either call
 # ``release_dedup_caches()`` between queries or wrap the terminal
 # DataFrame in ``materialize_release`` — never mid-query (a registered
 # cache may still be feeding an unmaterialized plan).
-_LIVE_CACHES: list[DataFrame] = []
+_FAMILY = "dedup"
 
 
 def _persist_registered(df: DataFrame) -> DataFrame:
-    out = df.persist()
-    _LIVE_CACHES.append(out)
-    return out
+    return register_cache(df, _FAMILY)
 
 
-def release_dedup_caches() -> int:
+def release_dedup_caches(spark=None) -> int:
     """Unpersist every dedup-family cache registered since the last
-    release; returns how many were freed. Async (non-blocking) — the
-    executors drop the blocks in the background."""
-    n = len(_LIVE_CACHES)
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
-    return n
+    release; returns how many were freed. ``spark`` scopes the release
+    to one session's caches (``None`` = all sessions, the legacy
+    behavior). Async (non-blocking) — the executors drop the blocks in
+    the background."""
+    return release_caches(spark, _FAMILY)
 
 
 def materialize_release(df: DataFrame) -> DataFrame:
     """Checkpoint-then-release: eagerly materialize ``df`` (truncating
     its lineage so nothing downstream can reach back into the caches),
-    then free every registered dedup cache. The kmeans localCheckpoint
-    discipline applied at the dedup-family boundary — the call a
-    serving session makes when it wants the pair set but not the
-    posting blocks."""
+    then free the OWNING session's registered dedup caches (a
+    concurrent session's blocks are untouched — per-session registry).
+    The kmeans localCheckpoint discipline applied at the dedup-family
+    boundary — the call a serving session makes when it wants the pair
+    set but not the posting blocks."""
     out = df.localCheckpoint(eager=True)
-    release_dedup_caches()
+    release_dedup_caches(df.sparkSession)
     return out
 
 

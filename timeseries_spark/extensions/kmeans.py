@@ -144,6 +144,7 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Quantize ``vectors`` against a GIVEN centroid table (cid, c) —
     the probe-time half of the fit/assign split a 100 TB deployment
@@ -165,7 +166,14 @@ def assign_to_centroids(
     ``array_min`` over (sq_dist, cid) structs, whose lexicographic
     struct ordering IS the (distance, lowest-cid) tie-break the Lloyd
     assignment window uses. Compare with ``kmeans_assign``: same
-    output, but no |corpus|-grain shuffle at all."""
+    output, but no |corpus|-grain shuffle at all.
+
+    ``round_dp=None`` returns the RAW double distance — internal
+    consumers that derive bounds from the distance (the router's
+    per-cell radii) must not inherit the presentation rounding: a
+    6dp-rounded sq_dist can understate a radius by up to 5e-7, which
+    after the sqrt shrinks small radii by ~7e-4 — enough to defeat a
+    1e-4 pruning cushion (round-14 advice)."""
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("vid"),
@@ -204,13 +212,18 @@ def assign_to_centroids(
             ),
         )
     )
+    d_out = (
+        F.col("__best.d")
+        if round_dp is None
+        else F.round(F.col("__best.d"), round_dp)
+    )
     return (
         pts.crossJoin(F.broadcast(cent_arr))
         .withColumn("__best", best)
         .select(
             F.col("vid").alias(id_col),
             F.col("__best.cid").alias("cluster"),
-            F.round(F.col("__best.d"), 6).alias("sq_dist"),
+            d_out.alias("sq_dist"),
         )
     )
 
@@ -244,10 +257,17 @@ def build_centroid_router(
     routers = routers.select(
         F.col("cid").alias("cell"), F.col("c").alias("rc")
     )
+    # round_dp=None: radii must come from UNROUNDED distances — the 6dp
+    # presentation round truncates toward zero by up to 5e-7 in sq_dist
+    # (~7e-4 in the radius near zero), which would let the lb <= min_ub
+    # + eps prune drop the true argmin's cell when members sit within
+    # ~1e-3 of the router center (round-14 advice). With raw doubles the
+    # radius is the exact max member distance and eps only ADDS cells.
     cells = assign_to_centroids(
         centroids.select(F.col("cid").alias("vec_id"), F.col("c")),
         routers.select(F.col("cell").alias("cid"), F.col("rc").alias("c")),
         vec_col="c",
+        round_dp=None,
     ).select(
         F.col("vec_id").alias("cid"),
         F.col("cluster").alias("cell"),
@@ -304,10 +324,13 @@ def assign_to_centroids_routed(
        the flat path, so output is column-for-column identical to
        ``assign_to_centroids``.
 
-    ``eps`` cushions the pruning compare against the 6dp rounding of
-    the radius aggregate — it can only ADD probe cells, never drop the
-    true argmin's cell. Distances are the same ``_sq_dist`` fold as
-    the flat path, so the doubles — and hence ties — are bit-identical.
+    Radii are computed from UNROUNDED distances (round-14 advice: the
+    6dp presentation round could shrink a small radius by ~7e-4,
+    exceeding the cushion), so ``eps`` guards only against last-ULP
+    float noise in the bound arithmetic — it can only ADD probe cells,
+    never drop the true argmin's cell. Distances are the same
+    ``_sq_dist`` fold as the flat path, so the doubles — and hence
+    ties — are bit-identical.
 
     ``router`` accepts a prebuilt (cells, router_arr) pair from
     ``build_centroid_router`` — the staged production shape: the router

@@ -26,11 +26,27 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from timeseries_spark.extensions.caching import (
+    register_cache,
+    release_caches,
+)
 from timeseries_spark.extensions.text import ws_tokens as tokens
 from timeseries_spark.functions.parallelism import ensure_parallelism
 
 K1 = 1.2
 B = 0.75
+
+_FAMILY = "search"
+
+
+def release_search_caches(spark=None) -> int:
+    """Unpersist every search-family cache (the matched-postings probes
+    ``bm25_topk`` registers); returns how many were freed. ``spark``
+    scopes to one session (``None`` = all). The round-14 dedup cache
+    lifecycle, applied to the one persist the search family holds —
+    without it every bench rep of a BM25-backed headline query leaked
+    one cache block into the shared session."""
+    return release_caches(spark, _FAMILY)
 
 
 def build_postings(
@@ -45,12 +61,21 @@ def build_postings(
     build serialized onto 2 tasks carrying 11.4 of 20.9 task-seconds —
     the dominant term of bm25's sf1 wall). At real scale the corpus
     arrives in thousands of splits and the guard is a no-op.
+
+    NULL text coalesces to '' BEFORE tokenizing (round-14 advice): the
+    whitespace tokenizer maps '' to one "" term, so EVERY doc — null
+    text included — emits >=1 posting and the index's distinct
+    (doc_id, dl) grain is exactly the doc grain. Without the coalesce,
+    split(NULL)->NULL explodes to nothing, and index-derived corpus
+    stats (n_docs, avgdl) would silently diverge from the docs-scan
+    path on a corpus with null rows.
     """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     return (
         ensure_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).alias("dl"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
+            F.size(tokens(txt)).alias("dl"),
+            F.explode(tokens(txt)).alias("term"),
         )
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -89,10 +114,13 @@ def bm25_topk(
     # query terms' postings only) while its lineage is a full corpus
     # scan — persisting it halves the text scans. Cache entries are
     # keyed by plan (same query re-uses one entry); callers looping
-    # over many distinct queries pass persist=False or clearCache.
+    # over many distinct queries pass persist=False or call
+    # release_search_caches() between queries — the persist is
+    # REGISTERED (extensions/caching.py, family "search") so serving
+    # sessions have the same lifecycle the dedup family got in r14.
     matched = postings.join(F.broadcast(q), "term")
     if persist:
-        matched = matched.persist()
+        matched = register_cache(matched, _FAMILY)
 
     if from_index:
         # corpus stats FROM the index (no text rescan): every doc holds
@@ -111,9 +139,16 @@ def bm25_topk(
             )
         )
     else:
+        # same NULL->'' contract as build_postings: a null-text doc
+        # counts as one doc of length 1 (the single "" term) on BOTH
+        # paths, so index-derived and docs-scan stats never diverge
         stats = docs.select(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.size(tokens(F.col(text_col))).cast("double")).alias("avgdl"),
+            F.avg(
+                F.size(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                ).cast("double")
+            ).alias("avgdl"),
         )
     df_counts = matched.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")  # postings are distinct per (term, doc)
@@ -160,6 +195,7 @@ def hybrid_rerank(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage hybrid retrieval — the production RAG shape: a cheap
     lexical candidate generator (BM25 over the postings index) feeds an
@@ -178,11 +214,18 @@ def hybrid_rerank(
     the BM25 postings aggregate.
 
     Output: (doc_id, bm25_score, cosine) — the rerank keeps BM25's
-    score so downstream mixers can blend lexical and semantic signals."""
+    score so downstream mixers can blend lexical and semantic signals.
+
+    ``postings`` passes a prebuilt inverted index through to
+    ``bm25_topk`` — the staged production shape (staging.py:
+    staged_postings): the candidate generator becomes a pure index
+    probe with corpus stats derived from the index's (doc_id, dl)
+    grain, so the WHOLE hybrid plan touches raw text zero times."""
     from timeseries_spark.functions.vectors import cosine_similarity
 
     cand = bm25_topk(
-        docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
+        docs, query_terms, k=n_candidates, id_col=id_col,
+        text_col=text_col, postings=postings,
     ).select(F.col(id_col), F.col("score").alias("bm25_score"))
     as_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qv = (
