@@ -93,6 +93,10 @@ HEADLINE = [
     #   rerank (the production RAG shape; broadcast-only rerank stage)
     "cusum_changepoint_daily",  # round-14: sequential drift monitor as
     #   a per-key array fold (no window exchange)
+    "search_hybrid_staged",  # round-15: hybrid retrieval served from the
+    #   staged postings index — zero text rescans in the whole plan
+    "semantic_dedup_sampled",  # round-15: hash-sampled Lloyd fit +
+    #   assign-all — cuts the auto-k pair's fit-side k-growth term
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:

@@ -155,6 +155,32 @@ def search_hybrid_rerank(spark, sf_dir):
 
 
 @query(
+    "search_hybrid_staged",
+    oracle=REGISTRY["search_hybrid_rerank"].oracle,
+)
+def search_hybrid_staged(spark, sf_dir):
+    """Hybrid retrieval served ENTIRELY from the staged inverted index
+    (VERDICT r14 item 3): the BM25 candidate generator probes
+    staged_postings (term-clustered parquet, indexed once per corpus
+    fingerprint) and derives corpus stats from the index's (doc_id, dl)
+    grain, so the whole two-stage plan — candidates AND rerank — never
+    rescans raw text. Hash-identical to search_hybrid_rerank (same
+    oracle): staging changes WHEN the index builds, never what it
+    answers. The only corpus-scale inputs are the pruned index probe
+    and the embedding scan the 50-row candidate broadcast prunes."""
+    from timeseries_spark.extensions.search import hybrid_rerank
+    from timeseries_spark.extensions.staging import staged_postings
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    idx = staged_postings(spark, docs, f"{sf_dir}/documents.parquet")
+    return hybrid_rerank(
+        docs, emb, list(_Q_TERMS), query_vec_id=_QVID,
+        n_candidates=_N_CAND, k=_K, postings=idx,
+    )
+
+
+@query(
     "search_boolean",
     oracle=f"""
     WITH post AS ({_POSTINGS}),

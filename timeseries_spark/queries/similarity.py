@@ -936,6 +936,84 @@ def semantic_dedup_scaled_staged(spark, sf_dir):
     return sd(docs, emb, threshold=0.30, centroids=cents)
 
 
+# sampled-fit oracle (VERDICT r15 lever): the Lloyd replay's point set
+# is the deterministic hash sample (md5('ksample:'||vec_id) % 8 = 0 —
+# ~64 fit points per centroid at target_block_size=512), while k still
+# binds to the FULL corpus count (blocks stay ~512 as data grows) and
+# the final assignment runs over ALL vectors against the fitted
+# centroids — exactly kmeans_fit(sample) + assign_to_centroids(all).
+_SAMPLE_PRED = (
+    "('0x' || substring(md5('ksample:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 8 = 0"
+)
+_CORPUS_K_SQL = (
+    "(SELECT CAST(greatest(2, ceil(count(*) / 512.0)) AS BIGINT)"
+    " FROM embeddings)"
+)
+_KM_SAMPLED_BODY, _ = _kmeans_oracle_sql(
+    k=_CORPUS_K_SQL, dims=64, rounds=3, where=f"WHERE {_SAMPLE_PRED}"
+)
+_D_ALL = "(p.v[i] - c.c[i]) * (p.v[i] - c.c[i])"
+# assign EVERY vector against the sampled fit's final centroid table
+# (c2 for rounds=3 — the table kmeans_fit returns and
+# assign_to_centroids consumes); same tie-break as the flat path
+_ASSIGN_ALL_SQL = f""",
+    allpts AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    aall AS (
+      SELECT vid, v, cid AS cluster, sq_dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vid ORDER BY sq_dist, cid) AS rn
+        FROM (
+          SELECT p.vid, p.v, c.cid,
+                 list_sum(list_transform(
+                   generate_series(1, 64), i -> {_D_ALL})) AS sq_dist
+          FROM allpts p CROSS JOIN c2 c
+        )
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "semantic_dedup_sampled",
+    oracle=_semantic_dedup_oracle(_KM_SAMPLED_BODY + _ASSIGN_ALL_SQL, "aall"),
+)
+def semantic_dedup_sampled(spark, sf_dir):
+    """Semantic dedup with a SAMPLED-FIT corpus-sized blocker — the
+    mini-batch-Lloyd production lever (VERDICT r15 item 6): the
+    quantizer fits on a deterministic ~12.5% hash sample
+    (md5('ksample:'||id) % 8 = 0, ≈64 fit points per centroid at
+    block target 512), then EVERY vector is broadcast-argmin assigned
+    against the fitted centroids. k still derives from the FULL corpus
+    count, so blocks stay ~512 vectors as data grows — pair generation
+    is unchanged-linear; the fit's n·k term drops 8×. The sample
+    changes the centroids (⇒ blocks ⇒ pairs ⇒ kept set), so this is
+    its own oracle-gated query: the DuckDB replay runs Lloyd on the
+    SAME hash sample with k from the same corpus-count subquery, then
+    assigns all rows against the final centroid table verbatim. The
+    exact-fit pair (semantic_dedup_scaled[_staged]) stays registered."""
+    from timeseries_spark.extensions.dedup import auto_n_clusters
+    from timeseries_spark.extensions.dedup import semantic_dedup as sd
+    from timeseries_spark.extensions.hashing import md5_long
+    from timeseries_spark.extensions.kmeans import kmeans_fit
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    k = auto_n_clusters(emb.count(), target_block_size=512)
+    sample = emb.filter(
+        md5_long(
+            F.concat(F.lit("ksample:"), F.col("vec_id").cast("string"))
+        )
+        % 8
+        == 0
+    )
+    _, cents = kmeans_fit(sample, k=k, max_iter=3)
+    return sd(docs, emb, threshold=0.30, centroids=cents)
+
+
 def _semantic_incremental_oracle(
     shard_pred: str = "vec_id % 5 = 0",
     rounds: int = 3,
