@@ -81,9 +81,14 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        # SPARK-ONLY wall (build + one collect), excluding the DuckDB
+        # oracle below — the number tools/bench_ratio.py's correctness
+        # mode diffs across scale tiers, so it must time the engine,
+        # not the oracle
+        t_run = time.time() - t0
         if name not in oracles:
             print(f"ok*   {name}: rows-only check, {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+                  f"({t_run:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])
@@ -107,7 +112,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed.append(name)
         else:
-            print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok    {name}: {len(srows)} rows ({t_run:.1f}s)")
 
     print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
     return 1 if failed else 0

@@ -9,8 +9,22 @@ group cardinalities scale WITH the data, as in production), dimension
 tables (region, nation) kept fixed like TPC-H does. Documents get
 per-replica token prefixes — in-alphabet 'rNx…', so tokenizer-facing
 filters like BPE's ^[a-z0-9]+$ still see the corpus, and shingle
-spaces stay disjoint (pair structure stays linear); embeddings replicate as plain copies (a near-dup-rich
-corpus at 10x density — the harder regime for dedup blocking).
+spaces stay disjoint (pair structure stays linear) — EXCEPT replica 0,
+which keeps the ORIGINAL tokens (VERDICT r14 item 1: prefixing every
+replica made fixed-literal queries — the whole BM25/boolean/hybrid
+search family, corpus_clean's language gates, simhash_capped's
+near-dup structure — return 0 rows at sf1, so the tier value-checked
+nothing for them; the bare r0 token space is disjoint from r1..r9 by
+the same prefix argument that keeps the replicas pairwise disjoint).
+Embeddings replicate as plain copies (a near-dup-rich corpus at 10x
+density — the harder regime for dedup blocking).
+
+Events drop day 17 entirely — a simulated one-day ingestion outage
+(same VERDICT item: dense 10x replication closed every gap in the
+sparse daily series, so series_gaps_daily proved an empty set). The
+gap is a property of the DATA, shared by both engines, so every
+event-grain oracle stays exact; gap/missing-data operators now bind
+at the proof tier.
 
 DuckDB does the writing: single-process, preserves the source's
 TIMESTAMP(NANOS) events encoding, and finishes in seconds.
@@ -61,15 +75,19 @@ SQL = {
     "events": """
         SELECT event_id + r*{evt_off} AS event_id, ts,
                user_id + r*{off} AS user_id, event_type, value, props
-        FROM '{src}', range({k}) t(r)""",
+        FROM '{src}', range({k}) t(r)
+        WHERE day(ts) != 17""",
     "documents": """
         SELECT doc_id + r*{off} AS doc_id,
                array_to_string(list_transform(string_split(text, ' '),
-                 tok -> 'r' || r || 'x' || tok), ' ') AS text,
+                 tok -> CASE WHEN r = 0 THEN tok
+                        ELSE 'r' || r || 'x' || tok END), ' ') AS text,
                lang, source,
                CAST(length(array_to_string(list_transform(
                  string_split(text, ' '),
-                 tok -> 'r' || r || 'x' || tok), ' ')) AS BIGINT) AS n_chars
+                 tok -> CASE WHEN r = 0 THEN tok
+                        ELSE 'r' || r || 'x' || tok END), ' '))
+                 AS BIGINT) AS n_chars
         FROM '{src}', range({k}) t(r)""",
     "embeddings": """
         SELECT vec_id + r*{off} AS vec_id, embedding, label

@@ -137,6 +137,11 @@ def main() -> int:
             df = queries[name](spark, sf_dir)
             cols = df.columns
             rows1 = df.collect()
+            # first-execution wall only (build + one collect) — the
+            # comparable-across-tiers number tools/bench_ratio.py's
+            # correctness mode diffs; the determinism re-run below is
+            # excluded so the ratio isn't 2x-inflated vs check_oracle
+            dt = time.time() - t0
             h1 = value_hash(rows1, cols)
             # second execution from a fresh plan: determinism at sf1
             h2 = value_hash(queries[name](spark, sf_dir).collect(), cols)
@@ -144,7 +149,6 @@ def main() -> int:
             print(f"FAIL  {name}: {type(exc).__name__}: {exc}")
             n_bad += 1
             continue
-        dt = time.time() - t0
         if h1 != h2:
             print(f"FAIL  {name}: NONDETERMINISTIC digest ({dt:.1f}s)")
             n_bad += 1
