@@ -97,6 +97,9 @@ HEADLINE = [
     #   staged postings index — zero text rescans in the whole plan
     "semantic_dedup_sampled",  # round-15: hash-sampled Lloyd fit +
     #   assign-all — cuts the auto-k pair's fit-side k-growth term
+    "dedup_simhash_capped_wide",  # round-15: wide dilution + bucket cap
+    #   — the configuration whose cap stays meaningful as n grows (the
+    #   4-bit capped variant saturates to empty past ~1k docs/bucket)
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:

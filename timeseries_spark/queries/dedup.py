@@ -347,6 +347,58 @@ def dedup_simhash_wide(spark, sf_dir):
 
 
 @query(
+    "dedup_simhash_capped_wide",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents
+    ),
+    th AS (SELECT id, {md5_long_sql('t')} AS h FROM tok),
+    bits AS (
+      SELECT id, j,
+             CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT << j ELSE 0 END AS bitval
+      FROM th, unnest(generate_series(0, 59)) AS g(j)
+      GROUP BY id, j
+    ),
+    sk AS (SELECT id, CAST(sum(bitval) AS BIGINT) AS sk FROM bits GROUP BY id),
+    banded AS (
+      SELECT id, sk, band, (sk >> (band * 8)) & 255 AS bb
+      FROM sk, unnest(generate_series(0, 6)) AS t(band)
+    ),
+    kept AS (
+      SELECT band, bb FROM banded GROUP BY band, bb HAVING count(*) <= 256
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+    FROM banded a
+    JOIN kept k ON k.band = a.band AND k.bb = a.bb
+    JOIN banded b ON b.band = a.band AND b.bb = a.bb AND a.id < b.id
+    WHERE bit_count(xor(a.sk, b.sk)) <= 6
+    """,
+)
+def dedup_simhash_capped_wide(spark, sf_dir):
+    """SimHash with BOTH scale levers — the configuration a 100 TB
+    corpus actually ships: the 60-bit/7×8-band sketch dilutes buckets
+    16× (~n/256), and band buckets past 256 docs are still dropped
+    before the self-join, so boilerplate mega-clusters can never turn
+    the band join quadratic no matter how the hash distribution skews.
+    Registered because the 4-bit capped variant (dedup_simhash_capped)
+    SATURATES past ~1k docs per band value: with only 16 values/band,
+    every bucket of a 50k-doc corpus exceeds any linear-safe absolute
+    cap and the query legitimately returns the empty set (SF1_r14/15
+    measure exactly that) — wide banding is what keeps a cap meaningful
+    as n grows. Cap + width both change the answer — own oracle."""
+    out = simhash_pairs(
+        load(spark, sf_dir, "documents"),
+        max_hamming=6,
+        n_bits=60,
+        n_bands=7,
+        max_bucket=256,
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@query(
     "dedup_components",
     oracle=f"""
     WITH RECURSIVE sh AS (
