@@ -25,7 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 CELL_TARGET = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-SIGMA = float(sys.argv[4]) if len(sys.argv) > 4 else None  # clustered mode
+# clustered mode: a float generates the in-memory mixture; "-" reads
+# SF_DIR (use tools/make_clustered.py output for a PERSISTED clustered
+# corpus — the r15 fixture)
+SIGMA = (
+    float(sys.argv[4])
+    if len(sys.argv) > 4 and sys.argv[4] not in ("-", "none")
+    else None
+)
 OUT = sys.argv[5] if len(sys.argv) > 5 else "experiments/ROUTED_ASSIGN_r14.json"
 
 
