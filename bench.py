@@ -118,6 +118,14 @@ BY_DESIGN_QUADRATIC = (
     "semantic_dedup_staged",
     "semantic_dedup_incremental",
     "semantic_dedup_incremental_staged",
+    # same frozen-block-count semantics, surfaced by the r15
+    # full-registry ratio artifact: label-blocking has 4 fixed labels,
+    # so blocks grow n/4 and the per-block self-join is n²/4; the
+    # pinned k=4 quantizer blocks identically. The corpus-sized
+    # (auto-k) and capped families are the scale paths.
+    "dedup_embedding_cosine",
+    "dedup_embedding_kmeans",
+    "dedup_cluster_histogram",
 )
 
 
