@@ -785,6 +785,30 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_pq_hires",
+    oracle=_pq_oracle(m=8, sub=8, kk=4, rounds=2, k=5, pool=60),
+)
+def ann_pq_hires(spark, sf_dir):
+    """PQ at the HIGHER-RESOLUTION operating point the clustered-
+    geometry study motivated (experiments/ANN_RECALL_CLUSTERED_r15):
+    eight 8-dim subspaces (16-bit codes — still 16× smaller than SQ8)
+    and a 60-wide rerank pool. The m=2 frontier points collapse into
+    approximate-distance ties on any corpus big enough that 16 code
+    cells can't separate 20k vectors; finer codes + a pool sized past
+    the expected cluster width keep the id tie-break from deciding the
+    pool. Same deterministic Lloyd codebooks, 6dp rounds, and
+    (sim desc, id) tie-breaks as ann_pq_topk — the oracle replays all
+    eight subspace trainings, reconstruction, pool, and exact rerank."""
+    from timeseries_spark.extensions.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, m=8, dims=64, n_clusters=4,
+        kmeans_iter=2, rerank_factor=12,
+    )
+
+
 def _ivf_pq_oracle(
     nprobe: int = 2, m: int = 2, sub: int = 32, pq_kk: int = 4,
     pq_rounds: int = 2, k: int = 5, pool: int = 20,
