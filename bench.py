@@ -100,6 +100,10 @@ HEADLINE = [
     "dedup_simhash_capped_wide",  # round-15: wide dilution + bucket cap
     #   — the configuration whose cap stays meaningful as n grows (the
     #   4-bit capped variant saturates to empty past ~1k docs/bucket)
+    "ann_pq_hires_staged",  # round-16: the hires PQ operating point
+    #   (m=8, 60-wide rerank pool) served from staged codebooks — the
+    #   production path for the clustered-geometry recall rule; the
+    #   in-plan twin's 20-30 s walls are one-time staging cost here
 ]
 
 # Pinned-k compat entries whose sf-ratio is super-linear BY DESIGN:

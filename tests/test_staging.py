@@ -176,6 +176,56 @@ def test_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
     assert inplan == staged
 
 
+def test_pq_hires_staged_equals_inplan_and_never_retrains(
+    spark, tmp_path, monkeypatch
+):
+    # VERDICT r15 item 2: the hires operating point (m=8, 60-wide
+    # rerank pool) served from staged codebooks must (a) answer
+    # hash-identically to the in-plan twin and (b) carry no training
+    # subtree — the eight Lloyd fits leave eager-checkpoint scans
+    # (ExistingRDD) in the in-plan tree; the staged plan reads parquet
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
+    from timeseries_spark.queries import all_queries
+
+    reg = all_queries()
+    inplan = {tuple(r) for r in reg["ann_pq_hires"](spark, SF).collect()}
+    df = reg["ann_pq_hires_staged"](spark, SF)
+    assert inplan == {tuple(r) for r in df.collect()}
+    assert "ExistingRDD" not in _plan(spark, df)
+
+
+def test_pq_staged_encode_is_single_scan_zero_shuffle(
+    spark, cloud, tmp_path
+):
+    # round-16 encode rework: with a staged book the encode is ONE
+    # corpus scan and ZERO exchanges (the old shape paid m scans +
+    # union-fold + id join-back). The book folds to a bounded broadcast
+    # row; everything else is a projection.
+    from timeseries_spark.extensions.pq import pq_encode, pq_fit_books
+
+    vecs = cloud.withColumn(
+        "embedding",
+        F.flatten(F.array("embedding", "embedding")),
+    )  # 4 dims so m=2 splits evenly
+    books = pq_fit_books(vecs, m=2, dims=4, n_clusters=3, kmeans_iter=2)
+    path = str(tmp_path / "books")
+    books.write.parquet(path)
+    enc = pq_encode(
+        vecs, m=2, dims=4, n_clusters=3, kmeans_iter=2,
+        books=spark.read.parquet(path),
+    )
+    plan = _plan(spark, enc)
+    # one exchange total: the broadcast of the folded book row; the
+    # corpus side must shuffle nowhere
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one scan of the corpus relation
+    corpus_scans = plan.count("Scan ExistingRDD") + plan.count(
+        "LocalTableScan"
+    )
+    assert corpus_scans <= 2  # corpus + (pre-broadcast) book fold input
+
+
 def test_ivf_pq_staged_query_equals_inplan(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path / "stage"))
     from timeseries_spark.queries import all_queries

@@ -475,6 +475,7 @@ def simhash_pairs(
     max_bucket: int | None = None,
     n_bits: int = 32,
     n_bands: int = 8,
+    rel_bucket_factor: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -506,7 +507,13 @@ def simhash_pairs(
     candidates, never loses one). Wider sketches also discriminate
     hamming distance better, so the same max_hamming is a STRICTER
     near-dup test — n_bits changes the answer and ships as its own
-    oracle-gated query (dedup_simhash_wide)."""
+    oracle-gated query (dedup_simhash_wide).
+
+    ``rel_bucket_factor`` is the RELATIVE cap: drop a bucket iff it
+    exceeds ``factor`` times its band's mean bucket load (exact
+    integer predicate). Unlike ``max_bucket`` it never saturates —
+    the mean grows with the corpus, so the rule stays binding-but-not-
+    total at any n (dedup_simhash_capped_rel)."""
     if max_hamming >= n_bands:
         raise ValueError(
             "banded plan guarantees recall only for max_hamming < n_bands"
@@ -554,6 +561,43 @@ def simhash_pairs(
             .select("band", "bits")
         )
         banded = banded.join(F.broadcast(hot), ["band", "bits"], "left_anti")
+    if rel_bucket_factor is not None:
+        # RELATIVE cap (VERDICT r15 item 4): drop a band bucket iff it
+        # holds more than ``rel_bucket_factor`` times its band's MEAN
+        # bucket load. The absolute cap saturates — with 16 values per
+        # 4-bit band every bucket of a 50k-doc corpus exceeds any
+        # linear-safe constant and the capped query returns the empty
+        # set — while the mean scales with n, so this rule stays
+        # binding-but-not-total at every corpus size. The predicate
+        # stays in INTEGER arithmetic (cnt * n_buckets > factor *
+        # band_total) on purpose: a quantile formulation would hang the
+        # answer on cross-engine interpolation semantics (the
+        # winsorized_values sf1 lesson, SCALING.md), whereas integer
+        # products compare exactly in both engines. Same hot-set
+        # broadcast anti-join shape as the absolute cap; the hot set is
+        # bounded by the band-value space, not the corpus.
+        if rel_bucket_factor < 1:
+            raise ValueError(
+                f"rel_bucket_factor must be >= 1, got {rel_bucket_factor}"
+            )
+        banded = _persist_registered(banded)
+        sizes = banded.groupBy("band", "bits").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        stats = sizes.groupBy("band").agg(
+            F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__nb")
+        )
+        rel_hot = (
+            sizes.join(stats, "band")
+            .filter(
+                F.col("__n") * F.col("__nb")
+                > F.lit(rel_bucket_factor) * F.col("__tot")
+            )
+            .select("band", "bits")
+        )
+        banded = banded.join(
+            F.broadcast(rel_hot), ["band", "bits"], "left_anti"
+        )
     # both self-join sides re-run the per-row simhash fold (the
     # operator's dominant cost) without the cache — 8 compact rows/doc
     banded = _persist_registered(banded)

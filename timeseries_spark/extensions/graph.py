@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from timeseries_spark.extensions.caching import register_cache
+
 DAMPING = 0.85
 
 
@@ -51,7 +53,11 @@ def pagerank(
     on the SAME input reuse one entry — but callers looping over many
     DIFFERENT inputs should pass persist=False (or clearCache between
     runs): nothing here can unpersist, because the returned plan still
-    needs the cache when it finally executes."""
+    needs the cache when it finally executes. Both blocks register
+    under the ``graph`` cache family (VERDICT r15 item 1), so a
+    long-lived serving session can free them after materializing —
+    ``caching.release_caches(spark, "graph")`` — instead of waiting on
+    LRU eviction."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select("src", "dst").distinct()
@@ -63,8 +69,8 @@ def pagerank(
         .distinct()
     )
     if persist:
-        e = e.persist()
-        nodes = nodes.persist()
+        e = register_cache(e, "graph")
+        nodes = register_cache(nodes, "graph")
     n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).withColumn(
         "rank", _snap(F.lit(1.0) / F.col("n_nodes"))

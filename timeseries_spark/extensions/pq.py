@@ -193,42 +193,83 @@ def pq_encode(
             checked_dims(F.col(vec_col), dims, "pq_encode").alias("v"),
         )
     )
+    if books is not None:
+        # Staged path (round-16 rework): the m*k book is PARAMETER-
+        # sized, so the WHOLE encode collapses into one zero-shuffle
+        # projection — broadcast the book as a single bounded array
+        # row, and per corpus row fold the per-subspace argmin + mean
+        # lookup inside the expression. The previous shape assembled m
+        # assign_to_centroids parts (m corpus scans) through a
+        # union-fold + id join-back (2 corpus exchanges); at 100 TB
+        # with m=8 that is 8 scans and 2 shuffles the serving plan
+        # doesn't need. Exactness is the assign_to_centroids contract
+        # verbatim: same _sq_dist fold on doubles, same (d, lowest-cid)
+        # struct-min tie-break per subspace.
+        from timeseries_spark.extensions.kmeans import _sq_dist
+
+        books_arr = books.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("sub").cast("int").alias("sub"),
+                        F.col("cid").cast("int").alias("cid"),
+                        F.transform(
+                            F.col("cent"), lambda x: x.cast("double")
+                        ).alias("cent"),
+                        F.transform(
+                            F.col("mean"), lambda x: x.cast("double")
+                        ).alias("mean"),
+                    )
+                )
+            ).alias("books")
+        )
+        # loud-fail on an empty/truncated artifact, inside the consumed
+        # expression so Catalyst can't prune it (the
+        # assign_to_centroids guard idiom)
+        checked = F.when(
+            F.size("books") == m * n_clusters, F.col("books")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "pq_encode: staged book must carry exactly "
+                    f"{m * n_clusters} (sub, cid) rows"
+                )
+            ).cast(
+                "array<struct<sub:int,cid:int,"
+                "cent:array<double>,mean:array<double>>>"
+            )
+        )
+        vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+        bests = []
+        for s in range(m):
+            sub_v = F.slice(vd, s * sub_dims + 1, sub_dims)
+            entries = F.filter(checked, lambda b: b["sub"] == F.lit(s))
+            bests.append(
+                F.array_min(
+                    F.transform(
+                        entries,
+                        lambda b: F.struct(
+                            _sq_dist(sub_v, b["cent"]).alias("d"),
+                            b["cid"].alias("cid"),
+                            b["mean"].alias("mean"),
+                        ),
+                    )
+                )
+            )
+        return pts.crossJoin(F.broadcast(books_arr)).select(
+            F.col("__id").alias(id_col),
+            "v",
+            F.concat(*[b["mean"] for b in bests]).alias("dq"),
+            F.array(*[b["cid"].cast("int") for b in bests]).alias(
+                "codes"
+            ),
+        )
     parts = []
     for s in range(m):
         sub = pts.select(
             "__id",
             F.slice(F.col("v"), s * sub_dims + 1, sub_dims).alias("__sub"),
         )
-        if books is not None:
-            # staged path: assign the slice against the PERSISTED Lloyd
-            # centroids (exactly the training assignment — see
-            # pq_fit_books) and reconstruct from the persisted means;
-            # no Lloyd subtree in the encode plan
-            from timeseries_spark.extensions.kmeans import (
-                assign_to_centroids,
-            )
-
-            bk = books.filter(F.col("sub") == s)
-            assigned = assign_to_centroids(
-                sub,
-                bk.select("cid", F.col("cent").alias("c")),
-                id_col="__id",
-                vec_col="__sub",
-            ).select(F.col("__id"), F.col("cluster"))
-            book = bk.select(
-                F.col("cid").alias("cluster"),
-                F.col("mean").alias(f"__p{s}"),
-            )
-            parts.append(
-                assigned.join(F.broadcast(book), "cluster")
-                .select(
-                    "__id",
-                    F.lit(s).alias("__sub"),
-                    F.col("cluster").cast("int").alias("__code"),
-                    F.col(f"__p{s}").alias("__p"),
-                )
-            )
-            continue
         assigned, _ = kmeans_fit(
             sub, k=n_clusters, max_iter=kmeans_iter,
             id_col="__id", vec_col="__sub",

@@ -49,6 +49,16 @@ def release_search_caches(spark=None) -> int:
     return release_caches(spark, _FAMILY)
 
 
+# Build-semantics version of the postings layout. Bumped whenever
+# build_postings changes what an index CONTAINS (not just how fast it is
+# built), so staged artifacts written under older semantics get a
+# different fingerprint and are rebuilt rather than silently served:
+#   v2: NULL text coalesces to '' and emits one "" posting, making
+#       index-derived n_docs/avgdl equal the docs-scan path (a v1
+#       artifact omits null-text docs entirely).
+POSTINGS_BUILD_VERSION = 2
+
+
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

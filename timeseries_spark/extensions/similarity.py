@@ -358,6 +358,7 @@ def hyperplane_lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     multiprobe: bool = False,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN — the bucketed alternative to IVF when
     no quantizer has been trained: every vector hashes to a
@@ -372,6 +373,15 @@ def hyperplane_lsh_topk(
     equi-join, so probe cost scales with (n_planes+1) × bucket width,
     never with the corpus. Buckets partition the corpus and probe
     buckets are distinct, so no candidate is scored twice.
+
+    ``probe_radius=2`` (with multiprobe) additionally probes the
+    C(n_planes, 2) hamming-2 buckets — the recall-restoring budget for
+    FINER bucketings: more planes cut candidate cost per bucket but
+    drop single-bucket recall (measured 0.625→0.425 for 3→5 planes on
+    clustered geometry, experiments/ANN_RECALL_CLUSTERED_r15.json);
+    radius-2 probing buys the recall back while the probe count stays
+    a function of n_planes only, never the corpus
+    (1 + n + n(n-1)/2 buckets).
 
     The 100 TB shape mirrors IVF: the corpus is touched ONCE, bucket ids
     are a codegen'd projection (no training pass at all), the query side
@@ -413,14 +423,25 @@ def hyperplane_lsh_topk(
         _as_double(F.col(query_vec_col)).alias("q"),
     ).withColumn("bucket", checked_bucket("q"))
     if multiprobe:
+        if probe_radius not in (1, 2):
+            raise ValueError(
+                f"probe_radius must be 1 or 2, got {probe_radius}"
+            )
+        flips = [1 << p for p in range(n_planes)]
+        if probe_radius == 2:
+            flips += [
+                (1 << p) | (1 << q)
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
         qs = qs.withColumn(
             "bucket",
             F.explode(
                 F.array(
                     F.col("bucket"),
                     *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                        for p in range(n_planes)
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in flips
                     ],
                 )
             ),

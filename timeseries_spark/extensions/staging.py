@@ -182,10 +182,17 @@ def staged_centroids(
 def postings_stage_path(source_path: str, tag: str = "postings") -> str:
     """Deterministic artifact path for one corpus's inverted index —
     the same fingerprint-keyed scheme as ``centroid_stage_path``, so a
-    regenerated corpus can never silently serve a stale index."""
+    regenerated corpus can never silently serve a stale index. The key
+    includes ``search.POSTINGS_BUILD_VERSION`` (round-15 advice): when
+    ``build_postings`` changes what the index contains — e.g. the v2
+    NULL-text contract — pre-change artifacts fingerprint differently
+    and are rebuilt instead of silently serving stale stats."""
+    from timeseries_spark.extensions.search import POSTINGS_BUILD_VERSION
+
     fp = _source_fingerprint(source_path)
     key = hashlib.sha256(
-        f"{os.path.abspath(source_path)}|{fp}|{tag}|v1".encode()
+        f"{os.path.abspath(source_path)}|{fp}|{tag}"
+        f"|v{POSTINGS_BUILD_VERSION}".encode()
     ).hexdigest()[:16]
     return os.path.join(_stage_root(), f"{tag}_{key}")
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseries_spark.extensions.caching import register_cache
 from timeseries_spark.extensions.hashing import rolling_fingerprint
 
 # tiny per-language marker vocabularies for the n-gram/stopword heuristic
@@ -530,9 +531,12 @@ def unigram_logprob(
     # corpus is re-scanned and re-exploded per consumer (measured: 3
     # parquet scans). The cache entry is vocab-sized, the same bounded
     # footprint argument as bm25_topk's matched postings.
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n")
-    ).persist()
+    # registered under the text family (VERDICT r15 item 1): the block
+    # is in the RETURNED plan's lineage, so only a serving session's
+    # release_caches(spark, "text") between queries can free it
+    counts = register_cache(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")), "text"
+    )
     # totals are INTEGER aggregates (sum of counts, vocab size) — order-
     # independent by associativity, so no sorted-fold pinning is needed
     # and the vocabulary never funnels into a one-row collected array
@@ -624,11 +628,11 @@ def bigram_logprob(
     # bigram table consumed twice (context sums + scoring join) over an
     # exploded-corpus lineage — persist the vocab²-bounded counts, same
     # argument as unigram_logprob's cached unigram table
-    cnt = (
+    cnt = register_cache(
         big.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("cn", F.sum("n").over(Window.partitionBy("prev")))
-        .persist()
+        .withColumn("cn", F.sum("n").over(Window.partitionBy("prev"))),
+        "text",
     )
     vocab = toks.agg(F.countDistinct("token").alias("__v"))
     lp = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from timeseries_spark.extensions.caching import register_cache
 from timeseries_spark.extensions.classifier import logreg_fit, logreg_metrics
 from timeseries_spark.extensions.text import quality_metrics
 from timeseries_spark.queries import load, query
@@ -93,7 +94,12 @@ def logreg_quality_train(spark, sf_dir):
         "stopword_ratio",
         "punct_ratio",
         (F.col("mean_word_len") / 10).alias("mwl10"),
-    ).persist()
+    )
+    # the feature relation feeds every GD round AND the returned scoring
+    # plan, so the operator can never unpersist it itself — registered
+    # under the classifier family (VERDICT r15 item 1) so serving
+    # sessions can release_caches(spark, "classifier") between queries
+    feats = register_cache(feats, "classifier")
     w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
     return logreg_metrics(feats, w, _FEATS, "y")
 
@@ -121,7 +127,12 @@ def logreg_quality_scores(spark, sf_dir):
         "stopword_ratio",
         "punct_ratio",
         (F.col("mean_word_len") / 10).alias("mwl10"),
-    ).persist()
+    )
+    # the feature relation feeds every GD round AND the returned scoring
+    # plan, so the operator can never unpersist it itself — registered
+    # under the classifier family (VERDICT r15 item 1) so serving
+    # sessions can release_caches(spark, "classifier") between queries
+    feats = register_cache(feats, "classifier")
     w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
     z = F.col("w_bias")
     for c in _FEATS:
@@ -153,7 +164,12 @@ def _scores_df(spark, sf_dir):
         "stopword_ratio",
         "punct_ratio",
         (F.col("mean_word_len") / 10).alias("mwl10"),
-    ).persist()
+    )
+    # the feature relation feeds every GD round AND the returned scoring
+    # plan, so the operator can never unpersist it itself — registered
+    # under the classifier family (VERDICT r15 item 1) so serving
+    # sessions can release_caches(spark, "classifier") between queries
+    feats = register_cache(feats, "classifier")
     w = logreg_fit(feats, _FEATS, "y", n_iter=_N_ITER, lr=_LR)
     z = F.col("w_bias")
     for c in _FEATS:

@@ -564,6 +564,73 @@ def _hp_multiprobe_oracle() -> str:
     """
 
 
+def _hp_hires_oracle(n_planes: int = 5) -> str:
+    from timeseries_spark.extensions.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_planes, 64)
+    masks = [1 << p for p in range(n_planes)] + [
+        (1 << p) | (1 << q)
+        for p in range(n_planes)
+        for q in range(p + 1, n_planes)
+    ]
+    probes = "\n      UNION ALL ".join(
+        f"SELECT query_id, qv, xor(bucket, {m}) AS bucket FROM q"
+        for m in masks
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_hp_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probes AS (
+      SELECT query_id, qv, bucket FROM q
+      UNION ALL {probes}
+    ),
+    scored AS (
+      SELECT p.query_id, p.bucket, c.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="c.embedding")} AS cos_sim
+      FROM probes p JOIN c ON c.bucket = p.bucket
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, CAST(bucket AS INT) AS bucket, neighbor_id, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_hyperplane_hires", oracle=_hp_hires_oracle())
+def ann_hyperplane_hires(spark, sf_dir):
+    """Hyperplane LSH at the recall-pinned HIRES operating point
+    (VERDICT r15 item 5): 5 planes (32 buckets — half the candidate
+    cost per probe of the 4-plane default) with a radius-2 multiprobe
+    budget (1 + 5 + 10 = 16 probes). The clustered-geometry study
+    (experiments/ANN_RECALL_CLUSTERED_r15.json) measured single-bucket
+    recall@5 FALLING 0.625→0.425 as planes go 3→5 — finer buckets are
+    cheaper but blind — and radius-2 probing is the budget that buys
+    the recall back while probe count stays a function of n_planes
+    only (the LSH analog of ann_pq_hires' rerank-pool rule; measured
+    recall quoted in experiments/ANN_RECALL_HIRES_r16.json). Same
+    broadcast probe-explode + bucket equi-join plan shape; probe
+    buckets are distinct so no candidate is scored twice."""
+    from timeseries_spark.extensions.similarity import hyperplane_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb, _queries_df(spark, sf_dir), k=5, n_planes=5, dims=64,
+        multiprobe=True, probe_radius=2,
+    )
+
+
 @query("ann_hyperplane_multiprobe", oracle=_hp_multiprobe_oracle())
 def ann_hyperplane_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH: each query probes its own sign bucket
@@ -1362,6 +1429,33 @@ def ann_pq_staged(spark, sf_dir):
     return pq_topk(
         emb, _queries_df(spark, sf_dir), k=5, m=2, dims=64,
         n_clusters=4, kmeans_iter=2, rerank_factor=4, books=books,
+    )
+
+
+@query("ann_pq_hires_staged", oracle=REGISTRY["ann_pq_hires"].oracle)
+def ann_pq_hires_staged(spark, sf_dir):
+    """The hires PQ operating point (m=8, 16-bit codes, 60-wide rerank
+    pool) served from STAGED codebooks — VERDICT r15 item 2: the
+    in-plan ann_pq_hires trains eight subspace codebooks per execution
+    (20-30 s proof walls across tiers), exactly the cost the
+    staged-artifact pattern amortizes for m=2. Here the eight
+    (centroid, mean-codebook) tables are trained once per (source
+    fingerprint, params) key and persisted
+    (extensions/staging.py:staged_pq_books, tag pq8x64); the serving
+    plan is encode (broadcast argmin per subspace) + probe + exact
+    rerank, with no Lloyd subtree anywhere. Hash-identical to
+    ann_pq_hires (same oracle)."""
+    from timeseries_spark.extensions.pq import pq_topk
+    from timeseries_spark.extensions.staging import staged_pq_books
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = staged_pq_books(
+        spark, emb, f"{sf_dir}/embeddings.parquet",
+        m=8, dims=64, n_clusters=4, kmeans_iter=2,
+    )
+    return pq_topk(
+        emb, _queries_df(spark, sf_dir), k=5, m=8, dims=64,
+        n_clusters=4, kmeans_iter=2, rerank_factor=12, books=books,
     )
 
 

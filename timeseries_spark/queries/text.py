@@ -454,12 +454,14 @@ def heavy_hitters_cms(spark, sf_dir):
     # exact is consumed twice (probe keys + the comparison join) and its
     # lineage is a full corpus explode — persist the 20-row result so
     # the sketch-vs-exact diagnostic costs two corpus reads, not three
-    exact = (
+    from timeseries_spark.extensions.caching import register_cache
+
+    exact = register_cache(
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), "token")
-        .limit(20)
-        .persist()
+        .limit(20),
+        "text",
     )
     est = cms_estimate(
         exact.select("token"), counters, "token", depth=4, width=256

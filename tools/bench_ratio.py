@@ -23,6 +23,7 @@ Usage: python tools/bench_ratio.py ORACLE_SF01_rN.txt SF1_rN.txt [flag=4]
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -47,11 +48,19 @@ def _main_correctness() -> None:
     small = _parse_correctness_log(sys.argv[1])
     big = _parse_correctness_log(sys.argv[2])
     flag_at = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
-    sys.path.insert(0, ".")
+    # anchor the bench import to the repo root (this script's parent)
+    # so invocation from any cwd resolves the same module (r15 advice)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from bench import BY_DESIGN_QUADRATIC
 
     by_design = set(BY_DESIGN_QUADRATIC)
     ratios, floored = {}, []
+    # queries present only in the big-tier log can never get a ratio —
+    # name them in the output so a query added (or only meaningful) at
+    # the big tier is visible rather than silently excluded (r15 advice)
+    big_only = sorted(q for q in big if q not in small)
     for q, t_small in small.items():
         t_big = big.get(q)
         if t_big is None:
@@ -77,6 +86,7 @@ def _main_correctness() -> None:
         "big": sys.argv[2],
         "n_compared": len(ratios),
         "n_floored_sub300ms": len(floored),
+        "big_only_queries": big_only,
         "flag_threshold": flag_at,
         "flagged_advisory": flagged,
         "compat_quadratic": compat,

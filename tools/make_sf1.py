@@ -19,7 +19,12 @@ the same prefix argument that keeps the replicas pairwise disjoint).
 Embeddings replicate as plain copies (a near-dup-rich corpus at 10x
 density — the harder regime for dedup blocking).
 
-Events drop day 17 entirely — a simulated one-day ingestion outage
+Events drop the 17th of EVERY month — `day(ts) != 17` keeps the
+day-of-month, not one calendar date, so a corpus spanning months
+carries one gap per month (round-15 advice: the docs said "one-day
+outage"; the predicate is the shipped semantics and the sf1 proofs
+bind to it, so the DOCS are corrected rather than the fixture
+regenerated). A recurring monthly ingestion-outage pattern
 (same VERDICT item: dense 10x replication closed every gap in the
 sparse daily series, so series_gaps_daily proved an empty set). The
 gap is a property of the DATA, shared by both engines, so every
