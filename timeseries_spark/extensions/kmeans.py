@@ -21,7 +21,7 @@ clusters, any cluster size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.functions.parallelism import ensure_parallelism
@@ -32,6 +32,45 @@ def _sq_dist(a, b) -> F.Column:
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def _argmin_assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, v) × (cid, c) → (vid, v, cluster, sq_dist raw double): the
+    zero-shuffle argmin projection — centroids fold to ONE broadcast
+    array row and the per-row ``array_min`` over (sq_dist, cid) structs
+    is the same (distance, lowest-cid) tie-break as a
+    ``Window.orderBy(sq_dist, cid)`` row_number()=1, on the same
+    ``_sq_dist`` fold doubles, so the assignment is column-for-column
+    identical to the crossJoin+window shape it replaces (round-16: that
+    shape paid an n×k exchange + sort PER LLOYD ROUND; this is a pure
+    map stage — the assign_to_centroids idiom moved inside the fit
+    loop)."""
+    cent_arr = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cid").cast("int").alias("cid"), F.col("c").alias("c"))
+            )
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda cen: F.struct(
+                _sq_dist(F.col("v"), cen["c"]).alias("d"),
+                cen["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__best", best)
+        .select(
+            "vid",
+            "v",
+            F.col("__best.cid").alias("cluster"),
+            F.col("__best.d").alias("sq_dist"),
+        )
     )
 
 
@@ -59,46 +98,61 @@ def kmeans_fit(
     # driver-side merge — whereas a global Window.orderBy would funnel
     # EVERY vector through one SinglePartition exchange (the round-2
     # verdict's scale-killer #1). The cid is assigned after the take, on
-    # k rows only.
+    # k rows only. NOT checkpointed (round-16): the k-row subtree hangs
+    # off the checkpointed pts leaf and re-evaluates in O(k) inside the
+    # first round's job — one driver job fewer per fit.
     seed_w = Window.orderBy("vid")
     centroids = (
         pts.orderBy("vid")
         .limit(k)
         .withColumn("__rn", F.row_number().over(seed_w))
         .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
-        .localCheckpoint()
     )
 
+    # Round-16 job-count rewrite (guide §1.2 step 1 — the r16 profile
+    # charged the fit-heavy ANN/dedup queries 40-100 driver jobs each,
+    # with task-seconds far below wall × cores: orchestration, not
+    # data). Three structural changes, all answer-preserving:
+    #   1. assignment is the zero-shuffle argmin projection
+    #      (_argmin_assign, bit-identical to the old crossJoin+window —
+    #      see its docstring), so the per-round n×k exchange + sort is
+    #      gone;
+    #   2. the convergence total rides the round's OWN materialization
+    #      as an observe() metric (the connected_components idiom)
+    #      instead of a standalone agg job;
+    #   3. intermediate assignments are no longer checkpointed: each
+    #      round's assignment is one projection over the checkpointed
+    #      pts leaf, so the centroid-update job recomputes it in a
+    #      single pass and the plan still stays O(1) per round (only
+    #      centroids checkpoint). Net: a 3-iter fit runs ~4 driver jobs
+    #      instead of ~9.
+    # Convergence semantics are unchanged (same per-row raw-double
+    # sq_dist summed and rounded at 9dp, compared to the previous
+    # round), with one cost-only difference: the update for the final
+    # converged round is computed before the break and discarded —
+    # assignments and returned centroids are identical because the
+    # break decision itself is identical.
     assigned = None
     prev_total = None
     for it in range(max_iter):
-        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
-            "sq_dist", _sq_dist(F.col("v"), F.col("c"))
-        )
-        w_best = Window.partitionBy("vid").orderBy("sq_dist", "cid")
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w_best))
-            .filter(F.col("__rn") == 1)
-            .select("vid", "v", F.col("cid").alias("cluster"), "sq_dist")
-            .localCheckpoint()
-        )
+        assigned = _argmin_assign(pts, centroids)
         if it == max_iter - 1:
             # the final round's convergence aggregate and centroid
-            # update feed nothing — assignments are final either way —
-            # so skipping them saves two jobs and a checkpoint per fit.
-            # Returned centroids are therefore the ones the FINAL
-            # assignment ranked against (both callers ignore them; the
-            # oracles replay assignments, which are unchanged).
+            # update feed nothing — assignments are final either way.
+            # Returned centroids are the ones the FINAL assignment
+            # ranked against (both callers ignore them; the oracles
+            # replay assignments, which are unchanged).
+            assigned = assigned.localCheckpoint()
             break
-        total = assigned.agg(F.round(F.sum("sq_dist"), 9)).first()[0]
-        if total == prev_total:
-            break
-        prev_total = total
+        obs = Observation()
+        assigned_obs = assigned.observe(
+            obs, F.round(F.sum("sq_dist"), 9).alias("t")
+        )
         # Lloyd update: per-dimension means. A cluster with no assigned
         # points produces no mean row; the left join + coalesce keeps its
         # OLD centroid so k never shrinks mid-run (deterministic because
         # assignment is)
-        dims = assigned.select(
+        dims = assigned_obs.select(
             "cluster", F.posexplode("v").alias("dim", "x")
         )
         means = (
@@ -115,11 +169,22 @@ def kmeans_fit(
                 F.transform(F.col("dm"), lambda s: s["m"]).alias("c_new"),
             )
         )
-        centroids = (
+        updated = (
             centroids.join(means, "cid", "left")
             .select("cid", F.coalesce("c_new", "c").alias("c"))
             .localCheckpoint()
         )
+        total = obs.get["t"]
+        if total == prev_total:
+            # converged BEFORE this update: the assignment (and the
+            # centroids it ranked against) are final; the just-computed
+            # `updated` table is discarded. Materialize the returned
+            # assignment once — its plan is a single argmin pass over
+            # the pts leaf.
+            assigned = assigned.localCheckpoint()
+            break
+        prev_total = total
+        centroids = updated
     return assigned, centroids
 
 
