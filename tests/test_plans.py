@@ -91,18 +91,30 @@ def test_no_cartesian_products_anywhere(plan):
 
 def test_python_boundary_only_in_multimodal(plan):
     """UDF discipline (SURVEY.md §2.10): every query stays JVM-side except
-    the multimodal codec queries, which are Arrow-batched by design."""
+    two Arrow-batched-by-design classes — the multimodal codec queries,
+    and (round-16, guide §4.2) the dedup queries whose final plan exposes
+    embedding_near_dup's cogrouped NumPy cosine kernel (bit-identical to
+    the JVM fold it replaced — see extensions/similarity.py — and Arrow
+    cogroup-batched, never row-at-a-time: BatchEvalPython stays banned
+    everywhere)."""
     multimodal = {
         "media_decode_stats",
         "media_feature_hist",
         "media_resize_rollup",
         "media_audio_resample",
     }
+    vector_kernel = {
+        "dedup_embedding_cosine",
+        "dedup_embedding_kmeans",
+    }
     for name in all_queries():
         p = plan(name)
         py = p.count("EvalPython") + p.count("InPandas") + p.count("MapInArrow")
         if name in multimodal:
             assert py > 0, name  # Arrow-batched, not row-at-a-time
+            assert p.count("BatchEvalPython") == 0, name
+        elif name in vector_kernel:
+            assert p.count("FlatMapCoGroupsInPandas") > 0, name
             assert p.count("BatchEvalPython") == 0, name
         else:
             assert py == 0, name

@@ -11,11 +11,13 @@ Scale shape — the part that matters at 100 TB: the corpus is scanned
 ONCE to build the (token, count) vocabulary; every merge round after
 that runs at VOCABULARY grain (pair counting shuffles |vocab|·avg_len
 rows with map-side partial aggregation, the winning pair is a one-row
-TakeOrdered reduce broadcast back, and the merge rewrite is a per-row
-string replace). Rounds follow the ``kmeans_fit`` /
+TakeOrdered collect back — bounded metadata, never corpus data — and
+the merge rewrite is a per-row literal string replace folded lazily
+into the next round's plan). Rounds follow the ``kmeans_fit`` /
 ``connected_components`` discipline: a bounded driver loop whose state
-is eagerly ``localCheckpoint``-ed each round so the plan never grows
-(plan-size blowup, not data, is the failure mode of chained iterations).
+is eagerly ``localCheckpoint``-ed every few rounds so the plan never
+grows past a constant (plan-size blowup, not data, is the failure mode
+of chained iterations) while per-round driver jobs stay at one.
 
 Determinism: ties on pair count break lexicographically on (left,
 right), so the same corpus always yields the same merge table — which
@@ -93,48 +95,49 @@ def induce_bpe(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = _vocab(docs, text_col).localCheckpoint(eager=True)
-    merge_rows: list[DataFrame] = []
+    # Round-16 job-count rewrite (guide §1.2 step 1: the r16 profile
+    # charged bpe_merges 45 driver jobs for 0.7 task-seconds — pure
+    # orchestration). ONE job per round: the winning pair comes back as
+    # a bounded 1-row collect (the same metadata-only discipline as
+    # select_batch's batch_max+1 window), the rewrite folds into the
+    # NEXT round's plan as a lazy literal replace instead of its own
+    # crossJoin + checkpoint job, and the merge table materializes once
+    # from driver literals at the end (exactly as induce_bpe_batched
+    # always has). Checkpointing every _CKPT_EVERY rounds keeps the
+    # replace chain bounded, so per-round analysis and recompute stay
+    # O(_CKPT_EVERY) while intermediate materializations drop from
+    # n_merges to n_merges/_CKPT_EVERY.
+    _CKPT_EVERY = 8
+    merge_lits: list[tuple] = []
+    since_ckpt = 0
     for step in range(1, n_merges + 1):
-        best = (
+        top = (
             _pair_counts(words)
             .orderBy(F.desc("total"), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        # metadata-only driver decision (0 or 1 row, already
-        # materialized by the eager checkpoint) — not a data collect
-        if best.isEmpty():
+        if not top:
             break
-        merge_rows.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("a").alias("pair_left"),
-                F.col("b").alias("pair_right"),
-                F.concat("a", "b").alias("merged"),
-                F.col("total").alias("pair_count"),
-            )
-        )
-        pat = F.concat(F.lit("["), F.col("a"), F.lit("]["), F.col("b"), F.lit("]"))
-        rep = F.concat(F.lit("["), F.col("a"), F.col("b"), F.lit("]"))
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .withColumn("s", F.replace(F.col("s"), pat, rep))
-            .select("token", "cnt", "s")
-            .localCheckpoint(eager=True)
-        )
-    if not merge_rows:
-        # a corpus of single-character words has no adjacent pairs at
-        # all — surface an EMPTY merge table (correct artifact), not an
-        # error (found by the round-6 property test)
-        merges = docs.sparkSession.createDataFrame(
-            [],
-            "step int, pair_left string, pair_right string, "
-            "merged string, pair_count bigint",
-        )
-    else:
-        merges = merge_rows[0]
-        for df in merge_rows[1:]:
-            merges = merges.unionByName(df)
+        r = top[0]
+        merge_lits.append((step, r["a"], r["b"], r["a"] + r["b"], r["total"]))
+        words = words.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"[{r['a']}][{r['b']}]"),
+                F.lit(f"[{r['a']}{r['b']}]"),
+            ),
+        ).select("token", "cnt", "s")
+        since_ckpt += 1
+        if since_ckpt >= _CKPT_EVERY and step < n_merges:
+            words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
+    merges = docs.sparkSession.createDataFrame(
+        merge_lits,
+        "step int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint",
+    )
     return merges, words
 
 
@@ -363,7 +366,14 @@ def induce_bpe_batched(
         raise ValueError(f"batch_max must be >= 1, got {batch_max}")
     spark = docs.sparkSession
     words = _vocab(docs, text_col).localCheckpoint(eager=True)
+    # Same round-16 job-count discipline as induce_bpe: the per-round
+    # rewrite stays a LAZY literal-replace chain evaluated by the next
+    # round's selection job, with a checkpoint only every _CKPT_EVERY
+    # rounds (chain bounded at batch_max * _CKPT_EVERY replaces) — one
+    # driver job per round instead of two.
+    _CKPT_EVERY = 4
     merge_lits: list[tuple] = []
+    since_ckpt = 0
     while len(merge_lits) < n_merges:
         batch = select_batch(
             _pair_counts(words), batch_max, n_merges - len(merge_lits)
@@ -381,11 +391,11 @@ def induce_bpe_batched(
                 F.lit(f"[{r['a']}][{r['b']}]"),
                 F.lit(f"[{r['a']}{r['b']}]"),
             )
-        words = (
-            words.withColumn("s", s)
-            .select("token", "cnt", "s")
-            .localCheckpoint(eager=True)
-        )
+        words = words.withColumn("s", s).select("token", "cnt", "s")
+        since_ckpt += 1
+        if since_ckpt >= _CKPT_EVERY and len(merge_lits) < n_merges:
+            words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
     merges = spark.createDataFrame(
         merge_lits,
         "step int, pair_left string, pair_right string, "

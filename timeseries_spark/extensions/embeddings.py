@@ -73,36 +73,43 @@ def covariance_pairs(
     """Upper-triangle covariance of the embedding cloud as long-form
     rows ``(i, j, cov)`` for i ≤ j, cov rounded to 6dp.
 
-    Single scan, single tiny shuffle: each row emits ONE primitive
-    double array — its d(d+1)/2 upper-triangle outer products followed
-    by its d raw values — and a single posexplode + hash aggregate over
-    the linear position yields every Σxixj AND every per-dim Σxi at
-    once (map-side partial aggregation reduces each task to
-    ≤ d(d+1)/2 + d rows before the exchange). The triangular position →
-    (i, j) mapping is a d(d+1)/2-row broadcast literal (no fragile
-    inverse-triangular arithmetic in the plan), and cov = E[xy] −
-    E[x]E[y] assembles via two more broadcast joins of the d-row dim
-    sums. Measured at sf0.1×5 (10k vectors): the primitive
-    upper-triangle encoding runs 1.6× faster than the full-d² variant
-    and 2.4× faster than a struct-per-pair explode — the statistic is
-    compute-bound at n·d²/2 products, so halving the emitted elements
-    is the lever; the shuffle is constant-size regardless of n."""
+    Single scan, single tiny shuffle: each Arrow batch emits ONE
+    partial-sums row — the d(d+1)/2 upper-triangle entries of its
+    X^T·X followed by its d per-dim value sums (NumPy matmul behind a
+    mapInPandas; the round-16 replacement for the per-row interpreted
+    HOF expansion, guide §4.2) — and a single posexplode + hash
+    aggregate over the linear position yields every Σxixj AND every
+    per-dim Σxi at once. The triangular position → (i, j) mapping is a
+    d(d+1)/2-row broadcast literal (no fragile inverse-triangular
+    arithmetic in the plan), and cov = E[xy] − E[x]E[y] assembles via
+    two more broadcast joins of the d-row dim sums. The statistic is
+    compute-bound at n·d²/2 products: the r16 profile charged the HOF
+    form ~8 µs per emitted element (34 task-seconds for 0.6 MB of
+    vectors at sf0.1); the batched matmul runs the same flops at
+    native speed and shrinks the exploded relation from n·(d(d+1)/2+d)
+    rows to one row per batch. The shuffle stays constant-size
+    regardless of n."""
     if dims < 1:
         raise ValueError(f"dims must be >= 1, got {dims}")
-    v = F.transform(
-        checked_dims(F.col(vec_col), dims, "covariance_pairs"),
-        lambda x: x.cast("double"),
-    )
-    tri = F.flatten(
-        F.transform(
-            v,
-            lambda xi, i: F.transform(
-                F.slice(v, i + 1, F.lit(dims) - i), lambda xj: xi * xj
-            ),
-        )
-    )
     from timeseries_spark.functions.parallelism import ensure_parallelism
 
+    # Round-16 kernel swap (guide §4.2): the upper-triangle outer
+    # products move from a JVM higher-order-function expansion
+    # (posexplode of d(d+1)/2 + d interpreted-lambda products PER ROW —
+    # the r16 profile charged pca_top3 34 task-seconds for a 0.6 MB
+    # input, ~8 µs per element of pure lambda overhead) to a NumPy
+    # X^T·X per Arrow batch behind ONE mapInPandas. Each batch emits a
+    # single partial-sums row laid out in the SAME linear position
+    # order as the old flattened triangle (row-major upper incl.
+    # diagonal, then the d raw-value sums), so everything downstream —
+    # the pos→(i,j) broadcast mapping, the E[xy] − E[x]E[y] assembly —
+    # is untouched. The final cross-batch reduce stays the same Spark
+    # aggregate; batch partial sums replace task partial sums inside
+    # the exact summation-order headroom the 6dp rounding already
+    # absorbs (the cross-engine DuckDB oracle never matched fold order
+    # either). The corpus pass count is unchanged: one scan, one tiny
+    # constant-size shuffle.
+    #
     # The eager checkpoint is load-bearing (round-7 event-log finding):
     # `agg` is consumed by TWO branches (pair rows and dim sums), and
     # Catalyst pushes each branch's pos-filter BELOW the aggregate —
@@ -113,13 +120,42 @@ def covariance_pairs(
     # ensure_parallelism matters for the same compute-vs-bytes reason as
     # everywhere: a corpus that fits one parquet split would run the
     # d²-per-row expansion on one core.
+    def _partial_sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(dims)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__v"].to_numpy())
+            if X.shape[1] != dims:
+                raise ValueError(
+                    f"covariance_pairs: expected {dims}-dim vector, "
+                    f"got {X.shape[1]}"
+                )
+            xtx = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "p": [np.concatenate([xtx[iu], X.sum(axis=0)])],
+                    "bn": [len(X)],
+                }
+            )
+
     agg = (
         ensure_parallelism(vectors)
-        .select(F.posexplode(F.concat(tri, v)).alias("pos", "val"))
+        .select(
+            F.transform(
+                checked_dims(F.col(vec_col), dims, "covariance_pairs"),
+                lambda x: x.cast("double"),
+            ).alias("__v")
+        )
+        .mapInPandas(_partial_sums, schema="p array<double>, bn bigint")
+        .select(F.posexplode("p").alias("pos", "val"), "bn")
         .groupBy("pos")
         .agg(
             F.sum("val").alias("sij"),
-            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("bn").cast("double").alias("n"),
         )
         .localCheckpoint(eager=True)
     )

@@ -144,52 +144,121 @@ def embedding_near_dup(
     # cosine stage, so a round-robin pre-shuffle would just move the
     # full vector payload one extra time (measured ~1 s at sf0.1)
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    # per-VECTOR norms, folded once before the shuffle/explode: the
-    # per-pair verify then costs ONE array fold (the dot) instead of
-    # three — bit-identical cosine (see cosine_from_norms), measured
-    # as the dominant share of semantic-dedup task time (69%, round-10
-    # profile) with no candidate-pruning alternative on isotropic
-    # embeddings (a provable-slack quantized prescreen keeps 100%)
+    dtypes = dict(vectors.dtypes)
+    blk_t, id_t = dtypes[block_col], dtypes[id_col]
     lhs = vectors.select(
         F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        _as_double(F.col(vec_col)).alias("va"),
-        l2_norm(_as_double(F.col(vec_col))).alias("na"),
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("__salt"),
     ).repartition(n_parts, "block", "__salt")
     rhs = (
         vectors.select(
             F.col(block_col).alias("block"),
-            F.col(id_col).alias("id_b"),
-            _as_double(F.col(vec_col)).alias("vb"),
-            l2_norm(_as_double(F.col(vec_col))).alias("nb"),
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
         )
         .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         .repartition(n_parts, "block", "__salt")
     )
     # The explicit keyed repartitions are load-bearing, not decoration:
-    # they satisfy the join's distribution requirement (no extra
+    # they satisfy the cogroup's distribution requirement (no extra
     # exchange) AND, being user-numbered shuffles, are exempt from
     # AQE's byte-based partition coalescing. Without them the
     # ENSURE_REQUIREMENTS exchange carries only a few MB here, AQE
-    # coalesces the join stage to 1-2 tasks, and the cosine fold — the
-    # actual cost, per-ROW compute the byte heuristic cannot see —
+    # coalesces the pair stage to 1-2 tasks, and the cosine kernel —
+    # the actual cost, per-ROW compute the byte heuristic cannot see —
     # serializes onto one core (measured 5x slower at sf0.1; the same
     # bytes-vs-compute mismatch ensure_parallelism documents for scans).
+    #
+    # Round-16 kernel swap (guide §4.2): the per-pair cosine moves from
+    # an interpreted JVM higher-order fold to a NumPy kernel behind ONE
+    # Arrow cogroup per (block, salt) — the r16 profile charged the
+    # block-pair fold 42 of semantic_dedup_staged's 72 task-seconds,
+    # and the r16 microbench (tools/r16_kernel_micro.py) showed no
+    # JVM-side expression form beats the fold. The pair set and every
+    # cos_sim are IDENTICAL by construction, not by tolerance:
+    #   - the kernel accumulates dot and norms ACROSS the pair axis but
+    #     sequentially over dims (acc = acc + va[:,d]*vb[:,d]), the
+    #     exact op order of the JVM aggregate()/l2_norm fold, in
+    #     float64 — bit-identical doubles;
+    #   - the 6dp rounding and the threshold filter stay in the JVM
+    #     (F.round half-up), applied to the bit-identical raw cosine;
+    #     the kernel pre-filters at (threshold - 1e-6), a margin wider
+    #     than any 6dp rounding shift, so no qualifying pair is lost;
+    #   - the (a,b)-meets-once-under-a's-salt structure is unchanged —
+    #     the cogroup enumerates exactly the old join's meeting sets.
+    # Scale shape unchanged: one vector shuffle per side (rhs ×salt),
+    # candidate pairs never materialize as JVM rows (the kernel emits
+    # only survivors), per-task memory is bounded by block size × the
+    # 512-row lhs chunk.
+    thr_margin = threshold - 1e-6
+
+    def _pair_kernel(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"block": [], "id_a": [], "id_b": [], "cos_raw": []}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        va = np.stack(left["__v"].to_numpy())
+        vb = np.stack(right["__v"].to_numpy())
+        ia = left["__id"].to_numpy()
+        ib = right["__id"].to_numpy()
+        d = va.shape[1]
+        na = np.zeros(len(va))
+        nb = np.zeros(len(vb))
+        for k in range(d):
+            na = na + va[:, k] * va[:, k]
+            nb = nb + vb[:, k] * vb[:, k]
+        na = np.sqrt(na)
+        nb = np.sqrt(nb)
+        blk = left["block"].iloc[0]
+        out = []
+        CH = 512
+        for s in range(0, len(va), CH):
+            e = min(s + CH, len(va))
+            acc = np.zeros((e - s, len(vb)))
+            for k in range(d):
+                acc = acc + va[s:e, k][:, None] * vb[:, k][None, :]
+            denom = na[s:e][:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            keep = (
+                (denom > 0)
+                & (cos >= thr_margin)
+                & (ia[s:e, None] < ib[None, :])
+            )
+            i_idx, j_idx = np.nonzero(keep)
+            if len(i_idx):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "block": np.repeat(blk, len(i_idx)),
+                            "id_a": ia[s + i_idx],
+                            "id_b": ib[j_idx],
+                            "cos_raw": cos[i_idx, j_idx],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    raw = (
+        lhs.groupBy("block", "__salt")
+        .cogroup(rhs.groupBy("block", "__salt"))
+        .applyInPandas(
+            _pair_kernel,
+            schema=f"block {blk_t}, id_a {id_t}, id_b {id_t}, cos_raw double",
+        )
+    )
     return (
-        lhs.join(rhs, ["block", "__salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("__salt")
-        .select(
-            F.col("block"),
+        raw.select(
+            "block",
             "id_a",
             "id_b",
-            F.round(
-                cosine_from_norms(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            ).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
