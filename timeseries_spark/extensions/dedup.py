@@ -25,7 +25,10 @@ from timeseries_spark.extensions.caching import (
     release_caches,
 )
 from timeseries_spark.extensions.hashing import md5_h1, md5_h2, md5_long
-from timeseries_spark.functions.parallelism import ensure_parallelism
+from timeseries_spark.functions.parallelism import (
+    bytes_sized_shuffles,
+    ensure_parallelism,
+)
 
 # Multi-consumer persist() points registered by the pair generators
 # (posting/signature/band blocks) go through the shared, per-session,
@@ -678,88 +681,99 @@ def connected_components(
     # the paired-vertex set the old distinct did, at the same shuffle
     # cost, one propagation step ahead (round-13 CC-overhead cut: the
     # r11 profile charged 38% of semantic-dedup task time to the loop)
-    seed_obs = Observation()
-    labels = (
-        edges.groupBy(F.col("src").alias("vid"))
-        .agg(F.least(F.col("vid"), F.min("dst")).alias("label"))
-        .observe(
-            seed_obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    #
+    # round-16: every materialization in this function — seed and loop
+    # rounds — runs under bytes-proportional AQE coalescing
+    # (bytes_sized_shuffles): the label relation is kB-scale here and
+    # its hop/jump reduce work is trivial per row, so the fixed
+    # 32-partition floor was pure per-task overhead (~38 % of dedup
+    # task time); the one compute-dense stage inside the seed job (the
+    # block-cosine pair kernel) sits behind REPARTITION_BY_NUM
+    # exchanges, which AQE never coalesces
+    with bytes_sized_shuffles(pairs.sparkSession):
+        seed_obs = Observation()
+        labels = (
+            edges.groupBy(F.col("src").alias("vid"))
+            .agg(F.least(F.col("vid"), F.min("dst")).alias("label"))
+            .observe(
+                seed_obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    # convergence sums ride each materialization's OWN job as observe()
-    # metrics (CollectMetrics evaluates during the checkpoint action), so
-    # the per-round standalone aggregate job — and its scheduler
-    # round-trip — is gone entirely
-    prev_sum = seed_obs.get["s"]
-    try:
-        for _round in range(max_iter):
-            neighbor_min = (
-                edges.join(
-                    labels.select(
-                        F.col("vid").alias("dst"), F.col("label").alias("nlabel")
-                    ),
-                    "dst",
+        # convergence sums ride each materialization's OWN job as
+        # observe() metrics (CollectMetrics evaluates during the
+        # checkpoint action), so the per-round standalone aggregate job
+        # — and its scheduler round-trip — is gone entirely
+        prev_sum = seed_obs.get["s"]
+        try:
+            for _round in range(max_iter):
+                neighbor_min = (
+                    edges.join(
+                        labels.select(
+                            F.col("vid").alias("dst"), F.col("label").alias("nlabel")
+                        ),
+                        "dst",
+                    )
+                    .groupBy(F.col("src").alias("vid"))
+                    .agg(F.min("nlabel").alias("nmin"))
                 )
-                .groupBy(F.col("src").alias("vid"))
-                .agg(F.min("nlabel").alias("nmin"))
-            )
-            # NOT checkpointed: the jump references this twice, but the
-            # subtree hangs off the round's checkpointed `labels` leaf, so
-            # doubling it is two cheap re-scans — one materialization per
-            # round instead of two (measured 29s -> ~17s at sf0.1)
-            hopped = labels.join(neighbor_min, "vid", "left").select(
-                "vid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            # pointer jump: adopt the label of one's label — squares the
-            # propagation distance per round
-            sc.setJobDescription(f"cc: round {_round} hop+jump")
-            round_obs = Observation()
-            updated = (
-                hopped.alias("h")
-                .join(
-                    hopped.select(
-                        F.col("vid").alias("label"), F.col("label").alias("ll")
-                    ).alias("l2"),
-                    "label",
-                    "left",
-                )
-                .select(
+                # NOT checkpointed: the jump references this twice, but the
+                # subtree hangs off the round's checkpointed `labels` leaf, so
+                # doubling it is two cheap re-scans — one materialization per
+                # round instead of two (measured 29s -> ~17s at sf0.1)
+                hopped = labels.join(neighbor_min, "vid", "left").select(
                     "vid",
                     F.least(
-                        F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                 )
-                .observe(
-                    round_obs,
-                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                # pointer jump: adopt the label of one's label — squares the
+                # propagation distance per round
+                sc.setJobDescription(f"cc: round {_round} hop+jump")
+                round_obs = Observation()
+                updated = (
+                    hopped.alias("h")
+                    .join(
+                        hopped.select(
+                            F.col("vid").alias("label"), F.col("label").alias("ll")
+                        ).alias("l2"),
+                        "label",
+                        "left",
+                    )
+                    .select(
+                        "vid",
+                        F.least(
+                            F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+                        ).alias("label"),
+                    )
+                    .observe(
+                        round_obs,
+                        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                    )
+                    .localCheckpoint()
                 )
-                .localCheckpoint()
-            )
-            cur_sum = round_obs.get["s"]
-            labels = updated
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-        # labels were seeded from edge ENDPOINTS, so restrict back to the
-        # vertex table before emitting — an id that appears only in
-        # `pairs` must not leak into the output (the contract is "one row
-        # per vertex"); a stray endpoint can still have served as another
-        # vertex's min-label, which is fine: labels name components, they
-        # need not be member ids of the emitted set
-        paired = labels.select(
-            F.col("vid").alias(id_col), F.col("label").alias("component")
-        ).join(vertices.select(id_col), id_col, "left_semi")
-        singletons = vertices.select(F.col(id_col)).join(
-            paired.select(id_col), id_col, "left_anti"
-        ).select(id_col, F.col(id_col).alias("component"))
-        return paired.unionByName(singletons)
-    finally:
-        sc.setJobDescription(None)
-        edges.unpersist()
+                cur_sum = round_obs.get["s"]
+                labels = updated
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            # labels were seeded from edge ENDPOINTS, so restrict back to the
+            # vertex table before emitting — an id that appears only in
+            # `pairs` must not leak into the output (the contract is "one row
+            # per vertex"); a stray endpoint can still have served as another
+            # vertex's min-label, which is fine: labels name components, they
+            # need not be member ids of the emitted set
+            paired = labels.select(
+                F.col("vid").alias(id_col), F.col("label").alias("component")
+            ).join(vertices.select(id_col), id_col, "left_semi")
+            singletons = vertices.select(F.col(id_col)).join(
+                paired.select(id_col), id_col, "left_anti"
+            ).select(id_col, F.col(id_col).alias("component"))
+            return paired.unionByName(singletons)
+        finally:
+            sc.setJobDescription(None)
+            edges.unpersist()
 
 
 def auto_n_clusters(

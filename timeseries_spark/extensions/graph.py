@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from timeseries_spark.extensions.caching import register_cache
+from timeseries_spark.functions.parallelism import bytes_sized_shuffles
 
 DAMPING = 0.85
 
@@ -226,43 +227,47 @@ def label_propagation(
     )
     if persist:
         e = e.persist()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
-        eager=True
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
-    try:
-        for _ in range(n_iter):
-            picks = (
-                e.join(
-                    labels.select(
-                        F.col("node").alias("dst"),
-                        F.col("label").alias("nbr_label"),
-                    ),
-                    "dst",
+    # round-16: per-round label shuffles are tiny and non-compute-dense
+    # — run the loop under bytes-proportional AQE coalescing (see
+    # bytes_sized_shuffles; same rationale as connected_components)
+    with bytes_sized_shuffles(edges.sparkSession):
+        labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+            eager=True
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("label"))
+        try:
+            for _ in range(n_iter):
+                picks = (
+                    e.join(
+                        labels.select(
+                            F.col("node").alias("dst"),
+                            F.col("label").alias("nbr_label"),
+                        ),
+                        "dst",
+                    )
+                    .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .withColumnRenamed("nbr_label", "label")
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select("node", F.col("label").alias("new_label"))
                 )
-                .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .withColumnRenamed("nbr_label", "label")
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("node", F.col("label").alias("new_label"))
-            )
-            labels = (
-                labels.join(picks, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce("new_label", "label").alias("label"),
+                labels = (
+                    labels.join(picks, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce("new_label", "label").alias("label"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
-    finally:
-        # the final labels are an EAGER checkpoint, so the edge cache is
-        # dead weight the moment the loop ends — unpersisting here (not
-        # at the caller) keeps long-lived sessions from leaking a block
-        # per invocation (pagerank can't do this: its returned plan is
-        # lazy and still reads the cache when it finally executes)
-        if persist:
-            e.unpersist()
+        finally:
+            # the final labels are an EAGER checkpoint, so the edge cache is
+            # dead weight the moment the loop ends — unpersisting here (not
+            # at the caller) keeps long-lived sessions from leaking a block
+            # per invocation (pagerank can't do this: its returned plan is
+            # lazy and still reads the cache when it finally executes)
+            if persist:
+                e.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -387,29 +392,31 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         )
 
-    alive = degrees(und).where(F.col("d") >= k).localCheckpoint(eager=True)
-    e = und
-    # one count per EXECUTED round, and it is load-bearing: alive only
-    # ever shrinks (degrees are monotone non-increasing under peeling),
-    # so an unchanged count means an unchanged set — converged — and
-    # the remaining rounds' semi-joins are skipped entirely
-    cur_n = alive.count()
-    converged = False
-    for _ in range(n_rounds):
-        keep = alive.select("node")
-        e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        alive = degrees(e).where(F.col("d") >= k).localCheckpoint(
-            eager=True
-        )
-        new_n = alive.count()
-        if new_n == cur_n:
-            converged = True
-            break
-        cur_n = new_n
+    # round-16: same bytes-proportional coalescing for the peel rounds
+    with bytes_sized_shuffles(edges.sparkSession):
+        alive = degrees(und).where(F.col("d") >= k).localCheckpoint(eager=True)
+        e = und
+        # one count per EXECUTED round, and it is load-bearing: alive only
+        # ever shrinks (degrees are monotone non-increasing under peeling),
+        # so an unchanged count means an unchanged set — converged — and
+        # the remaining rounds' semi-joins are skipped entirely
+        cur_n = alive.count()
+        converged = False
+        for _ in range(n_rounds):
+            keep = alive.select("node")
+            e = (
+                e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            alive = degrees(e).where(F.col("d") >= k).localCheckpoint(
+                eager=True
+            )
+            new_n = alive.count()
+            if new_n == cur_n:
+                converged = True
+                break
+            cur_n = new_n
     return alive.select(
         "node",
         F.col("d").alias("core_degree"),

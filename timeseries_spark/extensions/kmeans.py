@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from timeseries_spark.functions.parallelism import ensure_parallelism
+from timeseries_spark.functions.parallelism import (
+    bytes_sized_shuffles,
+    ensure_parallelism,
+)
 
 
 def _sq_dist(a, b) -> F.Column:
@@ -134,57 +137,64 @@ def kmeans_fit(
     # break decision itself is identical.
     assigned = None
     prev_total = None
-    for it in range(max_iter):
-        assigned = _argmin_assign(pts, centroids)
-        if it == max_iter - 1:
-            # the final round's convergence aggregate and centroid
-            # update feed nothing — assignments are final either way.
-            # Returned centroids are the ones the FINAL assignment
-            # ranked against (both callers ignore them; the oracles
-            # replay assignments, which are unchanged).
-            assigned = assigned.localCheckpoint()
-            break
-        obs = Observation()
-        assigned_obs = assigned.observe(
-            obs, F.round(F.sum("sq_dist"), 9).alias("t")
-        )
-        # Lloyd update: per-dimension means. A cluster with no assigned
-        # points produces no mean row; the left join + coalesce keeps its
-        # OLD centroid so k never shrinks mid-run (deterministic because
-        # assignment is)
-        dims = assigned_obs.select(
-            "cluster", F.posexplode("v").alias("dim", "x")
-        )
-        means = (
-            dims.groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("dm")
+    # round-16: the per-round update shuffles (the (cluster, dim)
+    # partial-mean aggregate and the k-row centroid join) carry tiny,
+    # non-compute-dense state — run the loop under bytes-proportional
+    # AQE coalescing (bytes_sized_shuffles; the compute-dense argmin is
+    # a MAP stage over the checkpointed pts leaf, untouched by
+    # reduce-side coalescing)
+    with bytes_sized_shuffles(vectors.sparkSession):
+        for it in range(max_iter):
+            assigned = _argmin_assign(pts, centroids)
+            if it == max_iter - 1:
+                # the final round's convergence aggregate and centroid
+                # update feed nothing — assignments are final either way.
+                # Returned centroids are the ones the FINAL assignment
+                # ranked against (both callers ignore them; the oracles
+                # replay assignments, which are unchanged).
+                assigned = assigned.localCheckpoint()
+                break
+            obs = Observation()
+            assigned_obs = assigned.observe(
+                obs, F.round(F.sum("sq_dist"), 9).alias("t")
             )
-            .select(
-                F.col("cluster").alias("cid"),
-                F.transform(F.col("dm"), lambda s: s["m"]).alias("c_new"),
+            # Lloyd update: per-dimension means. A cluster with no assigned
+            # points produces no mean row; the left join + coalesce keeps its
+            # OLD centroid so k never shrinks mid-run (deterministic because
+            # assignment is)
+            dims = assigned_obs.select(
+                "cluster", F.posexplode("v").alias("dim", "x")
             )
-        )
-        updated = (
-            centroids.join(means, "cid", "left")
-            .select("cid", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint()
-        )
-        total = obs.get["t"]
-        if total == prev_total:
-            # converged BEFORE this update: the assignment (and the
-            # centroids it ranked against) are final; the just-computed
-            # `updated` table is discarded. Materialize the returned
-            # assignment once — its plan is a single argmin pass over
-            # the pts leaf.
-            assigned = assigned.localCheckpoint()
-            break
-        prev_total = total
-        centroids = updated
+            means = (
+                dims.groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ).alias("dm")
+                )
+                .select(
+                    F.col("cluster").alias("cid"),
+                    F.transform(F.col("dm"), lambda s: s["m"]).alias("c_new"),
+                )
+            )
+            updated = (
+                centroids.join(means, "cid", "left")
+                .select("cid", F.coalesce("c_new", "c").alias("c"))
+                .localCheckpoint()
+            )
+            total = obs.get["t"]
+            if total == prev_total:
+                # converged BEFORE this update: the assignment (and the
+                # centroids it ranked against) are final; the just-computed
+                # `updated` table is discarded. Materialize the returned
+                # assignment once — its plan is a single argmin pass over
+                # the pts leaf.
+                assigned = assigned.localCheckpoint()
+                break
+            prev_total = total
+            centroids = updated
     return assigned, centroids
 
 

@@ -60,10 +60,23 @@ POSTINGS_BUILD_VERSION = 2
 
 
 def build_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: Sequence[str] | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf, dl): one explode + one hash agg. dl rides
     along (constant per doc) so scoring needs no join back to the docs.
+
+    ``terms`` restricts the build to the given term set by filtering the
+    exploded tokens BEFORE the aggregate (round-16, guide §2.3
+    aggregate-less-before-you-shuffle): an ad-hoc query needs only its
+    own terms' postings, and filtering after explode is row-identical to
+    aggregating everything and joining the term list after — ``dl`` is
+    the FULL token count, computed per row before the filter — while the
+    (term, doc) aggregate and its exchange shrink from every token
+    instance in the corpus to the matching ones. ``None`` (the staging
+    path) builds the complete index.
 
     The doc scan goes through the parallelism guard: tokenize+explode is
     per-row compute over a byte-small parquet (the round-13 sf1 profile,
@@ -81,14 +94,15 @@ def build_postings(
     path on a corpus with null rows.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    return (
-        ensure_parallelism(docs).select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(txt)).alias("dl"),
-            F.explode(tokens(txt)).alias("term"),
-        )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(txt)).alias("dl"),
+        F.explode(tokens(txt)).alias("term"),
+    )
+    if terms is not None:
+        exploded = exploded.where(F.col("term").isin(list(terms)))
+    return exploded.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
 
 
@@ -114,7 +128,15 @@ def bm25_topk(
     spark = docs.sparkSession
     from_index = postings is not None
     if not from_index:
-        postings = build_postings(docs, id_col, text_col)
+        # ad-hoc path: build only the query terms' postings — the
+        # pre-aggregate term filter makes the (term, doc) aggregate
+        # proportional to the query's matches instead of the corpus's
+        # token count (see build_postings); the broadcast term join
+        # below is then structure-preserving (df dedupe) rather than
+        # the thing that discards the unmatched 99% after the fact
+        postings = build_postings(
+            docs, id_col, text_col, terms=list(dict.fromkeys(query_terms))
+        )
     # dedupe the bag: a repeated query term would inflate df (and
     # double-count its weight) because postings match once per copy
     q = spark.createDataFrame(
@@ -277,7 +299,15 @@ def boolean_search(
         # conjunction would silently return nothing instead of "all"
         raise ValueError("boolean_search needs at least one must-term")
     spark = docs.sparkSession
-    postings = build_postings(docs, id_col, text_col)
+    # only the must/must-not terms' postings are ever probed — filter
+    # the exploded tokens to that set BEFORE the aggregate (the same
+    # round-16 pre-aggregate term filter bm25_topk's ad-hoc path uses;
+    # row-identical for the probed terms, and the (term, doc) aggregate
+    # shrinks from the corpus's token count to the matching instances)
+    postings = build_postings(
+        docs, id_col, text_col,
+        terms=list(dict.fromkeys([*must, *must_not])),
+    )
     mq = spark.createDataFrame([(t,) for t in must], "term string")
     hits = (
         postings.join(F.broadcast(mq), "term")

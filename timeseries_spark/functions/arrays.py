@@ -15,6 +15,24 @@ DEFAULT_TOP_K = 50
 DEFAULT_MAX_SCORE = 1.64  # sum(1/i^2, i=1..10000), timeseries.py:35
 
 
+def let(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and hand it to ``body`` as a bound lambda
+    variable — a let-binding for expensive sub-expressions referenced
+    more than once inside a larger expression.
+
+    Catalyst performs no common-subexpression elimination INSIDE lambda
+    functions (round-16 plan audit: the flagship fold's sorted top-k
+    pool — slice(reverse(array_sort(filter(...)))) — appeared FOUR
+    times per fold step, once for the carried state and three times
+    inside harmonic_sum's references to its argument, and each copy was
+    evaluated). Wrapping the expression as the sole element of a
+    one-element ``transform`` binds it to a lambda variable that the
+    runtime evaluates exactly once; the unwrap is a constant-index
+    element_at. Results are identical by construction — the bound value
+    is the same expression, just not re-evaluated."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def top_k_desc(scores: Column, k: int = DEFAULT_TOP_K) -> Column:
     """Top-``k`` values of a double array, descending, NaN removed.
 
@@ -33,12 +51,19 @@ def harmonic_sum(sorted_scores: Column) -> Column:
     to null entries and ``0D + NULL`` is NULL). Dense series therefore carry
     NULL before the first evidence year; the novelty pass fills them.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(sorted_scores), F.lit(1)))
-    weighted = F.zip_with(sorted_scores, idx, lambda s, i: s / (i * i))
-    total = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(F.size(sorted_scores) > 0, total).otherwise(
-        F.lit(None).cast("double")
-    )
+    # let-bind the argument: it is referenced three times below (idx
+    # sizing, the zip, the emptiness guard), and callers pass expensive
+    # sorted-top-k expressions — without the binding each reference
+    # re-evaluates the argument (no CSE inside lambdas; see ``let``)
+    def _body(ss):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ss), F.lit(1)))
+        weighted = F.zip_with(ss, idx, lambda s, i: s / (i * i))
+        total = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(F.size(ss) > 0, total).otherwise(
+            F.lit(None).cast("double")
+        )
+
+    return let(sorted_scores, _body)
 
 
 def harmonic_score(

@@ -12,6 +12,8 @@ never adds a shuffle where one isn't needed.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 
 
@@ -26,6 +28,46 @@ def ensure_parallelism(
         return df.repartition(target)
     return df
 
+
+
+@contextlib.contextmanager
+def bytes_sized_shuffles(spark):
+    """Scope AQE's bytes-proportional shuffle coalescing over a
+    driver-sequential loop whose per-round shuffles carry tiny,
+    NON-compute-dense state (CC labels, Lloyd centroid means, gradient
+    aggregates, pagerank ranks).
+
+    AQE's coalescer defaults to ``parallelismFirst=true``: it refuses to
+    coalesce below the cluster's default parallelism, so a 2 k-row label
+    hop still runs 32 reduce tasks per round and the loop pays pure
+    scheduler/task overhead (the r16 profile charged the CC rounds 38 %
+    of semantic-dedup task time at ~0.1 s of overhead per task-wave).
+    Flipping ``parallelismFirst`` to false INSIDE the loop lets AQE size
+    each reduce stage by bytes (advisoryPartitionSizeInBytes) — one task
+    for a kB-scale hop here, thousands of tasks for a TB-scale hop on a
+    cluster: scale-adaptive by construction, no hard-coded counts.
+
+    Scoped, not global: compute-dense-but-byte-small reduce stages
+    elsewhere (the banded simhash/minhash self-joins, block-cosine
+    stages) must NOT be coalesced; inside these loops the only
+    compute-dense stages sit behind AQE-exempt explicit repartitions
+    (REPARTITION_BY_NUM) or checkpointed leaves, so bytes are the right
+    currency. Runtime confs apply at ACTION time, so only the loop's own
+    materializations (the per-round checkpoints) see the flag; the
+    DataFrame a wrapped function returns executes under the caller's
+    conf again.
+    """
+    conf = spark.conf
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    old = conf.get(key, None)
+    conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
 
 
 # NOTE (round 10): a `fan_out_oversized` helper lived here briefly — a

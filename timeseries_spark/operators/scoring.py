@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timeseries_spark.config import EngineConfig
-from timeseries_spark.functions.arrays import harmonic_sum, top_k_desc
+from timeseries_spark.functions.arrays import harmonic_sum, let, top_k_desc
 
 
 def association_score(
@@ -134,26 +134,37 @@ def association_score(
     rows_t = "array<struct<year:int,score:double>>"
 
     def fold_year(acc, y):
-        cur = top_k_desc(
-            F.concat(
-                acc["cum"],
-                F.coalesce(F.element_at(F.col("cells"), y), empty),
-            ),
-            cfg.top_k,
-        )
-        return F.struct(
-            cur.alias("cum"),
-            F.concat(
-                acc["rows"],
-                F.array(
-                    F.struct(
-                        y.cast("int").alias("year"),
-                        (harmonic_sum(cur) / F.lit(cfg.max_score)).alias(
-                            "score"
-                        ),
-                    )
+        # let-bind the running top-k pool (functions/arrays.py:let):
+        # it feeds BOTH the carried state and the harmonic score, and
+        # without the binding the sort+slice re-evaluates per reference
+        # (the round-16 plan audit counted four copies per fold step —
+        # no CSE inside lambdas). Values are unchanged: same pool
+        # expression, evaluated once.
+        def step(cur):
+            return F.struct(
+                cur.alias("cum"),
+                F.concat(
+                    acc["rows"],
+                    F.array(
+                        F.struct(
+                            y.cast("int").alias("year"),
+                            (harmonic_sum(cur) / F.lit(cfg.max_score)).alias(
+                                "score"
+                            ),
+                        )
+                    ),
+                ).alias("rows"),
+            )
+
+        return let(
+            top_k_desc(
+                F.concat(
+                    acc["cum"],
+                    F.coalesce(F.element_at(F.col("cells"), y), empty),
                 ),
-            ).alias("rows"),
+                cfg.top_k,
+            ),
+            step,
         )
 
     scored = cells.select(
