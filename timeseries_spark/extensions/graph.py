@@ -95,19 +95,6 @@ def pagerank(
                 ),
             )
             .drop("c")
-            # LAZY per-round plan truncation (round-16, guide §3.3):
-            # each round references nodes twice (directly + via n_row)
-            # and e once, so the unrolled lazy plan replicated the
-            # caller's edge-building lineage 214 scans deep for 3
-            # rounds (r16 before-plan) — the cache absorbs the
-            # re-execution but the driver still pays analysis/
-            # optimization over the whole tree every run. A lazy
-            # checkpoint per round keeps the return value a single
-            # unexecuted plan (nothing runs until the caller's first
-            # action, which materializes the rounds bottom-up, inside
-            # the timed region) while each round's plan hangs off the
-            # previous round's leaf.
-            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
 
@@ -132,20 +119,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Plan shape: two |E|-grain equi joins (wedge build + closure probe)
     and one explode + hash aggregate — no cartesian, no windows, all
-    shuffles keyed on node/edge ids.
-
-    und / deg / ornt are LAZY localCheckpoints (round-16, guide §3.3):
-    ornt is consumed three times (both wedge sides + the closure probe),
-    deg three times (twice inside ornt, once in the final zero-fill
-    join) and und three times (twice inside deg, once in ornt), and the
-    projections differ per consumer, so Catalyst gets no common subplan
-    and AQE's ReusedExchange never fires — the r16 before-plan for
-    triangle_counts_parts replicated the caller's edge-building subtree
-    into 68 separate input scans. Materializing the three small
-    relations (|E| rows × 2-3 ints) executes the edge subtree exactly
-    once at any scale; lazy (eager=False) keeps plan BUILD free — the
-    checkpoint runs inside the first action, i.e. inside the bench's
-    timed region, fresh per run."""
+    shuffles keyed on node/edge ids."""
     und = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -153,14 +127,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
     )
     ornt = (
         und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
@@ -182,7 +154,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                 F.col("dv"),
             ).otherwise(F.col("du")).alias("dst_d"),
         )
-        .localCheckpoint(eager=False)
     )
     e1 = ornt.select(
         F.col("src").alias("a"),

@@ -986,22 +986,8 @@ def corpus_prepare(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     ev = docs.filter(F.pmod("doc_id", F.lit(41)) == 0)
-    # Lazy plan-truncation checkpoints (round-16, guide §3.3): each
-    # downstream stage references its input 2-3 times (the quantile
-    # cutoff + join inside relative_quality_filter, the digest keep set
-    # + the semi join, temperature_mix's count + replicate pass), and
-    # the references compose MULTIPLICATIVELY — the before-plan scanned
-    # documents.parquet 48 times, re-running the shingle/tokenize chain
-    # each time. Materializing the two docs-grain stage outputs runs
-    # the decontamination chain and the quality gate exactly once at
-    # any scale; eager=False keeps plan build free (the checkpoint
-    # executes inside the first action, fresh per bench rep).
-    decon = decontaminate(docs, ev, n=3, min_hits=2).localCheckpoint(
-        eager=False
-    )
-    quality = relative_quality_filter(decon, p=0.25).localCheckpoint(
-        eager=False
-    )
+    decon = decontaminate(docs, ev, n=3, min_hits=2)
+    quality = relative_quality_filter(decon, p=0.25)
     keep = exact_duplicates(quality).select(
         F.col("keep_id").alias("doc_id")
     )
