@@ -80,3 +80,122 @@ def test_postings_stage_path_tracks_build_semantics_version(spark, tmp_path):
     finally:
         search.POSTINGS_BUILD_VERSION = old
     assert p_now != p_old
+
+
+# ---------------------------------------------------------------------------
+# Round-16 optimization pins (OPTIMIZATION_r16.md): each optimization
+# that changed an operator's internals gets a focused result-identity
+# test — the speedups must be evaluation-strategy changes only.
+# ---------------------------------------------------------------------------
+
+
+def test_build_postings_term_filter_row_identical(spark):
+    # The ad-hoc pre-aggregate term filter (guide §2.3) must equal
+    # "build everything, then keep the terms": same (term, doc_id, tf)
+    # rows and, critically, the SAME dl (full per-doc token count, not
+    # the filtered count).
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.extensions.search import build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana date"),
+            (3, None),  # NULL-text contract: coalesces to ''
+            (4, "apple"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["apple", "banana"]
+    full = build_postings(docs).where(F.col("term").isin(terms))
+    filtered = build_postings(docs, terms=terms)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in filtered.collect()}
+    assert a == b and len(b) > 0
+    # dl is the FULL token count: doc 1 has 4 tokens even though only
+    # 3 match the term set
+    dl1 = {r["dl"] for r in filtered.where("doc_id = 1").collect()}
+    assert dl1 == {4}
+
+
+def test_bm25_adhoc_term_filter_matches_prebuilt_index(spark):
+    # The ad-hoc path (term-filtered build) and the staged path (full
+    # prebuilt index) must produce identical BM25 rankings — corpus
+    # stats (n_docs, avgdl) and df may not drift under the filter.
+    from timeseries_spark.extensions.search import (
+        bm25_topk,
+        build_postings,
+    )
+
+    docs = load(spark, SF, "documents").limit(40)
+    q = ["the", "data", "pipeline"]
+    adhoc = bm25_topk(docs, q, k=10).collect()
+    staged = bm25_topk(
+        docs, q, k=10, postings=build_postings(docs)
+    ).collect()
+    assert [tuple(r) for r in adhoc] == [tuple(r) for r in staged]
+    assert len(adhoc) > 0
+
+
+def test_let_binding_value_identity(spark):
+    # let() is an evaluation-count optimization: the bound value must
+    # equal inlining the expression verbatim, including NULL/empty
+    # behavior of harmonic_sum.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.functions.arrays import harmonic_sum, let
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 2.0, 1.0]),
+            (2, []),
+            (3, [5.0]),
+        ],
+        "id bigint, xs array<double>",
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", harmonic_sum(F.col("xs")).alias("h")
+        ).collect()
+    }
+    # reference: sum(xs[i-1] / i^2), NULL for empty
+    assert got[2] is None
+    assert math.isclose(got[1], 3.0 / 1 + 2.0 / 4 + 1.0 / 9)
+    assert math.isclose(got[3], 5.0)
+    # let() general identity: body over the bound value == inlined body
+    inline = df.select(
+        (F.size("xs") + F.size("xs")).alias("v")
+    ).collect()
+    bound = df.select(
+        let(F.size("xs"), lambda s: s + s).alias("v")
+    ).collect()
+    assert [r["v"] for r in inline] == [r["v"] for r in bound]
+
+
+def test_bytes_sized_shuffles_scopes_and_restores_conf(spark):
+    from timeseries_spark.functions.parallelism import bytes_sized_shuffles
+
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    before = spark.conf.get(key, None)
+    assert before is None  # session default: unset
+
+    with bytes_sized_shuffles(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key, None) is None  # restored to unset
+
+    # pre-existing value round-trips, including through an exception
+    spark.conf.set(key, "true")
+    try:
+        try:
+            with bytes_sized_shuffles(spark):
+                assert spark.conf.get(key) == "false"
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.unset(key)
