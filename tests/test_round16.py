@@ -199,3 +199,75 @@ def test_bytes_sized_shuffles_scopes_and_restores_conf(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.unset(key)
+
+
+def test_cc_pair_subtree_executes_exactly_once(spark):
+    # round-16 optimization pin: connected_components builds the
+    # undirected edge set with ONE explode pass over `pairs` instead of
+    # pairs.union(pairs-swapped) — the union planned (and executed) the
+    # whole upstream pair subtree once PER BRANCH, which doubled the
+    # Arrow pair-cogroup in every semantic_dedup consumer. An
+    # accumulator inside a mapInPandas pair source counts executions:
+    # the full CC run must see every pair exactly once.
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.extensions.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.range(0, 500).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+
+    def _count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = base.mapInPandas(_count_rows, "id_a long, id_b long")
+    vertices = spark.range(0, 501).select(F.col("id").alias("doc_id"))
+    out = connected_components(pairs, vertices).collect()
+    # one 501-vertex chain: every vertex labels to component 0
+    assert len(out) == 501
+    assert {r["component"] for r in out} == {0}
+    # the pair source was traversed exactly once (500 rows), not once
+    # per union branch (1000) — and not re-run by any CC round
+    assert acc.value == 500
+
+
+def test_cache_built_in_scope_stores_bytes_sized_partitions(spark):
+    # a persist() created INSIDE the bytes_sized_shuffles scope must
+    # store at AQE's bytes-proportional width: a kB-scale aggregate
+    # caches in O(1) partitions instead of the static shuffle partition
+    # count. This is the mechanism behind the CC edge cache fix — the
+    # cached-plan AQE flag (canChangeCachedPlanOutputPartitioning) is
+    # consulted at cache-entry creation, so connected_components builds
+    # its edge cache inside the scope. (The CC run itself unpersists
+    # its cache in a finally, so the width is pinned here on a bare
+    # replica of the pattern.)
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.functions.parallelism import bytes_sized_shuffles
+
+    jsc = spark.sparkContext._jsc.sc()
+    pre = {i.id() for i in jsc.getRDDStorageInfo()}
+    with bytes_sized_shuffles(spark):
+        small = (
+            spark.range(0, 1000)
+            .select((F.col("id") % 97).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        try:
+            small.count()
+            # only the cache THIS test created (storage info is
+            # session-global and other tests may hold wider caches)
+            widths = [
+                i.numCachedPartitions()
+                for i in jsc.getRDDStorageInfo()
+                if i.id() not in pre and i.numCachedPartitions() > 0
+            ]
+            assert widths, "aggregate cache not stored"
+            assert all(n <= 4 for n in widths), widths
+        finally:
+            small.unpersist()

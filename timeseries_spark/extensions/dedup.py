@@ -660,14 +660,15 @@ def connected_components(
     that is a ~50× smaller per-round state/shuffle, and the singletons
     join back in one anti-join at the end.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    # round-16 (guide §1.2-1 "don't compute things twice"): the edge set
+    # used to be pairs.union(pairs-swapped) — a Union whose two branches
+    # each embed the WHOLE upstream pair subtree, and Catalyst plans the
+    # subtree per branch. Exchange reuse dedups the shuffles but NOT the
+    # map-side work above them: the event-log profile showed the Arrow
+    # pair-cogroup (FlatMapCoGroupsInPandas) executing twice inside the
+    # seed stage (2×32 tasks in one UnionRDD). One explode pass emits
+    # both directions from a single traversal — the identical directed
+    # edge SET (same distinct), with the pair kernel run exactly once.
     # job descriptions label each materialization for the Spark UI and
     # the event-log profiler (tools/profile_semantic.py); the first one
     # also executes the upstream pair subtree (block cosine + edge build)
@@ -691,6 +692,31 @@ def connected_components(
     # block-cosine pair kernel) sits behind REPARTITION_BY_NUM
     # exchanges, which AQE never coalesces
     with bytes_sized_shuffles(pairs.sparkSession):
+        # the persist happens INSIDE the scope: the cached-plan AQE flag
+        # (canChangeCachedPlanOutputPartitioning) is consulted when the
+        # cache ENTRY is created, so the edge cache stores at its
+        # bytes-proportional width instead of the static partition count
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"),
+                        ),
+                        F.struct(
+                            F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst"),
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .select(
+                F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst")
+            )
+            .distinct()
+            .persist()
+        )
         seed_obs = Observation()
         labels = (
             edges.groupBy(F.col("src").alias("vid"))

@@ -58,16 +58,32 @@ def bytes_sized_shuffles(spark):
     conf again.
     """
     conf = spark.conf
-    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    old = conf.get(key, None)
-    conf.set(key, "false")
+    keys = {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # round-16 follow-up: cached relations inside these loops (the CC
+        # edge cache) otherwise build with AQE partition-count changes
+        # DISABLED (Spark's default keeps a cached plan's output
+        # partitioning stable so downstream reuse isn't surprised), which
+        # pins the kB-scale edge cache at the static shuffle partition
+        # count — and then EVERY per-round scan of it is a full task wave
+        # (32 tasks × fixed overhead at local defaults). Letting AQE
+        # re-size the cached build inside the scope stores the cache at
+        # its bytes-proportional width: 1 partition for a kB edge set
+        # here, thousands for a TB one on a cluster — same adaptivity
+        # contract as parallelismFirst above, row set unchanged.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
     try:
         yield
     finally:
-        if old is None:
-            conf.unset(key)
-        else:
-            conf.set(key, old)
+        for k, prev in old.items():
+            if prev is None:
+                conf.unset(k)
+            else:
+                conf.set(k, prev)
 
 
 # NOTE (round 10): a `fan_out_oversized` helper lived here briefly — a
