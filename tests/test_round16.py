@@ -271,3 +271,47 @@ def test_cache_built_in_scope_stores_bytes_sized_partitions(spark):
             assert all(n <= 4 for n in widths), widths
         finally:
             small.unpersist()
+
+
+def test_numpy_fit_assign_bit_identical_to_jvm_argmin(spark):
+    # round-16 session 2: kmeans_fit's in-loop assignment runs as a
+    # NumPy kernel (_argmin_assign_np). Pin bit-identity against the
+    # JVM broadcast-argmin reference (_argmin_assign) on real
+    # embeddings: same cluster ids AND bit-equal raw sq_dist doubles —
+    # the accumulation order (sequential over dims) and the
+    # (distance, lowest-cid) tie-break are preserved, so this must be
+    # exact equality, not approx.
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.extensions.kmeans import (
+        _argmin_assign,
+        _argmin_assign_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint()
+    # a centroid table with duplicate-distance potential: first 5 rows
+    cents = (
+        pts.orderBy("vid")
+        .limit(5)
+        .select(
+            (F.row_number().over(__import__("pyspark").sql.Window.orderBy("vid")) - 1).alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+    jvm = {
+        r["vid"]: (r["cluster"], r["sq_dist"])
+        for r in _argmin_assign(pts, cents).collect()
+    }
+    np_ = {
+        r["vid"]: (r["cluster"], r["sq_dist"])
+        for r in _argmin_assign_np(pts, cents.collect()).collect()
+    }
+    assert jvm.keys() == np_.keys()
+    mism = [
+        (k, jvm[k], np_[k]) for k in jvm if jvm[k] != np_[k]
+    ]  # exact tuple equality: cluster int AND raw double bits
+    assert not mism, mism[:5]

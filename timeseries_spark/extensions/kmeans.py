@@ -38,6 +38,81 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
+def _argmin_assign_np(pts: DataFrame, cent_rows) -> DataFrame:
+    """Fit-loop argmin assignment as a NumPy kernel behind one Arrow
+    map (guide §4.2) — bit-identical to ``_argmin_assign``'s JVM fold:
+
+    - per-centroid distance accumulates SEQUENTIALLY over dims
+      (``acc = acc + (x-c)*(x-c)``), the exact op order of the
+      ``_sq_dist`` fold, in float64 — bit-identical doubles;
+    - centroids are visited in ascending cid with a strict ``<`` update,
+      the same (distance, lowest-cid) tie-break as ``array_min`` over
+      (d, cid) structs; a NaN distance never displaces a real one and a
+      real one always displaces NaN, matching Spark's NaN-greatest
+      double ordering;
+    - the kernel is a narrow map: same partitions, same row order, so
+      every downstream aggregate (the observe() convergence sum, the
+      posexplode centroid update) reduces the same values in the same
+      groupings as before.
+
+    ``cent_rows`` are COLLECTED (cid, c) rows — k rows, vocab-grain, the
+    same k×d doubles the JVM path folded into one broadcast array row
+    (the beyond-broadcast regime keeps the routed assignment path).
+    Motivation (r16 session-2 profile): the interpreted n×k×d lambda
+    fold was ~5 CPU-seconds per Lloyd round at sf0.1 — the dominant
+    task-time of every in-plan fit — and the r16 microbench showed no
+    JVM expression form beats the fold; the pair kernel's NumPy move is
+    the proven alternative."""
+    import numpy as np
+
+    ordered = sorted(cent_rows, key=lambda r: int(r["cid"]))
+    cids = [int(r["cid"]) for r in ordered]
+    cmat = np.array([[float(x) for x in r["c"]] for r in ordered])
+    vid_field = pts.schema["vid"]
+    out_schema = (
+        f"vid {vid_field.dataType.simpleString()}, v array<double>, "
+        "cluster int, sq_dist double"
+    )
+
+    def _assign_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        k, d = cmat.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            best_d = None
+            best_c = None
+            for j in range(k):
+                acc = np.zeros(len(va))
+                for dd in range(d):
+                    diff = va[:, dd] - cmat[j, dd]
+                    acc = acc + diff * diff
+                if best_d is None:
+                    best_d = acc
+                    best_c = np.full(len(va), cids[j], dtype=np.int32)
+                else:
+                    # strict < keeps the lower cid on ties; the isnan
+                    # clause reproduces Spark's NaN-greatest ordering
+                    upd = (acc < best_d) | (
+                        np.isnan(best_d) & ~np.isnan(acc)
+                    )
+                    best_d = np.where(upd, acc, best_d)
+                    best_c = np.where(upd, cids[j], best_c)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "v": pdf["v"],
+                    "cluster": best_c,
+                    "sq_dist": best_d,
+                }
+            )
+
+    return pts.mapInPandas(_assign_kernel, schema=out_schema)
+
+
 def _argmin_assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vid, v) × (cid, c) → (vid, v, cluster, sq_dist raw double): the
     zero-shuffle argmin projection — centroids fold to ONE broadcast
@@ -83,12 +158,23 @@ def kmeans_fit(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_kernel: str = "np",
 ) -> tuple[DataFrame, DataFrame]:
     """Run Lloyd and return ``(assignments, centroids)`` — assignments as
     (vid, v, cluster, sq_dist), centroids as (cid, c). The centroid table
     always has exactly ``k`` rows: clusters that receive no points in a
     round keep their previous centroid (left join + coalesce in the
-    update)."""
+    update).
+
+    ``assign_kernel`` picks the in-loop assignment implementation — both
+    are bit-identical (test-pinned), the choice trades constants only:
+    "np" (default) runs the NumPy Arrow kernel (_argmin_assign_np),
+    which vectorizes the n×k×d distance work and wins whenever the
+    per-row fold is non-trivial; "jvm" keeps the broadcast-array fold
+    projection, which avoids the fixed Arrow round-trip latency that
+    dominates when k·d is small (PQ subspace fits: d=32/8, k≤16 — the
+    interleaved A/B showed the boundary costing more than it saved
+    there)."""
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("vid"),
@@ -145,7 +231,16 @@ def kmeans_fit(
     # reduce-side coalescing)
     with bytes_sized_shuffles(vectors.sparkSession):
         for it in range(max_iter):
-            assigned = _argmin_assign(pts, centroids)
+            # round-16 session 2: the in-loop assignment defaults to the
+            # NumPy Arrow kernel (bit-identical — see _argmin_assign_np).
+            # The k-row centroid table is collected per round: rounds ≥1
+            # read a localCheckpointed k-row leaf, round 0 evaluates the
+            # O(k) init subtree — vocab-grain driver traffic, the same
+            # bounded class as the broadcast array row it replaces.
+            if assign_kernel == "np":
+                assigned = _argmin_assign_np(pts, centroids.collect())
+            else:
+                assigned = _argmin_assign(pts, centroids)
             if it == max_iter - 1:
                 # the final round's convergence aggregate and centroid
                 # update feed nothing — assignments are final either way.

@@ -128,6 +128,10 @@ def pq_fit_books(
         assigned, cents = kmeans_fit(
             sub, k=n_clusters, max_iter=kmeans_iter,
             id_col="__id", vec_col="__sub",
+            # subspace fits are k·sub_dims-small: the JVM fold beats the
+            # Arrow kernel's fixed round-trip latency here (interleaved
+            # A/B, OPTIMIZATION_r16.md session 2)
+            assign_kernel="jvm",
         )
         book = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
@@ -273,6 +277,8 @@ def pq_encode(
         assigned, _ = kmeans_fit(
             sub, k=n_clusters, max_iter=kmeans_iter,
             id_col="__id", vec_col="__sub",
+            # see fit_books: small-k·d subspace fits keep the JVM fold
+            assign_kernel="jvm",
         )
         # codebook = per-cluster per-dim means of the final assignment
         # (pure function of the assignment -> oracle-replayable)
