@@ -146,17 +146,25 @@ def embedding_near_dup(
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     dtypes = dict(vectors.dtypes)
     blk_t, id_t = dtypes[block_col], dtypes[id_col]
+    # round-16 session 2 (guide §2.3 narrower types): the vectors cross
+    # BOTH keyed repartition exchanges in their SOURCE element type —
+    # the old _as_double() projection above the exchanges shipped 8-byte
+    # doubles for 4-byte float embeddings AND paid an interpreted
+    # per-element transform() cast before the shuffle. The widening now
+    # happens inside the NumPy kernel (astype float64 — float→double is
+    # exact, so every downstream double is bit-identical): half the
+    # vector shuffle bytes, zero interpreted cast work.
     lhs = vectors.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("__id"),
-        _as_double(F.col(vec_col)).alias("__v"),
+        F.col(vec_col).alias("__v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(salt)).alias("__salt"),
     ).repartition(n_parts, "block", "__salt")
     rhs = (
         vectors.select(
             F.col(block_col).alias("block"),
             F.col(id_col).alias("__id"),
-            _as_double(F.col(vec_col)).alias("__v"),
+            F.col(vec_col).alias("__v"),
         )
         .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         .repartition(n_parts, "block", "__salt")
@@ -203,8 +211,10 @@ def embedding_near_dup(
         )
         if len(left) == 0 or len(right) == 0:
             return empty
-        va = np.stack(left["__v"].to_numpy())
-        vb = np.stack(right["__v"].to_numpy())
+        # float -> double is exact: the widened values are bit-identical
+        # to the pre-shuffle transform() cast this replaces
+        va = np.stack(left["__v"].to_numpy()).astype(np.float64, copy=False)
+        vb = np.stack(right["__v"].to_numpy()).astype(np.float64, copy=False)
         ia = left["__id"].to_numpy()
         ib = right["__id"].to_numpy()
         d = va.shape[1]
