@@ -315,3 +315,31 @@ def test_numpy_fit_assign_bit_identical_to_jvm_argmin(spark):
         (k, jvm[k], np_[k]) for k in jvm if jvm[k] != np_[k]
     ]  # exact tuple equality: cluster int AND raw double bits
     assert not mism, mism[:5]
+
+
+def test_inline_rows_value_identical_and_jvm_only(spark):
+    # round-16 session 2: small local lookup tables plan as literal
+    # structs + inline() (functions/inline.py) instead of
+    # createDataFrame's parallelized PythonRDD — every broadcast build
+    # over such a table used to pay a wave of Python-worker round-trips.
+    # Values must be identical (typed casts, NULLs) and the plan must
+    # contain no Python/ExistingRDD scan.
+    from timeseries_spark.functions.inline import inline_rows
+
+    rows = [("a", 1.5, 3), ("b", None, -4), ("", 0.0, 0)]
+    schema = "term string, w double, n int"
+    ref = spark.createDataFrame(rows, schema)
+    got = inline_rows(spark, rows, schema)
+    # names and types identical; literal structs mark fields
+    # non-nullable, which is metadata-only (the engines compare values)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "Python" not in plan, plan
+    # empty rows: same schema, zero rows, still no Python at runtime
+    empty = inline_rows(spark, [], schema)
+    assert empty.schema == ref.schema and empty.count() == 0

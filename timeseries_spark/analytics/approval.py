@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseries_spark.analytics.distribution import peak_novelty_rows
+from timeseries_spark.functions.inline import inline_rows
 
 
 def novel_drug_targets(drugs: DataFrame, chembl_evidence: DataFrame) -> DataFrame:
@@ -180,10 +181,11 @@ def approval_timeline(
         .filter(F.col("discard") == False)  # noqa: E712 — reference idiom
     )
     spark = novel.sparkSession
-    reg = spark.createDataFrame(
+    reg = inline_rows(
+        spark,
         [(ds.id, ds.aggregation_id) for ds in datasources]
         or [("__none__", "__none__")],
-        schema="datasourceId string, datatypeId string",
+        "datasourceId string, datatypeId string",
     )
     return (
         results.join(F.broadcast(reg), "datasourceId", "left")

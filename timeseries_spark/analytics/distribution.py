@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from timeseries_spark.functions.inline import inline_rows
 
 
 def top_therapeutic_area(
@@ -29,9 +30,10 @@ def top_therapeutic_area(
 
     Output: (diseaseId, therapeuticArea)."""
     spark = disease.sparkSession
-    rank_df = spark.createDataFrame(
+    rank_df = inline_rows(
+        spark,
         [(ta, i) for i, ta in enumerate(ta_ranking)],
-        schema="therapeuticArea string, ranking int",
+        "therapeuticArea string, ranking int",
     )
     exploded = disease.select(
         F.col("id").alias("diseaseId"),
@@ -177,9 +179,10 @@ def by_datatype(
     counts once, as the reference's collect_set does). Sources map to
     their registry ``aggregation_id`` (broadcast); unregistered sources
     keep their own id."""
-    reg = assoc.sparkSession.createDataFrame(
+    reg = inline_rows(
+        assoc.sparkSession,
         [(ds.id, ds.aggregation_id) for ds in cfg.datasources],
-        schema="datasourceId string, datatypeId string",
+        "datasourceId string, datatypeId string",
     )
     peaks = (
         distribution_peaks(assoc, disease_ta, cutoff, year_min, year_max)

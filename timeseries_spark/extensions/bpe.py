@@ -36,6 +36,7 @@ collide with symbol text.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from timeseries_spark.functions.inline import inline_rows
 
 TOKEN_RE = "^[a-z0-9]+$"
 
@@ -133,7 +134,8 @@ def induce_bpe(
         if since_ckpt >= _CKPT_EVERY and step < n_merges:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
-    merges = docs.sparkSession.createDataFrame(
+    merges = inline_rows(
+        docs.sparkSession,
         merge_lits,
         "step int, pair_left string, pair_right string, "
         "merged string, pair_count bigint",
@@ -396,7 +398,8 @@ def induce_bpe_batched(
         if since_ckpt >= _CKPT_EVERY and len(merge_lits) < n_merges:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
-    merges = spark.createDataFrame(
+    merges = inline_rows(
+        spark,
         merge_lits,
         "step int, pair_left string, pair_right string, "
         "merged string, pair_count bigint",

@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from timeseries_spark.functions.inline import inline_rows
 
 
 def _snap(col, scale: float):
@@ -52,8 +53,10 @@ def logreg_fit(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     spark = df.sparkSession
     w_cols = ["w_bias"] + [f"w_{c}" for c in feature_cols]
-    w = spark.createDataFrame(
-        [tuple(0.0 for _ in w_cols)], ", ".join(f"{c} double" for c in w_cols)
+    w = inline_rows(
+        spark,
+        [tuple(0.0 for _ in w_cols)],
+        ", ".join(f"{c} double" for c in w_cols),
     )
     # NULL features/labels would silently shrink the batch per-column
     # (avg skips NULLs -> misaligned gradients); empty input would make

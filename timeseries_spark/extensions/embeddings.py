@@ -160,14 +160,33 @@ def covariance_pairs(
         .localCheckpoint(eager=True)
     )
     n_tri = dims * (dims + 1) // 2
-    mapping = vectors.sparkSession.createDataFrame(
-        [
-            (p, i, j)
-            for p, (i, j) in enumerate(
-                (i, j) for i in range(dims) for j in range(i, dims)
-            )
-        ],
-        "pos int, i int, j int",
+    # (pos -> i, j) for the upper triangle, generated in-plan with
+    # sequence+explode arithmetic: pos(i,j) = i*dims - i(i-1)/2 + (j-i),
+    # the exact enumeration order of the old driver-side list. The old
+    # createDataFrame parallelized 2080 Python rows — round-16 profiling
+    # showed each broadcast build over that PythonRDD paying a full wave
+    # of Python-worker round-trips (~9 task-seconds of pure wait, twice
+    # per pca_top3 run). This is a JVM-only plan: zero Python workers.
+    mapping = (
+        vectors.sparkSession.range(0, 1, 1, 1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("i")
+        )
+        .select(
+            "i",
+            F.explode(
+                F.sequence(F.col("i"), F.lit(dims - 1))
+            ).alias("j"),
+        )
+        .select(
+            (
+                F.col("i") * dims
+                - F.floor(F.col("i") * (F.col("i") - 1) / 2)
+                + (F.col("j") - F.col("i"))
+            ).cast("int").alias("pos"),
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+        )
     )
     pairs = agg.where(F.col("pos") < n_tri).join(F.broadcast(mapping), "pos")
     dim_sums = agg.where(F.col("pos") >= n_tri).select(

@@ -30,6 +30,7 @@ from timeseries_spark.extensions.caching import (
     register_cache,
     release_caches,
 )
+from timeseries_spark.functions.inline import inline_rows
 from timeseries_spark.extensions.text import ws_tokens as tokens
 from timeseries_spark.functions.parallelism import ensure_parallelism
 
@@ -139,8 +140,8 @@ def bm25_topk(
         )
     # dedupe the bag: a repeated query term would inflate df (and
     # double-count its weight) because postings match once per copy
-    q = spark.createDataFrame(
-        [(t,) for t in dict.fromkeys(query_terms)], "term string"
+    q = inline_rows(
+        spark, [(t,) for t in dict.fromkeys(query_terms)], "term string"
     )
     # matched is consumed twice (df counts + scoring); it is tiny (the
     # query terms' postings only) while its lineage is a full corpus
@@ -308,7 +309,7 @@ def boolean_search(
         docs, id_col, text_col,
         terms=list(dict.fromkeys([*must, *must_not])),
     )
-    mq = spark.createDataFrame([(t,) for t in must], "term string")
+    mq = inline_rows(spark, [(t,) for t in must], "term string")
     hits = (
         postings.join(F.broadcast(mq), "term")
         .groupBy("doc_id")
@@ -317,7 +318,7 @@ def boolean_search(
         .select("doc_id")
     )
     if must_not:
-        nq = spark.createDataFrame([(t,) for t in must_not], "term string")
+        nq = inline_rows(spark, [(t,) for t in must_not], "term string")
         excl = postings.join(F.broadcast(nq), "term").select("doc_id")
         hits = hits.join(excl, "doc_id", "left_anti")
     return hits

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timeseries_spark.extensions.hashing import md5_long
+from timeseries_spark.functions.inline import inline_rows
 
 _HASH_BITS = 60
 
@@ -427,7 +428,7 @@ def histogram_quantiles(
         .withColumn("cum", F.sum("n").over(w))
         .withColumn("cum_prev", F.col("cum") - F.col("n"))
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = inline_rows(spark, [(float(q),) for q in qs], "q double")
     est = (
         F.lit(lo)
         + F.lit(width)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timeseries_spark.config import EngineConfig
+from timeseries_spark.functions.inline import inline_rows
 from timeseries_spark.functions.arrays import harmonic_sum, let, top_k_desc
 
 
@@ -57,9 +58,10 @@ def association_score(
         F.coalesce(F.col(year_col), F.lit(cfg.sentinel_year)).cast("int"),
     )
     if weights is not None:
-        wdf = spark.createDataFrame(
+        wdf = inline_rows(
+            spark,
             [(k, float(v)) for k, v in weights.items()],
-            schema=f"{weight_key} string, weight double",
+            f"{weight_key} string, weight double",
         )
         # unknown sources default to weight 1.0 (the reference's registry
         # always covers its sources; NULL-ing their scores would silently
@@ -229,9 +231,10 @@ def overall_score(
         F.coalesce(F.col(year_col), F.lit(cfg.sentinel_year)).cast("int"),
     )
     if weights is not None:
-        wdf = spark.createDataFrame(
+        wdf = inline_rows(
+            spark,
             [(k, float(v)) for k, v in weights.items()],
-            schema=f"{source_col} string, weight double",
+            f"{source_col} string, weight double",
         )
         data = data.join(F.broadcast(wdf), source_col, "left").withColumn(
             score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))

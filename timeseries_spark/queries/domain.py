@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseries_spark.config import DataSource, EngineConfig
+from timeseries_spark.functions.inline import inline_rows
 from timeseries_spark.operators.dating import select_best_date, with_curation_year
 from timeseries_spark.operators.ontology import expand_ontology
 from timeseries_spark.plans.pipeline import (
@@ -710,7 +711,8 @@ def novels_in_year(spark, sf_dir):
             ).distinct()
         )
         .unionByName(
-            nation.sparkSession.createDataFrame(
+            inline_rows(
+                nation.sparkSession,
                 [("ROOT", "ROOT")],
                 "diseaseId string, therapeuticArea string",
             )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseries_spark.analytics.approval import BELL_BINS
+from timeseries_spark.functions.inline import inline_rows
 from timeseries_spark.queries import load, query
 from timeseries_spark.queries.domain import (
     DOMAIN_CFG,
@@ -111,7 +112,8 @@ def _domain_ta(spark, sf_dir):
             ).distinct()
         )
         .unionByName(
-            nation.sparkSession.createDataFrame(
+            inline_rows(
+                nation.sparkSession,
                 [("ROOT", "ROOT")],
                 "diseaseId string, therapeuticArea string",
             )
