@@ -343,3 +343,30 @@ def test_inline_rows_value_identical_and_jvm_only(spark):
     # empty rows: same schema, zero rows, still no Python at runtime
     empty = inline_rows(spark, [], schema)
     assert empty.schema == ref.schema and empty.count() == 0
+
+
+def test_bipartite_edges_single_traversal(spark):
+    # same optimization (and pin) as the CC edge set: both directions
+    # come from ONE explode pass over the co-occurrence relation, not a
+    # two-branch union that re-executes the upstream subtree per branch.
+    from pyspark.sql import functions as F
+
+    from timeseries_spark.extensions.graph import bipartite_edges
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.range(0, 300).select(
+        (F.col("id") % 20).alias("p"), (F.col("id") % 7).alias("s")
+    )
+
+    def _count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    rel = base.mapInPandas(_count_rows, "p long, s long")
+    edges = bipartite_edges(rel, "p", "s", "P", "S").collect()
+    # every (p, s) pair appears in both directions, deduped
+    assert {(r["src"], r["dst"]) for r in edges} == {
+        (f"P{p}", f"S{s}") for p in range(20) for s in range(7)
+    } | {(f"S{s}", f"P{p}") for p in range(20) for s in range(7)}
+    assert acc.value == 300  # one traversal, not 600

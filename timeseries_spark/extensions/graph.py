@@ -64,11 +64,9 @@ def pagerank(
     e = edges.select("src", "dst").distinct()
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = e.join(out, "src")
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = e.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
     if persist:
         e = register_cache(e, "graph")
         nodes = register_cache(nodes, "graph")
@@ -129,8 +127,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -193,10 +190,23 @@ def bipartite_edges(
     tag-prefixed into a shared string node space."""
     lid = F.concat(F.lit(left_tag), F.col(left_col).cast("string"))
     rid = F.concat(F.lit(right_tag), F.col(right_col).cast("string"))
-    fwd = rel.select(lid.alias("src"), rid.alias("dst"))
-    return fwd.unionByName(
-        rel.select(rid.alias("src"), lid.alias("dst"))
-    ).distinct()
+    # round-16 session 2: one explode pass instead of fwd.union(swap) —
+    # the union planned (and executed) the upstream co-occurrence
+    # relation once per branch (same finding as connected_components'
+    # edge set); the exploded struct pair emits both directions from a
+    # single traversal, identical row multiset
+    return (
+        rel.select(
+            F.explode(
+                F.array(
+                    F.struct(lid.alias("src"), rid.alias("dst")),
+                    F.struct(rid.alias("src"), lid.alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
 
 
 def label_propagation(
@@ -220,11 +230,9 @@ def label_propagation(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select("src", "dst").distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = e.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
     if persist:
         e = e.persist()
     # round-16: per-round label shuffles are tiny and non-compute-dense
@@ -289,8 +297,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
@@ -335,8 +342,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -386,8 +392,7 @@ def k_core(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
 
     def degrees(e):
         return (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
+            e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         )
