@@ -599,26 +599,33 @@ def sq8_topk(
 
         return checked_dims(col, dims, "sq8_topk")
 
-    vectors = ensure_parallelism(vectors)
-    pts = vectors.select(
+    # the approx fold below is compute-dense per ROW (n×queries×dims),
+    # so the scan must be wide regardless of its byte size
+    pts = ensure_parallelism(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         checked_vec(F.col(vec_col)).alias("v"),
     )
-    # per-dim min/range -> ONE broadcast row of aligned arrays
-    stats = (
-        pts.select(F.posexplode("v").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.min("x").alias("mn"), (F.max("x") - F.min("x")).alias("rng"))
-        .groupBy()
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "mn", "rng"))).alias(
-                "s"
-            )
-        )
-        .select(
-            F.transform("s", lambda t: t["mn"]).alias("mins"),
-            F.transform("s", lambda t: t["rng"]).alias("rngs"),
-        )
+    # per-dim min/range -> ONE bounded row (2*dims doubles).
+    # Round-17 (guide §1.2-1): the old posexplode shape multiplied the
+    # corpus to n×dims struct rows (plus an interpreted per-element
+    # double cast) before the dim-keyed aggregate — 3.2M rows at sf0.1,
+    # the single most expensive job of the query; 2×dims direct column
+    # aggregates over the SOURCE float elements reduce the same values
+    # with map-side partials and zero row expansion. Value-identical:
+    # min/max are order-insensitive and float->double widening is exact
+    # and monotone, so cast(min(float)) == min(cast(double)) bit-for-bit
+    # and the range difference is taken in double as before.
+    # built as TWO expr strings, not 2×dims Column objects: per-Column
+    # py4j construction measurably dominated the plan-build wall here
+    mn = [f"CAST(min(`{vec_col}`[{i}]) AS DOUBLE)" for i in range(dims)]
+    mx = [f"CAST(max(`{vec_col}`[{i}]) AS DOUBLE)" for i in range(dims)]
+    stats = vectors.groupBy().agg(
+        F.expr("array(" + ",".join(mn) + ")").alias("mins"),
+        F.expr(
+            "array("
+            + ",".join(f"{b} - {a}" for a, b in zip(mn, mx))
+            + ")"
+        ).alias("rngs"),
     )
     # dequantized vector: mn + floor(((x - mn) * 255) / rng) * rng / 255
     enc = pts.crossJoin(F.broadcast(stats)).withColumn(
@@ -647,7 +654,15 @@ def sq8_topk(
     )
     # dequantized-corpus norms fold once per row (enc projection sits
     # below the crossJoin), query norms once per query: the full-corpus
-    # approx phase pays one dot fold per pair instead of three
+    # approx phase pays one dot fold per pair instead of three.
+    # (Round-17 note: a NumPy Arrow kernel for this phase — bit-identical
+    # dq/fold replay, small-row windows, payload re-attach — was built,
+    # oracle-verified, and REVERTED: at sf0.1 the query is pure
+    # orchestration (total task-sec collapsed 18 -> 0.8 with the kernel,
+    # yet interleaved fresh-process A/B medians LOST ~2.5 s vs ~1.8 s,
+    # 3/3 pairs, because the extra collect jobs and the Python stage
+    # round-trip serialize on the driver). The fold stays JVM; see
+    # OPTIMIZATION_r17.md.)
     scored = (
         enc.withColumn("ndq", l2_norm(F.col("dq")))
         .crossJoin(
