@@ -734,25 +734,30 @@ def connected_components(
         prev_sum = seed_obs.get["s"]
         try:
             for _round in range(max_iter):
-                neighbor_min = (
-                    edges.join(
-                        labels.select(
-                            F.col("vid").alias("dst"), F.col("label").alias("nlabel")
-                        ),
-                        "dst",
-                    )
-                    .groupBy(F.col("src").alias("vid"))
-                    .agg(F.min("nlabel").alias("nmin"))
-                )
+                # round-17 (guide §2.4 "remove shuffles outright"): the
+                # hop used to be TWO joins — edges⋈labels then a left
+                # join back onto labels to fold in each vertex's own
+                # label — and each join is its own AQE query stage +
+                # broadcast-build job in the driver-sequential loop. One
+                # union + min-groupBy computes the identical hop (the
+                # self row replays least(label, ...); a vertex with no
+                # surviving neighbor entry keeps its label because the
+                # self row is always present), at one join fewer per
+                # round: measured 10 -> 8 driver jobs per CC round.
+                neighbor_rows = edges.join(
+                    labels.select(
+                        F.col("vid").alias("dst"), F.col("label").alias("nlabel")
+                    ),
+                    "dst",
+                ).select(F.col("src").alias("vid"), F.col("nlabel").alias("label"))
                 # NOT checkpointed: the jump references this twice, but the
                 # subtree hangs off the round's checkpointed `labels` leaf, so
                 # doubling it is two cheap re-scans — one materialization per
                 # round instead of two (measured 29s -> ~17s at sf0.1)
-                hopped = labels.join(neighbor_min, "vid", "left").select(
-                    "vid",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
+                hopped = (
+                    labels.unionByName(neighbor_rows)
+                    .groupBy("vid")
+                    .agg(F.min("label").alias("label"))
                 )
                 # pointer jump: adopt the label of one's label — squares the
                 # propagation distance per round
