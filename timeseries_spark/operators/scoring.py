@@ -231,14 +231,20 @@ def overall_score(
         F.coalesce(F.col(year_col), F.lit(cfg.sentinel_year)).cast("int"),
     )
     if weights is not None:
-        wdf = inline_rows(
-            spark,
-            [(k, float(v)) for k, v in weights.items()],
-            f"{source_col} string, weight double",
-        )
-        data = data.join(F.broadcast(wdf), source_col, "left").withColumn(
-            score_col, F.col(score_col) * F.coalesce(F.col("weight"), F.lit(1.0))
-        )
+        # round-17 (guide §2.4): the weight registry is vocab-grain and
+        # known at plan time, so it multiplies in as a CASE projection
+        # instead of a broadcast left join — one BroadcastExchange build
+        # (a blocking driver job per materialization) gone from every
+        # weighted-overall plan. Value-identical: the join produced
+        # score * coalesce(weight, 1.0) with at most one match per
+        # source (dict keys are unique), which is exactly this chain's
+        # matched-key branch / 1.0 fallback on the same doubles.
+        w_expr = F.lit(1.0)
+        for wk, wv in reversed(list(weights.items())):
+            w_expr = F.when(
+                F.col(source_col) == F.lit(wk), F.lit(float(wv))
+            ).otherwise(w_expr)
+        data = data.withColumn(score_col, F.col(score_col) * w_expr)
 
     pooled = data.groupBy(*keys, year_col).agg(
         F.collect_list(score_col).alias("source_scores")
