@@ -305,7 +305,6 @@ def pca_top_components(
         raise ValueError(f"n_components must be >= 1, got {n_components}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    snap = lambda c: F.floor(c * 1e10 + F.lit(0.5)).cast("double") / 1e10  # noqa: E731
     upper = covariance_pairs(vectors, dims, id_col, vec_col)
     cov = upper.unionByName(
         upper.where(F.col("i") < F.col("j")).select(
@@ -330,25 +329,47 @@ def pca_top_components(
         .select(F.transform("s2", lambda t: t["cvals"]).alias("mat"))
         .localCheckpoint(eager=True)
     )
-    start = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda _: F.lit(1.0 / float(dims) ** 0.5),
-    )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda acc, t: acc + t
-    )
+    # Round-17 (guide §7.3 — driver-side planning as the bottleneck):
+    # this loop used to build every step through pyspark Column objects
+    # and F.transform/F.zip_with lambdas; a cProfile of the pca_top3
+    # plan build measured 10,693 py4j round trips — ~16 ms per
+    # higher-order-function lambda alone — putting the BUILD at ~6 s
+    # against ~1 s of execution. The same steps are now authored as SQL
+    # expr strings (one py4j call per step); the parsed expressions are
+    # the operators' exact SQL spellings (D-suffixed double literals,
+    # same fold seeds, same op order), so the analyzed plan — and every
+    # double — is unchanged. The projection-per-step structure is kept:
+    # each multiply-referenced value stays its own withColumn, so
+    # nothing gets inlined/duplicated by CollapseProject.
+    # string-cast literal: Double.parseDouble round-trips repr() exactly
+    # for any magnitude (a bare D-suffix literal cannot carry an
+    # exponent through the lexer)
+    # A further fusion of each iteration into ONE let-bound withColumn
+    # was tried and REVERTED: a step referenced exactly once gets
+    # inlined by CollapseProject INTO the next matvec's lambda, where
+    # it re-evaluates per mat row — 64^n_iter interpreted evaluations
+    # (the driver hung in ArrayAggregate.eval). The per-step projection
+    # structure below is load-bearing: every step is referenced at
+    # least twice, so CollapseProject keeps it materialized per row.
+    start_lit = f"CAST('{1.0 / float(dims) ** 0.5!r}' AS DOUBLE)"
+    fold_sql = "aggregate({arr}, 0.0D, (acc, t) -> acc + t)"
+    snap_sql = "CAST(floor({x} * 1E10 + 0.5D) AS DOUBLE) / 1E10"
     df = mrow
     for c in range(n_components):
-        df = df.withColumn("vv", start)
+        df = df.withColumn(
+            "vv",
+            F.expr(
+                f"transform(sequence(0, {dims - 1}), x -> {start_lit})"
+            ),
+        )
         for _t in range(n_iter):
             # matvec: w_i = ordered fold of mat[i][k] * vv[k]
             df = df.withColumn(
                 "wv",
-                F.transform(
-                    "mat",
-                    lambda row: fold(
-                        F.zip_with(row, F.col("vv"), lambda a, b: a * b)
-                    ),
+                F.expr(
+                    "transform(mat, row -> "
+                    + fold_sql.format(arr="zip_with(row, vv, (a, b) -> a * b)")
+                    + ")"
                 ),
             )
             # sequential (modified) Gram–Schmidt against each finished
@@ -356,33 +377,35 @@ def pca_top_components(
             for p in range(c):
                 df = df.withColumn(
                     "dp",
-                    fold(
-                        F.zip_with(
-                            "wv", f"comp{p}", lambda a, b: a * b
+                    F.expr(
+                        fold_sql.format(
+                            arr=f"zip_with(wv, comp{p}, (a, b) -> a * b)"
                         )
                     ),
                 ).withColumn(
                     "wv",
-                    F.zip_with(
-                        "wv",
-                        f"comp{p}",
-                        lambda w, pv: w - F.col("dp") * pv,
+                    F.expr(
+                        f"zip_with(wv, comp{p}, (w, pv) -> w - dp * pv)"
                     ),
                 ).drop("dp")
             # nm=0 guard: once the cloud's rank is exhausted the
             # residual collapses; emit the zero vector with eigenvalue
             # 0 instead of a NULL cascade.
             df = df.withColumn(
-                "nm", F.sqrt(fold(F.transform("wv", lambda x: x * x)))
+                "nm",
+                F.expr(
+                    "sqrt("
+                    + fold_sql.format(arr="transform(wv, x -> x * x)")
+                    + ")"
+                ),
             ).withColumn(
                 "vv",
-                F.transform(
-                    "wv",
-                    lambda x: snap(
-                        F.when(
-                            F.col("nm") > 0, x / F.col("nm")
-                        ).otherwise(F.lit(0.0))
-                    ),
+                F.expr(
+                    "transform(wv, x -> "
+                    + snap_sql.format(
+                        x="(CASE WHEN nm > 0 THEN x / nm ELSE 0.0D END)"
+                    )
+                    + ")"
                 ),
             ).drop("wv")
         df = df.withColumn(f"comp{c}", F.col("vv")).withColumn(
