@@ -772,7 +772,6 @@ def mmr_rerank(
         raise ValueError(f"pool_k ({pool_k}) must be >= k ({k})")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
     pool = brute_force_topk(
         vectors, queries, k=pool_k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
@@ -793,13 +792,23 @@ def mmr_rerank(
         )
     )
 
-    def bind(value, fn):
-        """Evaluate ``fn`` with ``value`` bound to a lambda variable so
-        fn may reference it any number of times while the underlying
-        expression appears exactly once in the plan."""
-        return F.element_at(F.transform(F.array(value), fn), 1)
+    # Round-17 (guide §7.3): the greedy chain is authored as SQL expr
+    # strings — the F-API construction paid ~68 ms of py4j round trips
+    # PER higher-order lambda (~12 per step), putting ann_mmr_rerank's
+    # plan BUILD at ~1.6 s for ~1.1 s of execution. The strings are a
+    # 1:1 transliteration: same binds, same fold seeds, same tie-break
+    # comparisons, same literals (string-cast doubles round-trip repr
+    # exactly), so the analyzed plan and every double are unchanged.
+    lam_lit = f"CAST('{float(lam)!r}' AS DOUBLE)"
+    inv_lit = f"CAST('{1.0 - float(lam)!r}' AS DOUBLE)"
 
-    def argmax(scored):
+    def bind(value: str, var: str, body: str) -> str:
+        """SQL spelling of the single-element transform binding:
+        ``value`` evaluates once, ``body`` may reference ``var`` any
+        number of times (lambda-variable references are free)."""
+        return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+    def argmax(scored: str) -> str:
         # highest score, ties to the smallest id — a left fold over the
         # bound candidate array, seeded with its first element (which
         # then harmlessly compares against itself). NOT slice(sc, 2,
@@ -808,99 +817,72 @@ def mmr_rerank(
         # its init and the argmax degenerates to "first candidate".
         return bind(
             scored,
-            lambda sc: F.aggregate(
-                sc,
-                F.element_at(sc, 1),
-                lambda best, c: F.when(
-                    (c["s"] > best["s"])
-                    | ((c["s"] == best["s"])
-                       & (c["neighbor_id"] < best["neighbor_id"])),
-                    c,
-                ).otherwise(best),
-            ),
+            "sc",
+            "aggregate(sc, element_at(sc, 1), (best, c) -> "
+            "CASE WHEN c.s > best.s OR (c.s = best.s AND "
+            "c.neighbor_id < best.neighbor_id) THEN c ELSE best END)",
         )
 
-    def max_sim(c, sel):
-        return F.aggregate(
-            sel,
-            F.lit(float("-inf")),
-            lambda acc, s: F.greatest(
-                acc, F.round(cosine_similarity(c["nv"], s["nv"]), 6)
-            ),
+    # cos(a, b) spelled exactly as functions/vectors.cosine_similarity:
+    # when(denom > 0, dot / denom), both norms re-folded in the
+    # condition and the division just as the Column form plans it
+    def cos_sql(a: str, b: str) -> str:
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v)"
         )
+        norm = "sqrt(aggregate({v}, 0.0D, (acc, v) -> acc + v * v))"
+        denom = f"({norm.format(v=a)} * {norm.format(v=b)})"
+        return f"CASE WHEN {denom} > 0.0D THEN {dot} / {denom} END"
 
-    def step_expr(step, sel):
-        """One greedy round: sel (array of picked structs) -> sel plus
-        this round's pick. ``sel`` is a lambda variable — free to
-        re-reference."""
-        cands = F.filter(
-            "pool",
-            lambda c: ~F.array_contains(
-                F.transform(sel, lambda s: s["neighbor_id"]),
-                c["neighbor_id"],
-            ),
+    max_sim = (
+        "aggregate(sel, CAST('-Infinity' AS DOUBLE), (acc, s) -> "
+        f"greatest(acc, round({cos_sql('c.nv', 's.nv')}, 6)))"
+    )
+
+    def step_expr(step: int) -> str:
+        """One greedy round over the `selected` attribute (multi-
+        referenced — it is its own projection, so references are
+        free): filter picked ids out of the pool, score the rest,
+        argmax, append."""
+        cands = (
+            "filter(pool, c -> NOT array_contains("
+            "transform(sel, s -> s.neighbor_id), c.neighbor_id))"
         )
-        scored = F.transform(
-            cands,
-            lambda c: F.struct(
-                (
-                    lam_c * c["rel"] - inv_c * max_sim(c, sel)
-                ).alias("s"),
-                c["neighbor_id"].alias("neighbor_id"),
-                c["nv"].alias("nv"),
-            ),
+        scored = (
+            f"transform({cands}, c -> named_struct("
+            f"'s', {lam_lit} * c.rel - {inv_lit} * {max_sim}, "
+            "'neighbor_id', c.neighbor_id, 'nv', c.nv))"
         )
         return bind(
-            argmax(scored),
-            lambda best: F.when(
-                best.isNotNull(),
-                F.concat(
-                    sel,
-                    F.array(
-                        F.struct(
-                            F.lit(step).cast("int").alias("step"),
-                            best["neighbor_id"].alias("neighbor_id"),
-                            best["s"].alias("mmr_score"),
-                            best["nv"].alias("nv"),
-                        )
-                    ),
-                ),
-            ).otherwise(sel),
+            "selected",
+            "sel",
+            bind(
+                argmax(scored),
+                "best",
+                "CASE WHEN best IS NOT NULL THEN concat(sel, array("
+                f"named_struct('step', CAST({step} AS INT), "
+                "'neighbor_id', best.neighbor_id, "
+                "'mmr_score', best.s, 'nv', best.nv))) ELSE sel END",
+            ),
         )
 
     # step 1: argmax of lam*rel over the full pool (empty selected set
     # contributes 0 to the MMR formula)
     first = bind(
         argmax(
-            F.transform(
-                "pool",
-                lambda c: F.struct(
-                    (lam_c * c["rel"]).alias("s"),
-                    c["neighbor_id"].alias("neighbor_id"),
-                    c["nv"].alias("nv"),
-                ),
-            )
+            f"transform(pool, c -> named_struct('s', {lam_lit} * c.rel, "
+            "'neighbor_id', c.neighbor_id, 'nv', c.nv))"
         ),
-        lambda best: F.array(
-            F.struct(
-                F.lit(1).cast("int").alias("step"),
-                best["neighbor_id"].alias("neighbor_id"),
-                best["s"].alias("mmr_score"),
-                best["nv"].alias("nv"),
-            )
-        ),
+        "best",
+        "array(named_struct('step', CAST(1 AS INT), "
+        "'neighbor_id', best.neighbor_id, "
+        "'mmr_score', best.s, 'nv', best.nv))",
     )
-    def make_step(s):
-        # NOT `lambda sel, s=step: …`: PySpark dispatches on lambda
-        # arity, and a second parameter would be bound to the array
-        # INDEX argument of transform, silently shadowing the step
-        return lambda sel: step_expr(s, sel)
 
-    df = prow.withColumn("selected", first)
+    df = prow.withColumn("selected", F.expr(first))
     for step in range(2, k + 1):
-        df = df.withColumn(
-            "selected", bind(F.col("selected"), make_step(step))
-        )
+        df = df.withColumn("selected", F.expr(step_expr(step)))
     return df.select(
         "query_id", F.explode("selected").alias("sel")
     ).select(
