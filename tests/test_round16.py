@@ -213,6 +213,11 @@ def test_cc_pair_subtree_executes_exactly_once(spark):
 
     from timeseries_spark.extensions.dedup import connected_components
 
+    # accumulator counts are retry-sensitive (a re-run task double
+    # counts); the exactly-once assertion below is only valid without
+    # speculation/retries, so pin it to the local master this suite
+    # runs under (round-17 advice)
+    assert spark.sparkContext.master.startswith("local")
     acc = spark.sparkContext.accumulator(0)
     base = spark.range(0, 500).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
@@ -353,6 +358,9 @@ def test_bipartite_edges_single_traversal(spark):
 
     from timeseries_spark.extensions.graph import bipartite_edges
 
+    # exactly-once accumulator pin: valid only without task retries /
+    # speculation — local-master guarded (round-17 advice)
+    assert spark.sparkContext.master.startswith("local")
     acc = spark.sparkContext.accumulator(0)
     base = spark.range(0, 300).select(
         (F.col("id") % 20).alias("p"), (F.col("id") % 7).alias("s")

@@ -300,9 +300,12 @@ def _minhash_parts(
     # experiments/MINHASH_PROFILE_r13.json). The entry is compact
     # (id + num_hashes longs + count ≈ 300 B/doc, far smaller than the
     # text it derives from) and spills to disk if memory won't hold it.
+    # expr strings, not num_hashes Column objects: the per-Column py4j
+    # construction dominated dedup_minhash_lsh's plan-build wall
+    # (round-17, guide §7.3); min(h1 + i*h2) is the identical expression
     agg = hp.groupBy("id").agg(
         *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"__m{i}")
+            F.expr(f"min(h1 + {i} * h2)").alias(f"__m{i}")
             for i in range(num_hashes)
         ],
         F.count("h1").alias("__n"),
@@ -310,7 +313,9 @@ def _minhash_parts(
     agg = _persist_registered(agg)
     sig = agg.filter(F.col("__n") > 0).select(
         "id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"__m{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
     sent = agg.filter(F.col("__n") == 0).select("id")
     return sig, sent

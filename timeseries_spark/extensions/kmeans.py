@@ -58,6 +58,16 @@ def _argmin_assign_np(pts: DataFrame, cent_rows) -> DataFrame:
     ``cent_rows`` are COLLECTED (cid, c) rows — k rows, vocab-grain, the
     same k×d doubles the JVM path folded into one broadcast array row
     (the beyond-broadcast regime keeps the routed assignment path).
+
+    Non-null precondition (round-17 advice): bit-identity is guaranteed
+    for fully non-null double arrays only. A NULL vector ELEMENT reaches
+    this kernel as NaN (Arrow maps null list elements to NaN in the
+    pandas block), so its distance goes NaN and the NaN-greatest rule
+    applies — whereas the JVM fold yields a null sq_dist, whose
+    null-first struct ordering picks differently. Fit inputs here are
+    cast projections of the caller's embedding column; a corpus with
+    null elements is malformed for every fixed-width operator in this
+    engine (checked_dims raises on width, not element nulls).
     Motivation (r16 session-2 profile): the interpreted n×k×d lambda
     fold was ~5 CPU-seconds per Lloyd round at sf0.1 — the dominant
     task-time of every in-plan fit — and the r16 microbench showed no
@@ -131,14 +141,15 @@ def _argmin_assign(pts: DataFrame, centroids: DataFrame) -> DataFrame:
             )
         ).alias("cents")
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda cen: F.struct(
-                _sq_dist(F.col("v"), cen["c"]).alias("d"),
-                cen["cid"].alias("cid"),
-            ),
-        )
+    # expr string (round-17, guide §7.3): the F-API lambda construction
+    # of this argmin cost ~0.1 s of py4j per call, rebuilt every Lloyd
+    # round of every JVM-path fit; the SQL spelling is the identical
+    # _sq_dist fold and (d, lowest-cid) struct tie-break
+    best = F.expr(
+        "array_min(transform(cents, cen -> named_struct("
+        "'d', aggregate(zip_with(v, cen.c, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, t) -> acc + t), "
+        "'cid', cen.cid)))"
     )
     return (
         pts.crossJoin(F.broadcast(cent_arr))
@@ -175,6 +186,13 @@ def kmeans_fit(
     dominates when k·d is small (PQ subspace fits: d=32/8, k≤16 — the
     interleaved A/B showed the boundary costing more than it saved
     there)."""
+    if assign_kernel not in ("np", "jvm"):
+        # a typo ("NP", "numpy") must not silently fall through to the
+        # JVM path — the knob is bit-identical on both sides, but a
+        # caller asking for a specific kernel should get it or an error
+        raise ValueError(
+            f"assign_kernel must be 'np' or 'jvm', got {assign_kernel!r}"
+        )
     pts = ensure_parallelism(
         vectors.select(
             F.col(id_col).alias("vid"),

@@ -209,8 +209,6 @@ def pq_encode(
         # doesn't need. Exactness is the assign_to_centroids contract
         # verbatim: same _sq_dist fold on doubles, same (d, lowest-cid)
         # struct-min tie-break per subspace.
-        from timeseries_spark.extensions.kmeans import _sq_dist
-
         books_arr = books.groupBy().agg(
             F.array_sort(
                 F.collect_list(
@@ -229,44 +227,46 @@ def pq_encode(
         )
         # loud-fail on an empty/truncated artifact, inside the consumed
         # expression so Catalyst can't prune it (the
-        # assign_to_centroids guard idiom)
-        checked = F.when(
-            F.size("books") == m * n_clusters, F.col("books")
-        ).otherwise(
-            F.raise_error(
-                F.lit(
-                    "pq_encode: staged book must carry exactly "
-                    f"{m * n_clusters} (sub, cid) rows"
-                )
-            ).cast(
-                "array<struct<sub:int,cid:int,"
-                "cent:array<double>,mean:array<double>>>"
-            )
+        # assign_to_centroids guard idiom). Authored as SQL expr strings
+        # (round-17, guide §7.3): the F-API built ~4 HOF lambdas per
+        # subspace at ~16 ms of py4j each — m=8 (hires) paid ~0.5 s of
+        # plan build here; the strings are the identical _sq_dist fold,
+        # (d, lowest-cid, mean) struct-min tie-break, guard and casts.
+        checked = (
+            f"CASE WHEN size(books) = {m * n_clusters} THEN books "
+            "ELSE CAST(raise_error('pq_encode: staged book must carry "
+            f"exactly {m * n_clusters} (sub, cid) rows') AS "
+            "ARRAY<STRUCT<sub: INT, cid: INT, "
+            "cent: ARRAY<DOUBLE>, mean: ARRAY<DOUBLE>>>) END"
         )
-        vd = F.transform(F.col("v"), lambda x: x.cast("double"))
-        bests = []
-        for s in range(m):
-            sub_v = F.slice(vd, s * sub_dims + 1, sub_dims)
-            entries = F.filter(checked, lambda b: b["sub"] == F.lit(s))
-            bests.append(
-                F.array_min(
-                    F.transform(
-                        entries,
-                        lambda b: F.struct(
-                            _sq_dist(sub_v, b["cent"]).alias("d"),
-                            b["cid"].alias("cid"),
-                            b["mean"].alias("mean"),
-                        ),
-                    )
-                )
+        vd = "transform(v, x -> CAST(x AS DOUBLE))"
+
+        def best_sql(s: int) -> str:
+            sub_v = f"slice({vd}, {s * sub_dims + 1}, {sub_dims})"
+            entries = f"filter({checked}, b -> b.sub = {s})"
+            return (
+                f"array_min(transform({entries}, b -> named_struct("
+                f"'d', aggregate(zip_with({sub_v}, b.cent, "
+                "(x, y) -> (x - y) * (x - y)), 0.0D, "
+                "(acc, t) -> acc + t), "
+                "'cid', b.cid, 'mean', b.mean)))"
             )
+
         return pts.crossJoin(F.broadcast(books_arr)).select(
             F.col("__id").alias(id_col),
             "v",
-            F.concat(*[b["mean"] for b in bests]).alias("dq"),
-            F.array(*[b["cid"].cast("int") for b in bests]).alias(
-                "codes"
-            ),
+            F.expr(
+                "concat("
+                + ",".join(f"{best_sql(s)}.mean" for s in range(m))
+                + ")"
+            ).alias("dq"),
+            F.expr(
+                "array("
+                + ",".join(
+                    f"CAST({best_sql(s)}.cid AS INT)" for s in range(m)
+                )
+                + ")"
+            ).alias("codes"),
         )
     parts = []
     for s in range(m):

@@ -44,6 +44,15 @@ def inline_rows(
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], st)
+    for i, r in enumerate(rows):
+        # createDataFrame verifies row arity; zip() would silently drop
+        # extra values or emit short structs — fail loudly instead
+        # (round-17 advice)
+        if len(r) != len(st.fields):
+            raise ValueError(
+                f"inline_rows: row {i} has {len(r)} values for "
+                f"{len(st.fields)} schema fields"
+            )
     structs = [
         F.struct(
             *[
